@@ -1,0 +1,108 @@
+"""Pipeline configuration.
+
+TPU-native replacement for the reference's PETSc options database (runtime
+``-name value`` flags pulled per stage; SURVEY.md §5 "Config/flag system").
+A frozen dataclass keeps every knob hashable so the whole config can be a
+static argument to ``jax.jit`` — one compiled executable per config.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+import math
+from dataclasses import dataclass
+
+
+KERNELS = ("gaussian", "nlm")
+NORMALIZATIONS = ("sinkhorn", "symmetric", "none")
+FILTERS = ("identity", "power", "lowpass", "sharpen", "exp_decay")
+DTYPES = ("float32", "bfloat16")
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """All knobs of the global graph-Laplacian filter pipeline.
+
+    Mirrors the reference CLI flags (image path aside): kernel type,
+    bandwidth h, sample fraction, #eigenpairs, filter type
+    (SURVEY.md §2.2 component #1).
+    """
+
+    # --- affinity kernel ---
+    kernel: str = "gaussian"       # "gaussian" (photometric) | "nlm" (patch)
+    h: float = 0.15                # photometric bandwidth, image range [0,1]
+    spatial_h: float = 0.0         # >0: bilateral spatial term, bandwidth in px
+    patch_size: int = 5            # NLM patch side (config 2: 5x5)
+
+    # --- Nystrom sampling ---
+    sample_rho: float = 0.01       # target sample fraction of N
+    sample_cap: int = 8192         # hard cap on p (SURVEY.md §1.3 scaling note)
+
+    # --- normalization ---
+    normalization: str = "sinkhorn"  # "sinkhorn" | "symmetric" | "none"
+    sinkhorn_iters: int = 20         # fixed (shape-static) iteration count
+
+    # --- eigensolve ---
+    num_eigvecs: int = 50          # m, kept eigenpairs
+    eig_tol: float = 3e-3         # relative spectral cutoff for pseudo-inverses
+
+    # --- spectral filter ---
+    filter_name: str = "identity"  # see ops/filters.py registry
+    filter_param: float = 1.0      # k for power, beta for sharpen, tau for exp
+
+    # --- precision policy ---
+    affinity_dtype: str = "float32"  # GEMM dtype for the K strip
+    use_pallas: bool = False         # fused Pallas affinity kernel
+    streaming: bool = False          # recompute K tiles blockwise (big images)
+    block_cols: int = 65536          # streaming column-block width
+
+    def __post_init__(self):
+        if self.kernel not in KERNELS:
+            raise ValueError(f"kernel must be one of {KERNELS}, got {self.kernel!r}")
+        if self.normalization not in NORMALIZATIONS:
+            raise ValueError(
+                f"normalization must be one of {NORMALIZATIONS}, got {self.normalization!r}"
+            )
+        if self.filter_name not in FILTERS:
+            raise ValueError(f"filter_name must be one of {FILTERS}, got {self.filter_name!r}")
+        if self.affinity_dtype not in DTYPES:
+            raise ValueError(f"affinity_dtype must be one of {DTYPES}")
+        if self.patch_size % 2 != 1:
+            raise ValueError("patch_size must be odd")
+        if not (0.0 < self.sample_rho <= 1.0):
+            raise ValueError("sample_rho must be in (0, 1]")
+
+    def num_samples(self, n_pixels: int) -> int:
+        """p = min(cap, ceil(rho * N)), at least num_eigvecs."""
+        p = min(self.sample_cap, math.ceil(self.sample_rho * n_pixels))
+        p = max(p, self.num_eigvecs)
+        return min(p, n_pixels)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def config_hash(self) -> str:
+        """Stable hash recorded in run logs (SURVEY.md §5)."""
+        blob = json.dumps(self.to_dict(), sort_keys=True).encode()
+        return hashlib.sha256(blob).hexdigest()[:12]
+
+    def replace(self, **kw) -> "PipelineConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# The driver's graded configs (BASELINE.md table).
+CONFIG1 = PipelineConfig(
+    kernel="gaussian", h=0.3, sample_rho=0.01, num_eigvecs=50,
+    normalization="sinkhorn", sinkhorn_iters=20, filter_name="identity",
+)
+CONFIG2 = PipelineConfig(
+    kernel="nlm", patch_size=5, h=0.25, sample_rho=0.02, num_eigvecs=50,
+    normalization="sinkhorn", sinkhorn_iters=20, filter_name="identity",
+)
+CONFIG3 = PipelineConfig(
+    kernel="nlm", patch_size=5, h=0.25, sample_rho=0.01, sample_cap=4096,
+    num_eigvecs=50, normalization="sinkhorn", filter_name="sharpen",
+    filter_param=0.6,
+)

@@ -1,0 +1,166 @@
+"""End-to-end global graph-Laplacian filter pipeline.
+
+TPU-native equivalent of the reference's C ``main`` stage orchestration
+(SURVEY.md §2.2 component #1, §3.1). Where the reference crosses a PETSc/MPI
+process boundary at every stage, here the WHOLE chain
+
+    affinity -> sinkhorn -> nystrom eigh -> spectral filter -> reconstruct
+
+is ONE jitted function: XLA fuses the elementwise work into the GEMMs and the
+only host<->device transfers are the image in and the filtered image out
+(SURVEY.md §3.1 device-boundary note). RGB runs per channel via ``vmap``
+(BASELINE.json config 3) — the batched eigh and GEMMs keep the MXU fed.
+
+A staged variant jits each stage separately for per-stage wall-clock timing
+(the graded eigensolve wall-time metric; SURVEY.md §5 tracing row).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import PipelineConfig
+from ..utils.sampling import SamplePlan, uniform_grid_sample
+from ..ops.affinity import affinity_blocks
+from ..ops.sinkhorn import normalize_blocks
+from ..ops.nystrom import nystrom_eigh
+from ..ops.filters import apply_spectral_filter
+
+
+class FilterResult(NamedTuple):
+    image: np.ndarray          # filtered image, clipped to [0, 1]
+    eigvals: np.ndarray        # (C?, m) eigenvalues of the filter matrix
+    timings: dict              # per-stage seconds (staged mode only)
+
+
+# ---------------------------------------------------------------------------
+# fused single-jit path
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _filter_channel(img2d: jnp.ndarray, idx_a: jnp.ndarray, perm: jnp.ndarray,
+                    inv_perm: jnp.ndarray, cfg: PipelineConfig):
+    """One grayscale channel through the full pipeline. Returns (z2d, vals)."""
+    kaa, kab = affinity_blocks(img2d, idx_a, perm, cfg)
+    waa, wab, _, _ = normalize_blocks(
+        kaa, kab, cfg.normalization, cfg.sinkhorn_iters, cfg.eig_tol)
+    basis = nystrom_eigh(waa, wab, cfg.num_eigvecs, cfg.eig_tol)
+    y_perm = jnp.take(img2d.astype(jnp.float32).ravel(), perm)
+    z_perm = apply_spectral_filter(
+        y_perm, basis.vals, basis.vecs, cfg.filter_name, cfg.filter_param)
+    z = jnp.take(z_perm, inv_perm).reshape(img2d.shape)
+    return jnp.clip(z, 0.0, 1.0), basis.vals
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _filter_channels(img_chw: jnp.ndarray, idx_a, perm, inv_perm,
+                     cfg: PipelineConfig):
+    """(C, H, W) -> per-channel independent pipelines, vmapped."""
+    return jax.vmap(
+        lambda ch: _filter_channel(ch, idx_a, perm, inv_perm, cfg)
+    )(img_chw)
+
+
+def make_plan(image: np.ndarray, cfg: PipelineConfig) -> SamplePlan:
+    h, w = image.shape[:2]
+    return uniform_grid_sample(h, w, cfg.num_samples(h * w))
+
+
+def filter_image(image: np.ndarray, cfg: PipelineConfig,
+                 plan: SamplePlan | None = None) -> FilterResult:
+    """Filter a (H, W) or (H, W, C) float [0,1] image. Fused jit path."""
+    image = np.asarray(image)
+    if plan is None:
+        plan = make_plan(image, cfg)
+    idx_a = jnp.asarray(plan.idx_a)
+    perm = jnp.asarray(plan.perm)
+    inv_perm = jnp.asarray(plan.inv_perm)
+
+    if image.ndim == 2:
+        z, vals = _filter_channel(jnp.asarray(image, jnp.float32),
+                                  idx_a, perm, inv_perm, cfg)
+        out = np.asarray(jax.block_until_ready(z))
+    else:
+        chw = jnp.asarray(np.moveaxis(image, -1, 0), jnp.float32)
+        z, vals = _filter_channels(chw, idx_a, perm, inv_perm, cfg)
+        out = np.moveaxis(np.asarray(jax.block_until_ready(z)), 0, -1)
+    return FilterResult(image=out, eigvals=np.asarray(vals), timings={})
+
+
+# ---------------------------------------------------------------------------
+# staged path: separate jits so each stage can be wall-clocked
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _stage_affinity(img2d, idx_a, perm, cfg: PipelineConfig):
+    return affinity_blocks(img2d, idx_a, perm, cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _stage_normalize(kaa, kab, cfg: PipelineConfig):
+    waa, wab, _, _ = normalize_blocks(
+        kaa, kab, cfg.normalization, cfg.sinkhorn_iters, cfg.eig_tol)
+    return waa, wab
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _stage_eigh(waa, wab, cfg: PipelineConfig):
+    return nystrom_eigh(waa, wab, cfg.num_eigvecs, cfg.eig_tol)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _stage_filter(img2d, vals, vecs, perm, inv_perm, cfg: PipelineConfig):
+    y_perm = jnp.take(img2d.astype(jnp.float32).ravel(), perm)
+    z_perm = apply_spectral_filter(y_perm, vals, vecs,
+                                   cfg.filter_name, cfg.filter_param)
+    return jnp.clip(jnp.take(z_perm, inv_perm).reshape(img2d.shape), 0.0, 1.0)
+
+
+def filter_image_staged(image: np.ndarray, cfg: PipelineConfig,
+                        plan: SamplePlan | None = None) -> FilterResult:
+    """Like filter_image but per-stage timed (one channel at a time).
+
+    Timings use block_until_ready walls (SURVEY.md §5 tracing row); the
+    first call per shape includes compile — callers should warm up first
+    for steady-state numbers.
+    """
+    image = np.asarray(image)
+    if plan is None:
+        plan = make_plan(image, cfg)
+    idx_a = jnp.asarray(plan.idx_a)
+    perm = jnp.asarray(plan.perm)
+    inv_perm = jnp.asarray(plan.inv_perm)
+
+    channels = [image] if image.ndim == 2 else [
+        image[..., c] for c in range(image.shape[-1])]
+    timings = {k: 0.0 for k in ("affinity", "normalize", "eigensolve", "filter")}
+    outs, all_vals = [], []
+
+    for ch in channels:
+        img2d = jnp.asarray(ch, jnp.float32)
+        t0 = time.perf_counter()
+        kaa, kab = jax.block_until_ready(_stage_affinity(img2d, idx_a, perm, cfg))
+        t1 = time.perf_counter()
+        waa, wab = jax.block_until_ready(_stage_normalize(kaa, kab, cfg))
+        t2 = time.perf_counter()
+        basis = jax.block_until_ready(_stage_eigh(waa, wab, cfg))
+        t3 = time.perf_counter()
+        z = jax.block_until_ready(
+            _stage_filter(img2d, basis.vals, basis.vecs, perm, inv_perm, cfg))
+        t4 = time.perf_counter()
+        timings["affinity"] += t1 - t0
+        timings["normalize"] += t2 - t1
+        timings["eigensolve"] += t3 - t2
+        timings["filter"] += t4 - t3
+        outs.append(np.asarray(z))
+        all_vals.append(np.asarray(basis.vals))
+
+    out = outs[0] if image.ndim == 2 else np.stack(outs, axis=-1)
+    vals = all_vals[0] if image.ndim == 2 else np.stack(all_vals)
+    return FilterResult(image=out, eigvals=vals, timings=timings)

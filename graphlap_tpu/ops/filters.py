@@ -1,0 +1,87 @@
+"""Spectral filter functions f(lambda) and their application.
+
+TPU-native equivalent of the reference's filter module (SURVEY.md §2.2
+component #7, §1.2 Stage 5). Pure functions on the eigenvalue vector,
+registered by name so the CLI mirrors the reference's ``-filter`` flag.
+
+Two application modes (the distinction matters because Nystrom truncates to
+rank m — the residual y - V V^T y lives outside the basis):
+
+* projection (``affine=False``): z = V f(L) V^T y — the filtered signal is
+  fully represented in the basis (denoising/low-pass: the residual is noise
+  and is meant to be discarded).
+* affine (``affine=True``): z = y + V (f(L) - 1) V^T y — the identity part
+  acts on the FULL signal and only the correction lives in the basis
+  (sharpening: f(1)=1 keeps DC, f(lambda)>1 boosts detail; dropping the
+  residual here would blur instead of sharpen).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class SpectralFilter(NamedTuple):
+    fn: Callable          # (vals, param) -> filtered vals   (jnp or np alike)
+    affine: bool
+    doc: str
+
+
+def _identity(lam, param):
+    return lam
+
+
+def _power(lam, param):
+    # k-step diffusion W^k; non-integer k via sign-safe power (lam can dip <0)
+    return jnp.sign(lam) * jnp.abs(lam) ** param if isinstance(
+        lam, jnp.ndarray) else np.sign(lam) * np.abs(lam) ** param
+
+
+def _lowpass(lam, param):
+    # pure rank-m projection: f = 1 on the kept eigenpairs
+    return jnp.ones_like(lam) if isinstance(lam, jnp.ndarray) else np.ones_like(lam)
+
+
+def _sharpen(lam, param):
+    # f(lambda) = 1 + beta (1 - lambda): >1 on low-eigenvalue (detail)
+    # components, =1 at lambda=1 (DC) — BASELINE.json config 3.
+    return 1.0 + param * (1.0 - lam)
+
+
+def _exp_decay(lam, param):
+    # f(lambda) = exp(-tau (1 - lambda)): heat-kernel style smoothing
+    mod = jnp if isinstance(lam, jnp.ndarray) else np
+    return mod.exp(-param * (1.0 - lam))
+
+
+FILTER_REGISTRY: dict[str, SpectralFilter] = {
+    "identity": SpectralFilter(_identity, False, "f(l)=l: one application of W (GLIDE denoise)"),
+    "power": SpectralFilter(_power, False, "f(l)=l^k: k-step diffusion"),
+    "lowpass": SpectralFilter(_lowpass, False, "f(l)=1: rank-m projection"),
+    "sharpen": SpectralFilter(_sharpen, True, "f(l)=1+b(1-l): detail boost, f>1 on low l"),
+    "exp_decay": SpectralFilter(_exp_decay, False, "f(l)=exp(-t(1-l)): heat kernel"),
+}
+
+
+def apply_spectral_filter(y_perm: jnp.ndarray, vals: jnp.ndarray,
+                          vecs: jnp.ndarray, name: str, param: float) -> jnp.ndarray:
+    """z_perm = filter(y_perm) in the eigenbasis. All O(N m)."""
+    filt = FILTER_REGISTRY[name]
+    fvals = filt.fn(vals, param)
+    coeffs = vecs.T @ y_perm                     # (m,)
+    if filt.affine:
+        return y_perm + vecs @ ((fvals - 1.0) * coeffs)
+    return vecs @ (fvals * coeffs)
+
+
+def apply_spectral_filter_np(y_perm: np.ndarray, vals: np.ndarray,
+                             vecs: np.ndarray, name: str, param: float) -> np.ndarray:
+    filt = FILTER_REGISTRY[name]
+    fvals = filt.fn(vals, param)
+    coeffs = vecs.T @ y_perm
+    if filt.affine:
+        return y_perm + vecs @ ((fvals - 1.0) * coeffs)
+    return vecs @ (fvals * coeffs)

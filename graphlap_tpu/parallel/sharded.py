@@ -1,0 +1,99 @@
+"""Row-sharded batched pipeline over a (data, rows) device mesh.
+
+TPU-native equivalent of the reference's MPI-distributed run
+(``mpiexec -n P ./main ...``, SURVEY.md §3.1): PETSc's contiguous row
+partition of K_AB / V becomes a named-sharding layout, and every collective
+the reference does through MPI_Allreduce/VecScatter becomes an XLA
+psum/all-gather chosen by GSPMD (SURVEY.md §2.3 mapping table).
+
+Layouts (B = frames/channels on ``data``, N pixels on ``rows``):
+
+    frames   (B, H, W)        P('data', None, None)
+    K strip  (B, p, N)        P('data', None, 'rows')   <- the memory wall
+    p x p    (B, p, p)        P('data')                 <- replicated per row group
+    V_B      (B, N-p, m)      P('data', 'rows', None)   <- extension output
+    output   (B, H, W)        P('data', None, None)
+
+The per-stage math reuses the single-device ops via vmap; sharding
+constraints are placed on the big N-axis tensors at stage boundaries and
+GSPMD propagates layouts through the vmapped interiors. Batched eigh on the
+replicated (B, p, p) blocks runs identically on every rows-shard — the
+communication-free direct eigensolve that replaces SLEPc's distributed
+Krylov iteration (SURVEY.md §3.4).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import PipelineConfig
+from ..ops.affinity import affinity_strip, extract_features
+from ..ops.filters import apply_spectral_filter
+from ..ops.nystrom import nystrom_eigh
+from ..ops.sinkhorn import normalize_blocks
+from ..utils.sampling import SamplePlan
+from .mesh import shard
+
+
+def build_sharded_pipeline(mesh, cfg: PipelineConfig):
+    """Returns a jitted fn (frames (B,H,W) f32, idx_a, perm, inv_perm) ->
+    (filtered (B,H,W), eigvals (B,m)) sharded over ``mesh``."""
+
+    dtype = jnp.bfloat16 if cfg.affinity_dtype == "bfloat16" else jnp.float32
+
+    @jax.jit
+    def run(frames, idx_a, perm, inv_perm):
+        b, h, w = frames.shape
+        p = idx_a.shape[0]
+        frames = shard(frames.astype(jnp.float32), mesh, "data")
+
+        feats = jax.vmap(lambda im: extract_features(im, cfg))(frames)
+        feats = shard(feats, mesh, "data", "rows")            # (B, N, d)
+        feats_perm = jnp.take(feats, perm, axis=1)
+        feats_a = feats_perm[:, :p]
+
+        strip = jax.vmap(lambda fa, f: affinity_strip(fa, f, dtype))(
+            feats_a, feats_perm)
+        strip = shard(strip, mesh, "data", None, "rows")      # (B, p, N)
+        kaa = shard(strip[:, :, :p], mesh, "data")
+        kab = shard(strip[:, :, p:], mesh, "data", None, "rows")
+
+        waa, wab, _, _ = jax.vmap(
+            lambda a, b_: normalize_blocks(a, b_, cfg.normalization,
+                                           cfg.sinkhorn_iters, cfg.eig_tol)
+        )(kaa, kab)
+        waa = shard(waa, mesh, "data")
+        wab = shard(wab, mesh, "data", None, "rows")
+
+        basis = jax.vmap(
+            lambda a, b_: nystrom_eigh(a, b_, cfg.num_eigvecs, cfg.eig_tol)
+        )(waa, wab)
+        vecs = shard(basis.vecs, mesh, "data", "rows", None)  # (B, N, m)
+
+        y_perm = jnp.take(frames.reshape(b, h * w), perm, axis=1)
+        y_perm = shard(y_perm, mesh, "data", "rows")
+        z_perm = jax.vmap(
+            lambda y, v, vc: apply_spectral_filter(
+                y, v, vc, cfg.filter_name, cfg.filter_param)
+        )(y_perm, basis.vals, vecs)
+
+        z = jnp.take(z_perm, inv_perm, axis=1).reshape(b, h, w)
+        z = shard(jnp.clip(z, 0.0, 1.0), mesh, "data")
+        return z, basis.vals
+
+    return run
+
+
+def filter_frames_sharded(frames: np.ndarray, cfg: PipelineConfig,
+                          plan: SamplePlan, mesh):
+    """Host entry: (B, H, W) float frames -> (filtered, eigvals)."""
+    run = build_sharded_pipeline(mesh, cfg)
+    z, vals = run(jnp.asarray(frames, jnp.float32),
+                  jnp.asarray(plan.idx_a), jnp.asarray(plan.perm),
+                  jnp.asarray(plan.inv_perm))
+    z = jax.block_until_ready(z)
+    return np.asarray(z), np.asarray(vals)

@@ -1,0 +1,35 @@
+"""Test env: force the CPU backend with 8 fake devices.
+
+SURVEY.md §4.3 — ``xla_force_host_platform_device_count=8`` gives 8 virtual
+CPU devices so shard_map/pjit tests validate the multi-chip path without a
+real TPU slice. Must run before the first ``import jax`` anywhere, hence the
+env mutation at conftest import time. TPU integration runs live in bench.py /
+benchmarks/run.py, not the unit suite.
+"""
+
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+
+import jax  # noqa: E402
+
+# The axon TPU plugin on this box ignores the JAX_PLATFORMS env var; the
+# config API is the only thing that actually forces the CPU backend.
+jax.config.update("jax_platforms", "cpu")
+
+# cache every compile across runs
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)

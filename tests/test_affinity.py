@@ -1,0 +1,80 @@
+"""Unit tests: affinity features + K strip vs the float64 oracle twins
+(SURVEY.md §4.1)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from graphlap_tpu.config import PipelineConfig
+from graphlap_tpu.io import make_test_image
+from graphlap_tpu.ops.affinity import (
+    affinity_blocks,
+    affinity_strip,
+    affinity_strip_np,
+    extract_features,
+    extract_features_np,
+    feature_dim,
+)
+from graphlap_tpu.utils.sampling import uniform_grid_sample
+
+
+@pytest.fixture(scope="module")
+def img():
+    return make_test_image(32, 32, seed=3)
+
+
+@pytest.mark.parametrize("cfg", [
+    PipelineConfig(kernel="gaussian", h=0.2),
+    PipelineConfig(kernel="gaussian", h=0.3, spatial_h=16.0),
+    PipelineConfig(kernel="nlm", h=0.25, patch_size=5),
+    PipelineConfig(kernel="nlm", h=0.4, patch_size=3, spatial_h=8.0),
+])
+def test_features_match_oracle(img, cfg):
+    f_jax = np.asarray(extract_features(jnp.asarray(img, jnp.float32), cfg))
+    f_np = extract_features_np(img, cfg)
+    assert f_jax.shape == (32 * 32, feature_dim(cfg))
+    np.testing.assert_allclose(f_jax, f_np, rtol=0, atol=1e-5)
+
+
+@pytest.mark.parametrize("kernel", ["gaussian", "nlm"])
+def test_strip_matches_oracle_and_kernel_properties(img, kernel):
+    cfg = PipelineConfig(kernel=kernel, h=0.25)
+    plan = uniform_grid_sample(32, 32, 40)
+    feats = extract_features_np(img, cfg)
+    fp = feats[plan.perm]
+    k_np = affinity_strip_np(fp[: plan.p], fp)
+    k_jax = np.asarray(affinity_strip(jnp.asarray(fp[: plan.p], jnp.float32),
+                                      jnp.asarray(fp, jnp.float32)))
+    np.testing.assert_allclose(k_jax, k_np, rtol=0, atol=5e-5)
+    # kernel values in (0, 1]; diagonal of K_AA is exactly 1
+    assert k_jax.max() <= 1.0 + 1e-6 and k_jax.min() > 0.0
+    kaa = k_jax[:, : plan.p]
+    np.testing.assert_allclose(np.diag(kaa), 1.0, atol=1e-5)
+    np.testing.assert_allclose(kaa, kaa.T, atol=1e-6)
+
+
+def test_affinity_blocks_split(img):
+    cfg = PipelineConfig(kernel="nlm", h=0.25)
+    plan = uniform_grid_sample(32, 32, 40)
+    kaa, kab = affinity_blocks(jnp.asarray(img, jnp.float32),
+                               jnp.asarray(plan.idx_a), jnp.asarray(plan.perm), cfg)
+    assert kaa.shape == (40, 40)
+    assert kab.shape == (40, 32 * 32 - 40)
+    feats = extract_features_np(img, cfg)
+    fp = feats[plan.perm]
+    strip = affinity_strip_np(fp[: plan.p], fp)
+    np.testing.assert_allclose(np.asarray(kaa), strip[:, :40], atol=5e-5)
+    np.testing.assert_allclose(np.asarray(kab), strip[:, 40:], atol=5e-5)
+
+
+def test_bf16_strip_close_to_f32(img):
+    cfg = PipelineConfig(kernel="nlm", h=0.25)
+    plan = uniform_grid_sample(32, 32, 40)
+    feats = extract_features_np(img, cfg)
+    fp = feats[plan.perm]
+    f32 = np.asarray(affinity_strip(jnp.asarray(fp[:40], jnp.float32),
+                                    jnp.asarray(fp, jnp.float32), jnp.float32))
+    bf16 = np.asarray(affinity_strip(jnp.asarray(fp[:40], jnp.float32),
+                                     jnp.asarray(fp, jnp.float32), jnp.bfloat16))
+    # bf16 GEMM with f32 accumulate: kernel values still close
+    assert np.abs(f32 - bf16).max() < 3e-2

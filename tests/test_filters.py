@@ -1,0 +1,86 @@
+"""Unit tests: spectral filter registry + application modes."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from graphlap_tpu.ops.filters import (
+    FILTER_REGISTRY,
+    apply_spectral_filter,
+    apply_spectral_filter_np,
+)
+
+
+@pytest.fixture()
+def basis():
+    rng = np.random.default_rng(0)
+    q, _ = np.linalg.qr(rng.standard_normal((40, 8)))
+    vals = np.linspace(1.0, 0.05, 8)
+    y = rng.standard_normal(40)
+    return vals, q, y
+
+
+def test_registry_complete():
+    assert set(FILTER_REGISTRY) == {"identity", "power", "lowpass", "sharpen",
+                                    "exp_decay"}
+    assert FILTER_REGISTRY["sharpen"].affine
+    assert not FILTER_REGISTRY["identity"].affine
+
+
+def test_identity_equals_weighted_projection(basis):
+    vals, q, y = basis
+    z = apply_spectral_filter_np(y, vals, q, "identity", 0.0)
+    np.testing.assert_allclose(z, q @ (vals * (q.T @ y)), atol=1e-12)
+
+
+def test_power_one_equals_identity(basis):
+    vals, q, y = basis
+    z1 = apply_spectral_filter_np(y, vals, q, "identity", 0.0)
+    zk = apply_spectral_filter_np(y, vals, q, "power", 1.0)
+    np.testing.assert_allclose(z1, zk, atol=1e-12)
+
+
+def test_power_k_is_k_step_diffusion(basis):
+    vals, q, y = basis
+    z3 = apply_spectral_filter_np(y, vals, q, "power", 3.0)
+    np.testing.assert_allclose(z3, q @ (vals**3 * (q.T @ y)), atol=1e-12)
+
+
+def test_lowpass_is_projection(basis):
+    vals, q, y = basis
+    z = apply_spectral_filter_np(y, vals, q, "lowpass", 0.0)
+    np.testing.assert_allclose(z, q @ (q.T @ y), atol=1e-12)
+    # projection idempotent
+    z2 = apply_spectral_filter_np(z, vals, q, "lowpass", 0.0)
+    np.testing.assert_allclose(z2, z, atol=1e-10)
+
+
+def test_sharpen_affine_preserves_residual(basis):
+    """Affine filters act as identity outside span(V)."""
+    vals, q, y = basis
+    resid = y - q @ (q.T @ y)
+    z = apply_spectral_filter_np(y, vals, q, "sharpen", 0.7)
+    z_resid = z - q @ (q.T @ z)
+    np.testing.assert_allclose(z_resid, resid, atol=1e-10)
+    # DC direction (lambda=1) untouched: f(1) = 1
+    np.testing.assert_allclose(q[:, 0].T @ z, q[:, 0].T @ y, atol=1e-10)
+
+
+def test_sharpen_boosts_detail(basis):
+    vals, q, y = basis
+    z = apply_spectral_filter_np(y, vals, q, "sharpen", 0.8)
+    # high-frequency (small-lambda) coefficients grow by 1 + b(1-l)
+    c_in = q.T @ y
+    c_out = q.T @ z
+    np.testing.assert_allclose(c_out, (1 + 0.8 * (1 - vals)) * c_in, atol=1e-10)
+
+
+def test_jax_matches_numpy(basis):
+    vals, q, y = basis
+    for name, par in [("identity", 0.0), ("power", 2.0), ("lowpass", 0.0),
+                      ("sharpen", 0.6), ("exp_decay", 2.0)]:
+        z_np = apply_spectral_filter_np(y, vals, q, name, par)
+        z_j = np.asarray(apply_spectral_filter(
+            jnp.asarray(y, jnp.float32), jnp.asarray(vals, jnp.float32),
+            jnp.asarray(q, jnp.float32), name, par))
+        np.testing.assert_allclose(z_j, z_np, atol=1e-5)

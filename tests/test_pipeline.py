@@ -1,0 +1,133 @@
+"""End-to-end parity gates vs the float64 CPU oracle (SURVEY.md §4.1).
+
+The graded gate (BASELINE.json): PSNR delta vs the CPU reference <= 0.1 dB
+on the denoise configs. Projection/affine filters carry the documented
+looser tolerance (see ops/nystrom.py precision caveat).
+"""
+
+import numpy as np
+import pytest
+
+from graphlap_tpu import (
+    add_gaussian_noise,
+    filter_image,
+    filter_image_staged,
+    make_test_image,
+    psnr,
+)
+from graphlap_tpu.config import CONFIG1, CONFIG2, PipelineConfig
+
+from .oracle import oracle_filter_image
+
+
+@pytest.fixture(scope="module")
+def gate128():
+    img = make_test_image(128, 128)
+    noisy = np.clip(add_gaussian_noise(img, 0.1, seed=1), 0, 1)
+    return img, noisy
+
+
+@pytest.fixture(scope="module")
+def img96():
+    img = make_test_image(96, 96)
+    noisy = np.clip(add_gaussian_noise(img, 0.1, seed=2), 0, 1)
+    return img, noisy
+
+
+def test_config1_psnr_gate(gate128):
+    """BASELINE config 1: 128x128 gray + noise, Gaussian kernel, 1% sample."""
+    img, noisy = gate128
+    res = filter_image(noisy, CONFIG1)
+    orc, _ = oracle_filter_image(noisy, CONFIG1)
+    delta = abs(psnr(img, res.image) - psnr(img, orc))
+    assert delta <= 0.1, f"PSNR delta {delta:.4f} dB > 0.1 dB gate"
+
+
+def test_config2_nlm_psnr_gate(img96):
+    """BASELINE config 2 shape (NLM 5x5 + Sinkhorn) at oracle-feasible size."""
+    img, noisy = img96
+    res = filter_image(noisy, CONFIG2)
+    orc, _ = oracle_filter_image(noisy, CONFIG2)
+    delta = abs(psnr(img, res.image) - psnr(img, orc))
+    assert delta <= 0.1, f"PSNR delta {delta:.4f} dB > 0.1 dB gate"
+    # and it actually denoises
+    assert psnr(img, res.image) > psnr(img, noisy) + 0.5
+
+
+@pytest.mark.parametrize("name,param", [("power", 2.0), ("exp_decay", 3.0)])
+def test_denoise_family_parity(img96, name, param):
+    img, noisy = img96
+    cfg = CONFIG2.replace(filter_name=name, filter_param=param)
+    res = filter_image(noisy, cfg)
+    orc, _ = oracle_filter_image(noisy, cfg)
+    delta = abs(psnr(img, res.image) - psnr(img, orc))
+    assert delta <= 0.1
+
+
+@pytest.mark.parametrize("name,param", [("sharpen", 0.6), ("lowpass", 0.0)])
+def test_projection_family_agreement(img96, name, param):
+    """Tail-weighting filters agree with the oracle to >= 60 dB once GEMMs
+    run at true f32 (the package pins jax_default_matmul_precision)."""
+    img, noisy = img96
+    cfg = CONFIG2.replace(filter_name=name, filter_param=param)
+    res = filter_image(noisy, cfg)
+    orc, _ = oracle_filter_image(noisy, cfg)
+    assert psnr(orc, res.image) >= 60.0
+
+
+def test_rgb_per_channel(img96):
+    """BASELINE config 3 shape: RGB processed per channel via vmap."""
+    img = make_test_image(48, 48, channels=3, seed=7)
+    noisy = np.clip(add_gaussian_noise(img, 0.1, seed=8), 0, 1)
+    cfg = PipelineConfig(kernel="gaussian", h=0.3, sample_rho=0.02,
+                         num_eigvecs=30)
+    res = filter_image(noisy, cfg)
+    assert res.image.shape == img.shape
+    orc, _ = oracle_filter_image(noisy, cfg)
+    delta = abs(psnr(img, res.image) - psnr(img, orc))
+    assert delta <= 0.1
+    # channels independent: channel 0 result equals a grayscale run on it
+    res0 = filter_image(noisy[..., 0], cfg)
+    np.testing.assert_allclose(res.image[..., 0], res0.image, atol=1e-5)
+
+
+def test_sharpen_visual_behavior():
+    """Sharpening increases local contrast (config 3 behavior check)."""
+    img = make_test_image(64, 64, seed=9)
+    cfg = PipelineConfig(kernel="nlm", h=0.25, sample_rho=0.03,
+                         num_eigvecs=40, filter_name="sharpen",
+                         filter_param=0.8)
+    res = filter_image(img, cfg)
+    def grad_energy(x):
+        return float(np.mean(np.diff(x, axis=0) ** 2) + np.mean(np.diff(x, axis=1) ** 2))
+    assert grad_energy(res.image) > grad_energy(img) * 1.01
+
+
+def test_staged_matches_fused(img96):
+    img, noisy = img96
+    cfg = CONFIG1.replace(sample_rho=0.02)
+    fused = filter_image(noisy, cfg)
+    staged = filter_image_staged(noisy, cfg)
+    np.testing.assert_allclose(staged.image, fused.image, atol=1e-5)
+    assert set(staged.timings) == {"affinity", "normalize", "eigensolve", "filter"}
+    assert all(t >= 0 for t in staged.timings.values())
+
+
+def test_output_range_and_shape(gate128):
+    _, noisy = gate128
+    res = filter_image(noisy, CONFIG1)
+    assert res.image.shape == noisy.shape
+    assert res.image.min() >= 0.0 and res.image.max() <= 1.0
+    assert res.eigvals.shape == (CONFIG1.num_eigvecs,)
+
+
+def test_golden_regression(gate128):
+    """Frozen scalar fingerprints at fixed seed catch silent regressions
+    (SURVEY.md §4.5 golden-image role, without binary fixtures)."""
+    img, noisy = gate128
+    res = filter_image(noisy, CONFIG1)
+    out_psnr = psnr(img, res.image)
+    # frozen from the first verified run (oracle-parity-checked); loose
+    # enough for backend/XLA-version drift, tight enough to catch bugs
+    assert abs(out_psnr - 20.30) < 0.2, out_psnr
+    assert abs(float(res.eigvals[0]) - 1.0) < 5e-3

@@ -1,0 +1,56 @@
+"""Multi-device tests on 8 fake CPU devices (SURVEY.md §4.3).
+
+Asserts sharded output == single-device output (allclose at f32) — the
+fake-backend answer to testing multi-node behavior without a cluster.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from graphlap_tpu import add_gaussian_noise, filter_image, make_test_image
+from graphlap_tpu.config import PipelineConfig
+from graphlap_tpu.models.pipeline import make_plan
+from graphlap_tpu.parallel.mesh import make_mesh
+from graphlap_tpu.parallel.sharded import filter_frames_sharded
+
+CFG = PipelineConfig(kernel="nlm", h=0.25, sample_rho=0.02, num_eigvecs=24)
+
+
+@pytest.fixture(scope="module")
+def frames():
+    imgs = [make_test_image(32, 32, seed=s) for s in range(2)]
+    noisy = [np.clip(add_gaussian_noise(im, 0.1, seed=s), 0, 1)
+             for s, im in enumerate(imgs)]
+    return np.stack(noisy)
+
+
+def test_eight_fake_devices_present():
+    assert len(jax.devices()) == 8
+
+
+def test_rows_sharded_matches_single_device(frames):
+    plan = make_plan(frames[0], CFG)
+    mesh = make_mesh(n_rows=4, n_data=2)
+    z, vals = filter_frames_sharded(frames, CFG, plan, mesh)
+    assert z.shape == frames.shape
+    for i in range(frames.shape[0]):
+        ref = filter_image(frames[i], CFG, plan=plan)
+        np.testing.assert_allclose(z[i], ref.image, atol=2e-4)
+        np.testing.assert_allclose(vals[i], ref.eigvals, atol=2e-4)
+
+
+def test_pure_row_mesh(frames):
+    plan = make_plan(frames[0], CFG)
+    mesh = make_mesh(n_rows=8, n_data=1)
+    z, _ = filter_frames_sharded(frames, CFG, plan, mesh)
+    ref = filter_image(frames[0], CFG, plan=plan)
+    np.testing.assert_allclose(z[0], ref.image, atol=2e-4)
+
+
+def test_output_is_committed_across_meshes(frames):
+    """Same math on two different mesh shapes -> same pixels."""
+    plan = make_plan(frames[0], CFG)
+    z1, _ = filter_frames_sharded(frames, CFG, plan, make_mesh(8, 1))
+    z2, _ = filter_frames_sharded(frames, CFG, plan, make_mesh(4, 2))
+    np.testing.assert_allclose(z1, z2, atol=2e-4)
