@@ -1,0 +1,112 @@
+"""Driver benchmark: BASELINE config 2 on the real TPU.
+
+512x512 grayscale, NLM 5x5 patch affinity + Sinkhorn, 2% Nystrom sample
+(p = 5243), 50 eigenpairs, denoising filter f(lambda) = lambda
+(BASELINE.md row 2 — the first config that makes the K strip big enough
+to matter: ~5.4 GB f32).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+value = end-to-end megapixels/second on the TPU (host->device->host,
+steady state). vs_baseline = speedup over the same pipeline on the CPU
+backend (the reference implementation is CPU-only; the measured CPU
+number is cached in benchmarks/results/cpu_baseline.json — delete the
+file to re-measure).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from pathlib import Path
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      str(Path(__file__).parent / ".jax_cache"))
+
+import numpy as np
+
+BASELINE_CACHE = Path(__file__).parent / "benchmarks" / "results" / "cpu_baseline.json"
+
+H = W = 512
+MEGAPIXELS = H * W / 1e6
+RUNS = 3
+
+
+def make_workload():
+    import graphlap_tpu as gl
+
+    cfg = gl.CONFIG2  # NLM 5x5, 2% sample, sinkhorn, identity filter, m=50
+    img = gl.make_test_image(H, W)
+    noisy = np.clip(gl.add_gaussian_noise(img, 0.1, seed=1), 0, 1)
+    return gl, cfg, img, noisy
+
+
+def timed_run(gl, cfg, noisy, n_runs=RUNS):
+    from graphlap_tpu.models.pipeline import make_plan
+
+    plan = make_plan(noisy, cfg)
+    gl.filter_image(noisy, cfg, plan=plan)          # warmup + compile
+    times = []
+    for _ in range(n_runs):
+        t0 = time.perf_counter()
+        res = gl.filter_image(noisy, cfg, plan=plan)
+        times.append(time.perf_counter() - t0)
+    return min(times), res
+
+
+def cpu_baseline_mps(force=False):
+    if BASELINE_CACHE.exists() and not force:
+        return json.loads(BASELINE_CACHE.read_text())["mp_per_s"]
+    import jax
+    jax.config.update("jax_platforms", "cpu")       # env var is ignored here
+    gl, cfg, img, noisy = make_workload()
+    wall, res = timed_run(gl, cfg, noisy, n_runs=1)
+    mps = MEGAPIXELS / wall
+    BASELINE_CACHE.parent.mkdir(parents=True, exist_ok=True)
+    BASELINE_CACHE.write_text(json.dumps({
+        "mp_per_s": mps, "wall_s": wall, "config": cfg.to_dict(),
+        "psnr_in": gl.psnr(img, noisy), "psnr_out": gl.psnr(img, res.image),
+        "note": "same pipeline on the single-core CPU backend (f32)",
+    }, indent=2))
+    return mps
+
+
+def main():
+    if os.environ.get("BENCH_CPU_BASELINE"):        # helper mode for caching
+        mps = cpu_baseline_mps(force=True)
+        print(json.dumps({"cpu_mp_per_s": mps}))
+        return
+
+    cpu_mps = cpu_baseline_mps() if BASELINE_CACHE.exists() else None
+
+    gl, cfg, img, noisy = make_workload()
+    wall, res = timed_run(gl, cfg, noisy)
+    mps = MEGAPIXELS / wall
+
+    # eigensolve wall-time (graded secondary metric) from the staged path
+    staged = gl.filter_image_staged(noisy, cfg)     # warm shapes
+    staged = gl.filter_image_staged(noisy, cfg)
+
+    psnr_in = gl.psnr(img, noisy)
+    psnr_out = gl.psnr(img, res.image)
+    out = {
+        "metric": "mp_per_s_512x512_nlm5x5_sinkhorn_denoise",
+        "value": round(mps, 4),
+        "unit": "MP/s",
+        "vs_baseline": round(mps / cpu_mps, 3) if cpu_mps else None,
+        "extra": {
+            "wall_s": round(wall, 4),
+            "eigensolve_wall_s": round(staged.timings["eigensolve"], 4),
+            "stage_walls_s": {k: round(v, 4) for k, v in staged.timings.items()},
+            "psnr_noisy_db": round(psnr_in, 3),
+            "psnr_denoised_db": round(psnr_out, 3),
+            "cpu_baseline_mp_per_s": round(cpu_mps, 4) if cpu_mps else None,
+            "p_samples": cfg.num_samples(H * W),
+            "config_hash": cfg.config_hash(),
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

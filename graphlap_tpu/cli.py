@@ -1,0 +1,144 @@
+"""Command-line driver mirroring the reference's option style.
+
+TPU-native equivalent of the reference's C ``main`` + PETSc options database
+(SURVEY.md §2.2 #1, §3.1): single-dash long flags (``-f``, ``-sample``,
+``-eigvals``, ``-kernel``, ``-filter``), optional synthetic-noise
+experiment mode with PSNR reporting, and ``-log_view`` stage timings.
+
+    python -m graphlap_tpu.cli -f in.png -o out.png -kernel nlm -sample 0.02 \
+        -eigvals 50 -filter identity -noise 0.1 -log_view
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="graphlap_tpu",
+        description="TPU-native global image filtering via the graph Laplacian",
+    )
+    p.add_argument("-f", dest="input", required=True, help="input image path")
+    p.add_argument("-o", dest="output", default=None, help="output image path")
+    p.add_argument("-kernel", choices=["gaussian", "nlm"], default="gaussian")
+    p.add_argument("-h_param", type=float, default=0.15,
+                   help="photometric bandwidth h (image range [0,1])")
+    p.add_argument("-spatial_h", type=float, default=0.0,
+                   help="bilateral spatial bandwidth in px (0 = off)")
+    p.add_argument("-patch", type=int, default=5, help="NLM patch side")
+    p.add_argument("-sample", type=float, default=0.01,
+                   help="Nystrom sample fraction of pixels")
+    p.add_argument("-sample_cap", type=int, default=8192,
+                   help="hard cap on sample count p")
+    p.add_argument("-eigvals", type=int, default=50,
+                   help="number of eigenpairs m")
+    p.add_argument("-filter", dest="filter_name", default="identity",
+                   choices=["identity", "power", "lowpass", "sharpen",
+                            "exp_decay"])
+    p.add_argument("-filter_param", type=float, default=1.0,
+                   help="k for power, beta for sharpen, tau for exp_decay")
+    p.add_argument("-normalization", default="sinkhorn",
+                   choices=["sinkhorn", "symmetric", "none"])
+    p.add_argument("-sinkhorn_iters", type=int, default=20)
+    p.add_argument("-noise", type=float, default=0.0,
+                   help="experiment mode: add Gaussian noise of this std "
+                        "before filtering and report PSNR vs the clean input")
+    p.add_argument("-seed", type=int, default=0, help="noise seed")
+    p.add_argument("-grayscale", action="store_true",
+                   help="convert input to grayscale")
+    p.add_argument("-bf16", action="store_true",
+                   help="bfloat16 affinity GEMMs (faster, small PSNR cost)")
+    p.add_argument("-save_basis", default=None,
+                   help="write the eigenbasis to this .npz for filter replay")
+    p.add_argument("-log_view", action="store_true",
+                   help="print per-stage wall-clock timings (PETSc-style)")
+    p.add_argument("-trace_dir", default=None,
+                   help="write a jax.profiler trace to this directory")
+    p.add_argument("-json_log", default=None,
+                   help="append a structured JSON run record to this file")
+    p.add_argument("-cpu", action="store_true",
+                   help="force the CPU backend")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    import graphlap_tpu as gl
+    from graphlap_tpu.models.pipeline import make_plan
+    from graphlap_tpu.utils.timing import log_run, maybe_profile
+
+    cfg = gl.PipelineConfig(
+        kernel=args.kernel, h=args.h_param, spatial_h=args.spatial_h,
+        patch_size=args.patch, sample_rho=args.sample,
+        sample_cap=args.sample_cap, num_eigvecs=args.eigvals,
+        normalization=args.normalization, sinkhorn_iters=args.sinkhorn_iters,
+        filter_name=args.filter_name, filter_param=args.filter_param,
+        affinity_dtype="bfloat16" if args.bf16 else "float32",
+    )
+
+    clean = gl.load_image(args.input, grayscale=args.grayscale)
+    image = clean
+    if args.noise > 0:
+        image = np.clip(gl.add_gaussian_noise(clean, args.noise, args.seed), 0, 1)
+
+    plan = make_plan(image, cfg)
+    n = plan.n
+    print(f"image {image.shape}  N={n}  p={plan.p}  m={cfg.num_eigvecs}  "
+          f"kernel={cfg.kernel}  filter={cfg.filter_name}  "
+          f"config={cfg.config_hash()}")
+
+    with maybe_profile(args.trace_dir):
+        res = gl.filter_image_staged(image, cfg, plan=plan)
+
+    record = {
+        "input": args.input, "shape": list(image.shape),
+        "p": plan.p, "config": cfg.to_dict(),
+        "config_hash": cfg.config_hash(),
+        "timings_s": res.timings,
+        "mp_per_s": (n / 1e6) / max(sum(res.timings.values()), 1e-9),
+    }
+
+    if args.noise > 0:
+        record["psnr_noisy_db"] = gl.psnr(clean, image)
+        record["psnr_filtered_db"] = gl.psnr(clean, res.image)
+        record["ssim_filtered"] = gl.ssim(clean, res.image)
+        print(f"PSNR noisy {record['psnr_noisy_db']:.3f} dB -> "
+              f"filtered {record['psnr_filtered_db']:.3f} dB  "
+              f"(SSIM {record['ssim_filtered']:.4f})")
+
+    if args.log_view:
+        total = sum(res.timings.values())
+        print(f"{'stage':<12}{'seconds':>10}{'share':>8}")
+        for k, v in res.timings.items():
+            print(f"{k:<12}{v:10.4f}{v / max(total, 1e-12):8.1%}")
+        print(f"{'total':<12}{total:10.4f}  ({record['mp_per_s']:.3f} MP/s, "
+              f"first call includes compile)")
+
+    if args.save_basis:
+        from graphlap_tpu.utils.checkpoint import save_basis
+        from graphlap_tpu.models.pipeline import compute_basis
+        vals, vecs = compute_basis(image, cfg, plan)
+        save_basis(args.save_basis, vals, vecs, plan, cfg)
+        print(f"eigenbasis saved to {args.save_basis}")
+
+    if args.output:
+        gl.save_image(args.output, res.image)
+        print(f"wrote {args.output}")
+
+    if args.json_log:
+        log_run(record, args.json_log)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

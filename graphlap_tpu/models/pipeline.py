@@ -47,6 +47,9 @@ class FilterResult(NamedTuple):
 def _filter_channel(img2d: jnp.ndarray, idx_a: jnp.ndarray, perm: jnp.ndarray,
                     inv_perm: jnp.ndarray, cfg: PipelineConfig):
     """One grayscale channel through the full pipeline. Returns (z2d, vals)."""
+    if cfg.streaming:
+        from .streaming import filter_channel_streaming
+        return filter_channel_streaming(img2d, idx_a, perm, inv_perm, cfg)
     kaa, kab = affinity_blocks(img2d, idx_a, perm, cfg)
     waa, wab, _, _ = normalize_blocks(
         kaa, kab, cfg.normalization, cfg.sinkhorn_iters, cfg.eig_tol)
@@ -120,6 +123,32 @@ def _stage_filter(img2d, vals, vecs, perm, inv_perm, cfg: PipelineConfig):
     z_perm = apply_spectral_filter(y_perm, vals, vecs,
                                    cfg.filter_name, cfg.filter_param)
     return jnp.clip(jnp.take(z_perm, inv_perm).reshape(img2d.shape), 0.0, 1.0)
+
+
+def compute_basis(image: np.ndarray, cfg: PipelineConfig,
+                  plan: SamplePlan | None = None):
+    """Eigenbasis only (no filter): (vals, vecs) as numpy, for checkpointing.
+
+    Shapes: gray -> ((m,), (N, m)); multi-channel -> ((C, m), (C, N, m)).
+    Rows of vecs are in permuted [A; B] order (utils/checkpoint.py replays).
+    """
+    image = np.asarray(image)
+    if plan is None:
+        plan = make_plan(image, cfg)
+    idx_a = jnp.asarray(plan.idx_a)
+    perm = jnp.asarray(plan.perm)
+
+    def one(ch):
+        img2d = jnp.asarray(ch, jnp.float32)
+        kaa, kab = _stage_affinity(img2d, idx_a, perm, cfg)
+        waa, wab = _stage_normalize(kaa, kab, cfg)
+        basis = _stage_eigh(waa, wab, cfg)
+        return np.asarray(basis.vals), np.asarray(basis.vecs)
+
+    if image.ndim == 2:
+        return one(image)
+    vals, vecs = zip(*(one(image[..., c]) for c in range(image.shape[-1])))
+    return np.stack(vals), np.stack(vecs)
 
 
 def filter_image_staged(image: np.ndarray, cfg: PipelineConfig,

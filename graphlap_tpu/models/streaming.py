@@ -1,0 +1,124 @@
+"""Streaming (recompute) pipeline: big images without the (p, N) strip.
+
+TPU-native equivalent of how the reference would have to page K_AB through
+cluster memory at scale — except redesigned for HBM economics
+(SURVEY.md §5 long-context row, §7 step 5): every strip product recomputes
+K tiles from the (N, d) features inside a ``lax.scan`` (ops/streaming.py),
+trading O(Npd) recompute FLOPs for O(Np) HBM, the profitable direction on
+TPU whenever d << p. Peak memory: O(N d + p^2 + N) — an 8 MP NLM image
+needs ~1 GB instead of ~250 GB.
+
+Produces the same math as models/pipeline.py (same eigensolve on the same
+scaled blocks); tests assert allclose between the two paths.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import PipelineConfig
+from ..ops import streaming as st
+from ..ops.affinity import affinity_strip, extract_features
+from ..ops.filters import FILTER_REGISTRY
+from ..ops.linalg import psd_pinv, psd_pinv_sqrt, trunc_inv_sqrt_vals
+from ..ops.nystrom import _LIVE_NORM2
+
+_EPS = 1e-30
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def filter_channel_streaming(img2d: jnp.ndarray, idx_a: jnp.ndarray,
+                             perm: jnp.ndarray, inv_perm: jnp.ndarray,
+                             cfg: PipelineConfig):
+    """One grayscale channel, strip-free. Returns (z2d, vals)."""
+    h, w = img2d.shape
+    n = h * w
+    p = idx_a.shape[0]
+    dtype = jnp.bfloat16 if cfg.affinity_dtype == "bfloat16" else jnp.float32
+    block = min(cfg.block_cols, _cdiv(n, 1))
+    n_pad = _cdiv(n, block) * block
+
+    feats = extract_features(img2d, cfg)
+    feats_perm = jnp.take(feats, perm, axis=0)
+    feats_a = feats_perm[:p]
+    d = feats.shape[1]
+    feats_pad = jnp.zeros((n_pad, d), feats.dtype).at[:n].set(feats_perm)
+
+    idx = jnp.arange(n_pad)
+    valid = (idx < n).astype(jnp.float32)
+    b_mask = valid * (idx >= p).astype(jnp.float32)   # 1 on B columns only
+    ones_p = jnp.ones(p, jnp.float32)
+
+    kaa = affinity_strip(feats_a, feats_a, dtype)     # exact (p, p)
+    kaa_pinv = psd_pinv(kaa, cfg.eig_tol)
+
+    def ktilde_apply(s):
+        """K~ [s_a; s_b] via streaming strip products."""
+        u = st.matvec(feats_a, feats_pad, s, ones_p, b_mask, block, dtype)
+        top = kaa @ s[:p] + u
+        t = s[:p] + kaa_pinv @ u
+        bottom = st.rmatvec(feats_a, feats_pad, t, ones_p, b_mask, block, dtype)
+        return jax.lax.dynamic_update_slice(bottom, top, (0,))
+
+    # --- normalization (streaming Sinkhorn / symmetric) ---
+    if cfg.normalization == "sinkhorn":
+        def body(_, s):
+            ks = jnp.maximum(ktilde_apply(s), _EPS)
+            return jnp.sqrt(s / ks) * valid
+        s = jax.lax.fori_loop(0, cfg.sinkhorn_iters, body,
+                              jnp.ones(n_pad, jnp.float32) * valid)
+    elif cfg.normalization == "symmetric":
+        ks = jnp.maximum(ktilde_apply(valid), _EPS)
+        s = jax.lax.rsqrt(ks) * valid
+    else:
+        s = valid
+    s_a = s[:p]
+    s_b_cols = s * b_mask                             # 0 on A prefix + pads
+
+    # --- Nystrom eigensolve (streaming cross) ---
+    waa = kaa * (s_a[:, None] * s_a[None, :])
+    whalf = psd_pinv_sqrt(waa, cfg.eig_tol)
+    cross = st.gram(feats_a, feats_pad, s_a, s_b_cols, block, dtype)
+    s_mat = waa + whalf @ cross @ whalf
+    s_mat = 0.5 * (s_mat + s_mat.T)
+    vals, vecs = jnp.linalg.eigh(s_mat)
+    m = cfg.num_eigvecs
+    vals_m = vals[::-1][:m]
+    basis0 = whalf @ (vecs[:, ::-1][:, :m]
+                      * trunc_inv_sqrt_vals(vals_m, cfg.eig_tol)[None, :])
+
+    v_a = waa @ basis0                                # (p, m)
+    y = img2d.astype(jnp.float32).ravel()
+    y_perm = jnp.take(y, perm)
+    y_pad = jnp.zeros(n_pad, jnp.float32).at[:n].set(y_perm)
+
+    norms_b, coeffs_b = st.rmatmat_colstats(
+        feats_a, feats_pad, basis0, y_pad, s_a, s_b_cols, block, dtype)
+    dnorm = jnp.sum(v_a * v_a, axis=0) + norms_b
+    live = dnorm > _LIVE_NORM2
+    scale = jnp.where(live, 1.0 / jnp.sqrt(jnp.where(live, dnorm, 1.0)), 0.0)
+
+    coeffs = scale * (v_a.T @ y_pad[:p] + coeffs_b)   # vecs^T y, (m,)
+
+    # --- spectral filter, applied through the factor (no N x m array) ---
+    filt = FILTER_REGISTRY[cfg.filter_name]
+    fvals = filt.fn(vals_m, cfg.filter_param)
+    g = (fvals - 1.0) if filt.affine else fvals
+    wvec = scale * g * coeffs                         # (m,)
+
+    z_a = v_a @ wvec
+    z_full = st.rmat_apply(feats_a, feats_pad, basis0, wvec,
+                           s_a, s_b_cols, block, dtype)
+    z_full = jax.lax.dynamic_update_slice(z_full, z_a, (0,))
+    if filt.affine:
+        z_full = z_full + y_pad
+    z = jnp.take(z_full[:n], inv_perm).reshape(h, w)
+    return jnp.clip(z, 0.0, 1.0), vals_m

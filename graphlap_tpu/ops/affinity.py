@@ -99,18 +99,25 @@ def affinity_strip(
 
 def affinity_blocks(img: jnp.ndarray, idx_a: jnp.ndarray, perm: jnp.ndarray,
                     cfg: PipelineConfig):
-    """Full materialized path: (K_AA (p,p), K_AB (p,N-p)) for one channel."""
+    """Full materialized path: (K_AA (p,p), K_AB (p,N-p)) for one channel.
+
+    K_AA and K_AB are built as separate GEMMs rather than slicing one
+    (p, N) strip: slices copy, and at config-2 scale (5.4 GB strip) a
+    strip + two slice copies exhausts HBM (measured RESOURCE_EXHAUSTED on
+    v5 lite). This way exactly one big buffer lives.
+    """
     feats = extract_features(img, cfg)
     feats_perm = jnp.take(feats, perm, axis=0)
     p = idx_a.shape[0]
     feats_a = feats_perm[:p]
     dtype = jnp.bfloat16 if cfg.affinity_dtype == "bfloat16" else jnp.float32
+    kaa = affinity_strip(feats_a, feats_a, dtype)
     if cfg.use_pallas:
         from .pallas_affinity import affinity_strip_pallas
-        strip = affinity_strip_pallas(feats_a, feats_perm, dtype=dtype)
+        kab = affinity_strip_pallas(feats_a, feats_perm[p:], dtype=dtype)
     else:
-        strip = affinity_strip(feats_a, feats_perm, dtype=dtype)
-    return strip[:, :p], strip[:, p:]
+        kab = affinity_strip(feats_a, feats_perm[p:], dtype=dtype)
+    return kaa, kab
 
 
 # ---------------------------------------------------------------------------

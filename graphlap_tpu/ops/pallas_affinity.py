@@ -1,0 +1,96 @@
+"""Fused Pallas affinity kernel: patch-distance GEMM + exp epilogue.
+
+TPU-native equivalent of the reference's per-row kernel-evaluation loop
+(SURVEY.md §2.2 #4, §3.2) and the north-star's "fused Pallas kernels
+emitting K_AA/K_AB blocks directly in HBM". The jnp path computes the
+(p, N) distance GEMM as an XLA dot custom-call and then a SEPARATE
+elementwise kernel for ``exp(-d2)`` — one extra full HBM round trip of the
+strip (2 x 5.4 GB at config 2). Here the exp fuses into the matmul epilogue:
+each (TILE_P, TILE_N) tile does
+
+    cross = a_tile @ b_tile            (MXU, f32 accumulate)
+    d2    = |a|^2 + |b|^2 - 2 cross    (VPU, norms recomputed in-tile)
+    out   = exp(-d2)                   (VPU)
+
+and the tile is written to HBM exactly once.
+
+Layout: features are zero-padded host-side to (p_pad, D) and (D, n_pad)
+with D = 128 (one MXU contraction block; covers NLM 7x7 + bilateral).
+Zero padding is exact: pad feature columns contribute 0 to norms and dots;
+pad rows/cols are sliced away by the caller.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+D_PAD = 128      # contraction depth (feature dim padded)
+TILE_P = 128     # sample-row tile
+TILE_N = 512     # pixel-column tile
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _affinity_kernel(a_ref, b_ref, out_ref):
+    a = a_ref[:]                                   # (TILE_P, D)
+    b = b_ref[:]                                   # (D, TILE_N)
+    cross = jnp.dot(a, b, preferred_element_type=jnp.float32)
+    af = a.astype(jnp.float32)
+    bf = b.astype(jnp.float32)
+    na = jnp.sum(af * af, axis=1, keepdims=True)   # (TILE_P, 1)
+    nb = jnp.sum(bf * bf, axis=0, keepdims=True)   # (1, TILE_N)
+    d2 = jnp.maximum(na + nb - 2.0 * cross, 0.0)
+    out_ref[:] = jnp.exp(-d2)
+
+
+@functools.partial(jax.jit, static_argnames=("dtype", "interpret"))
+def affinity_strip_pallas(feats_a: jnp.ndarray, feats_all: jnp.ndarray,
+                          dtype=jnp.float32, interpret: bool | None = None):
+    """K strip (p, N) = exp(-|f_Ai - f_j|^2), fused tile emitter.
+
+    Drop-in for ops.affinity.affinity_strip. ``dtype`` controls the GEMM
+    input precision (bf16 inputs -> native MXU passes, f32 accumulate).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    p, d = feats_a.shape
+    n = feats_all.shape[0]
+    if d > D_PAD:
+        raise ValueError(f"feature dim {d} > {D_PAD}; widen D_PAD / add k-loop")
+
+    p_pad = _cdiv(p, TILE_P) * TILE_P
+    n_pad = _cdiv(n, TILE_N) * TILE_N
+
+    a = jnp.zeros((p_pad, D_PAD), dtype).at[:p, :d].set(feats_a.astype(dtype))
+    bt = jnp.zeros((D_PAD, n_pad), dtype).at[:d, :n].set(
+        feats_all.astype(dtype).T)
+
+    grid = (p_pad // TILE_P, n_pad // TILE_N)
+    out = pl.pallas_call(
+        _affinity_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE_P, D_PAD), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D_PAD, TILE_N), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE_P, TILE_N), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((p_pad, n_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * p_pad * n_pad * D_PAD,
+            bytes_accessed=(p_pad * D_PAD + D_PAD * n_pad) * a.dtype.itemsize
+            + p_pad * n_pad * 4,
+            transcendentals=p_pad * n_pad,
+        ),
+        interpret=interpret,
+    )(a, bt)
+    return out[:p, :n]

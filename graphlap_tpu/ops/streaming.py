@@ -1,0 +1,126 @@
+"""Blockwise streaming operators: the K strip is recomputed, never stored.
+
+TPU-native answer to SURVEY.md §5 "long-context" row and §7 step 5 — the
+ring-attention/flash-attention analogue for this workload. At 8 MP the
+(p, N) strip is ~250 GB: instead, every strip product is a ``lax.scan``
+over column blocks that recomputes K tiles from the (N, d) feature tensor
+(O(Npd) extra FLOPs, trivially fused by XLA into the consuming GEMM) and
+accumulates the product online. Peak memory drops to O(N d + p^2).
+
+Conventions:
+* Features arrive permuted [A; B] and zero-padded to a multiple of the
+  block size. Vectors passed in/out are full length (n_pad,); the A prefix
+  and the padding are handled by the caller via masking/slicing. Column
+  scale vectors must be 0 on padding (and on the A prefix when the product
+  is meant to touch K_AB only) — zero columns vanish exactly from sums.
+* All operators share one block kernel: K_blk = exp(-|f_Ai - f_j|^2)
+  (bandwidths folded into features, ops/affinity.py).
+
+Operators (C = virtual (p, n_pad) strip, D_r = diag(row_scale),
+D_c = diag(col_scale)):
+
+    matvec      (D_r C D_c) v          -> (p,)
+    rmatvec     (D_r C D_c)^T t        -> (n_pad,)
+    gram        (D_r C D_c)(D_r C D_c)^T -> (p, p)      [the one-shot cross]
+    rmatmat + colstats: B_cols^T y and column sq-norms of C^T G in one pass
+    rmat_apply  (D_r C D_c)^T G w      -> (n_pad,)       [extension apply]
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .affinity import affinity_strip
+
+
+def _blocks(feats_pad: jnp.ndarray, block: int):
+    n_pad, d = feats_pad.shape
+    return feats_pad.reshape(n_pad // block, block, d)
+
+
+def _kernel_blk(feats_a, fb, dtype):
+    return affinity_strip(feats_a, fb, dtype)      # (p, block)
+
+
+def matvec(feats_a, feats_pad, v, row_scale, col_scale, block, dtype):
+    """(D_r C D_c) v, scanning column blocks."""
+    fb = _blocks(feats_pad, block)
+    vb = (v * col_scale).reshape(fb.shape[0], block)
+
+    def body(acc, xs):
+        f, w = xs
+        kb = _kernel_blk(feats_a, f, dtype)
+        return acc + kb @ w, None
+
+    acc0 = jnp.zeros(feats_a.shape[0], jnp.float32)
+    acc, _ = jax.lax.scan(body, acc0, (fb, vb))
+    return acc * row_scale
+
+
+def rmatvec(feats_a, feats_pad, t, row_scale, col_scale, block, dtype):
+    """(D_r C D_c)^T t -> (n_pad,)."""
+    fb = _blocks(feats_pad, block)
+    tr = t * row_scale
+
+    def body(_, f):
+        kb = _kernel_blk(feats_a, f, dtype)
+        return None, kb.T @ tr
+
+    _, out = jax.lax.scan(body, None, fb)
+    return out.reshape(-1) * col_scale
+
+
+def gram(feats_a, feats_pad, row_scale, col_scale, block, dtype):
+    """(D_r C D_c)(D_r C D_c)^T -> (p, p): the O(N p^2) one-shot cross."""
+    fb = _blocks(feats_pad, block)
+    cs = col_scale.reshape(fb.shape[0], block)
+
+    def body(acc, xs):
+        f, c = xs
+        kb = _kernel_blk(feats_a, f, dtype) * c[None, :]
+        return acc + jnp.dot(kb, kb.T, preferred_element_type=jnp.float32), None
+
+    p = feats_a.shape[0]
+    acc, _ = jax.lax.scan(body, jnp.zeros((p, p), jnp.float32), (fb, cs))
+    return acc * (row_scale[:, None] * row_scale[None, :])
+
+
+def rmatmat_colstats(feats_a, feats_pad, g, y, row_scale, col_scale, block,
+                     dtype):
+    """One pass over V_blk = (D_r C D_c)^T G (n_pad, m), returning
+    (column sq-norms (m,), V^T y (m,)) without materializing V."""
+    fb = _blocks(feats_pad, block)
+    cs = col_scale.reshape(fb.shape[0], block)
+    yb = y.reshape(fb.shape[0], block)
+    gr = g * row_scale[:, None]                    # fold row scale into G
+
+    def body(carry, xs):
+        norms, coeffs = carry
+        f, c, yv = xs
+        kb = _kernel_blk(feats_a, f, dtype) * c[None, :]   # (p, blk)
+        vb = kb.T @ gr                                     # (blk, m)
+        return (norms + jnp.sum(vb * vb, axis=0),
+                coeffs + vb.T @ yv), None
+
+    m = g.shape[1]
+    carry0 = (jnp.zeros(m, jnp.float32), jnp.zeros(m, jnp.float32))
+    (norms, coeffs), _ = jax.lax.scan(body, carry0, (fb, cs, yb))
+    return norms, coeffs
+
+
+def rmat_apply(feats_a, feats_pad, g, w, row_scale, col_scale, block, dtype):
+    """(D_r C D_c)^T (G w) -> (n_pad,): the streaming extension apply."""
+    gw = (g @ w) * row_scale                       # (p,)
+
+    def body(_, xs):
+        f, c = xs
+        kb = _kernel_blk(feats_a, f, dtype)
+        return None, (kb.T @ gw) * c
+
+    fb = _blocks(feats_pad, block)
+    cs = col_scale.reshape(fb.shape[0], block)
+    _, out = jax.lax.scan(body, None, (fb, cs))
+    return out.reshape(-1)

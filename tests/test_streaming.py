@@ -1,0 +1,54 @@
+"""Streaming (recompute) path == materialized path (SURVEY.md §7 step 5)."""
+
+import numpy as np
+import pytest
+
+from graphlap_tpu import add_gaussian_noise, filter_image, make_test_image
+from graphlap_tpu.config import PipelineConfig
+from graphlap_tpu.models.pipeline import make_plan
+
+
+@pytest.fixture(scope="module")
+def noisy():
+    img = make_test_image(64, 64, seed=11)
+    return np.clip(add_gaussian_noise(img, 0.1, seed=11), 0, 1)
+
+
+@pytest.mark.parametrize("filter_name,param,norm", [
+    ("identity", 0.0, "sinkhorn"),
+    ("sharpen", 0.6, "sinkhorn"),
+    ("power", 2.0, "symmetric"),
+    ("identity", 0.0, "none"),
+])
+def test_streaming_matches_materialized(noisy, filter_name, param, norm):
+    base = PipelineConfig(kernel="nlm", h=0.25, sample_rho=0.03,
+                          num_eigvecs=24, filter_name=filter_name,
+                          filter_param=param, normalization=norm,
+                          sinkhorn_iters=10)
+    plan = make_plan(noisy, base)
+    dense = filter_image(noisy, base, plan=plan)
+    # block smaller than N and NOT dividing it (4096 pixels, block 640)
+    stream = filter_image(noisy, base.replace(streaming=True, block_cols=640),
+                          plan=plan)
+    np.testing.assert_allclose(stream.image, dense.image, atol=3e-4)
+    np.testing.assert_allclose(stream.eigvals, dense.eigvals, atol=3e-4)
+
+
+def test_streaming_single_block(noisy):
+    """block >= N degenerates to one scan step, still identical."""
+    cfg = PipelineConfig(kernel="gaussian", h=0.3, sample_rho=0.03,
+                         num_eigvecs=16)
+    plan = make_plan(noisy, cfg)
+    dense = filter_image(noisy, cfg, plan=plan)
+    stream = filter_image(noisy, cfg.replace(streaming=True, block_cols=8192),
+                          plan=plan)
+    np.testing.assert_allclose(stream.image, dense.image, atol=3e-4)
+
+
+def test_streaming_rgb(noisy):
+    img = make_test_image(32, 32, channels=3, seed=12)
+    cfg = PipelineConfig(kernel="nlm", h=0.25, sample_rho=0.05,
+                         num_eigvecs=16, streaming=True, block_cols=256)
+    res = filter_image(img, cfg)
+    dense = filter_image(img, cfg.replace(streaming=False))
+    np.testing.assert_allclose(res.image, dense.image, atol=3e-4)
