@@ -32,10 +32,13 @@ MEGAPIXELS = H * W / 1e6
 RUNS = 3
 
 
-def make_workload():
+def make_workload(pallas: bool):
     import graphlap_tpu as gl
 
     cfg = gl.CONFIG2  # NLM 5x5, 2% sample, sinkhorn, identity filter, m=50
+    # TPU: the fused Pallas affinity emitter (single strip buffer in HBM).
+    # CPU baseline: plain jnp (pallas interpret mode would be unfairly slow).
+    cfg = cfg.replace(use_pallas=pallas)
     img = gl.make_test_image(H, W)
     noisy = np.clip(gl.add_gaussian_noise(img, 0.1, seed=1), 0, 1)
     return gl, cfg, img, noisy
@@ -59,7 +62,7 @@ def cpu_baseline_mps(force=False):
         return json.loads(BASELINE_CACHE.read_text())["mp_per_s"]
     import jax
     jax.config.update("jax_platforms", "cpu")       # env var is ignored here
-    gl, cfg, img, noisy = make_workload()
+    gl, cfg, img, noisy = make_workload(pallas=False)
     wall, res = timed_run(gl, cfg, noisy, n_runs=1)
     mps = MEGAPIXELS / wall
     BASELINE_CACHE.parent.mkdir(parents=True, exist_ok=True)
@@ -79,7 +82,7 @@ def main():
 
     cpu_mps = cpu_baseline_mps() if BASELINE_CACHE.exists() else None
 
-    gl, cfg, img, noisy = make_workload()
+    gl, cfg, img, noisy = make_workload(pallas=True)
     wall, res = timed_run(gl, cfg, noisy)
     mps = MEGAPIXELS / wall
 

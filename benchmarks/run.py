@@ -1,0 +1,126 @@
+"""Benchmark harness: the BASELINE.md target matrix as reproducible rows.
+
+Runs the graded configs that fit the available hardware and appends one
+JSON row each to benchmarks/results/matrix.jsonl (SURVEY.md §5
+observability, §6 table). Usage:
+
+    python benchmarks/run.py               # all rows that fit this host
+    python benchmarks/run.py 1 2           # specific rows
+    python benchmarks/run.py --cpu         # force CPU backend (debug)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      str(Path(__file__).parent.parent / ".jax_cache"))
+
+import numpy as np
+
+RESULTS = Path(__file__).parent / "results" / "matrix.jsonl"
+
+
+def row1():
+    """128x128 gray + noise, Gaussian kernel, 1% sample, 50 eigenpairs."""
+    import graphlap_tpu as gl
+    img = gl.make_test_image(128, 128)
+    noisy = np.clip(gl.add_gaussian_noise(img, 0.1, seed=1), 0, 1)
+    return "cfg1_128_gaussian", gl.CONFIG1, img, noisy
+
+
+def row2():
+    """512x512 gray, NLM 5x5 + Sinkhorn, 2% sample (p=5243)."""
+    import graphlap_tpu as gl
+    img = gl.make_test_image(512, 512)
+    noisy = np.clip(gl.add_gaussian_noise(img, 0.1, seed=1), 0, 1)
+    return "cfg2_512_nlm", gl.CONFIG2.replace(use_pallas=True), img, noisy
+
+
+def row3():
+    """1024x1024 RGB per-channel, sharpening filter."""
+    import graphlap_tpu as gl
+    img = gl.make_test_image(1024, 1024, channels=3)
+    cfg = gl.CONFIG3.replace(use_pallas=True)
+    return "cfg3_1024_rgb_sharpen", cfg, img, img  # no noise: enhancement run
+
+
+def row4():
+    """8 MP (4096x2048) gray, streaming recompute path, bf16 strip."""
+    import graphlap_tpu as gl
+    img = gl.make_test_image(2048, 4096)
+    noisy = np.clip(gl.add_gaussian_noise(img, 0.1, seed=1), 0, 1)
+    cfg = gl.PipelineConfig(
+        kernel="nlm", h=0.25, sample_rho=0.01, sample_cap=4096,
+        num_eigvecs=50, sinkhorn_iters=20, filter_name="identity",
+        streaming=True, block_cols=131072, affinity_dtype="bfloat16")
+    return "cfg4_8mp_streaming", cfg, img, noisy
+
+
+ROWS = {"1": row1, "2": row2, "3": row3, "4": row4}
+
+
+def run_row(name, cfg, clean, image):
+    import jax
+    import graphlap_tpu as gl
+    from graphlap_tpu.models.pipeline import make_plan
+
+    plan = make_plan(image, cfg)
+    n = plan.n
+    t0 = time.perf_counter()
+    gl.filter_image(image, cfg, plan=plan)            # compile + warm
+    compile_wall = time.perf_counter() - t0
+    walls = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = gl.filter_image(image, cfg, plan=plan)
+        walls.append(time.perf_counter() - t0)
+    wall = min(walls)
+    channels = 1 if image.ndim == 2 else image.shape[-1]
+    mp = n * channels / 1e6
+
+    staged_timings = None
+    if not cfg.streaming and max(image.shape[:2]) <= 1024 and image.ndim == 2:
+        s = gl.filter_image_staged(image, cfg, plan=plan)
+        s = gl.filter_image_staged(image, cfg, plan=plan)
+        staged_timings = {k: round(v, 4) for k, v in s.timings.items()}
+
+    rec = {
+        "row": name, "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+        "shape": list(image.shape), "p": plan.p, "m": cfg.num_eigvecs,
+        "config_hash": cfg.config_hash(),
+        "wall_s": round(wall, 4), "compile_s": round(compile_wall, 2),
+        "mp_per_s": round(mp / wall, 4),
+        "staged_timings_s": staged_timings,
+        "psnr_in_db": round(gl.psnr(clean, image), 3) if image is not clean else None,
+        "psnr_out_db": round(gl.psnr(clean, res.image), 3) if image is not clean else None,
+        "ts": time.time(),
+    }
+    RESULTS.parent.mkdir(parents=True, exist_ok=True)
+    with RESULTS.open("a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec))
+    return rec
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("rows", nargs="*", default=list(ROWS))
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    for r in args.rows:
+        name, cfg, clean, image = ROWS[r]()
+        run_row(name, cfg, clean, image)
+
+
+if __name__ == "__main__":
+    main()

@@ -11,7 +11,18 @@ import numpy as np
 
 
 def load_image(path: str, grayscale: bool = False) -> np.ndarray:
-    """Load an image file to float64 in [0, 1]; (H, W) gray or (H, W, 3) RGB."""
+    """Load an image file to float64 in [0, 1]; (H, W) gray or (H, W, 3) RGB.
+
+    .pgm/.ppm go through the native C codec (graphlap_tpu.native, the
+    reference's raw-format-converter role); everything else through Pillow.
+    """
+    if str(path).lower().endswith((".pgm", ".ppm")):
+        from .native import read_netpbm
+
+        arr = read_netpbm(path)
+        if grayscale and arr.ndim == 3:
+            arr = arr @ np.array([0.299, 0.587, 0.114])
+        return arr
     from PIL import Image
 
     img = Image.open(path)
@@ -24,7 +35,12 @@ def load_image(path: str, grayscale: bool = False) -> np.ndarray:
 
 
 def save_image(path: str, img: np.ndarray) -> None:
-    """Save a float [0,1] array as an 8-bit image."""
+    """Save a float [0,1] array as an 8-bit image (.pgm/.ppm via C codec)."""
+    if str(path).lower().endswith((".pgm", ".ppm")):
+        from .native import write_netpbm
+
+        write_netpbm(path, img)
+        return
     from PIL import Image
 
     arr = np.clip(np.asarray(img), 0.0, 1.0)

@@ -1,0 +1,34 @@
+"""Batch/video path tests (BASELINE config 5 shape, local mesh)."""
+
+import numpy as np
+import pytest
+
+from graphlap_tpu import add_gaussian_noise, filter_image, make_test_image
+from graphlap_tpu.config import PipelineConfig
+from graphlap_tpu.models.pipeline import make_plan
+from graphlap_tpu.models.video import filter_video
+from graphlap_tpu.parallel.mesh import make_mesh
+
+CFG = PipelineConfig(kernel="nlm", h=0.25, sample_rho=0.03, num_eigvecs=16,
+                     sinkhorn_iters=10)
+
+
+def test_video_batch_matches_per_frame():
+    frames = np.stack([
+        np.clip(add_gaussian_noise(make_test_image(32, 32, seed=s), 0.1, seed=s), 0, 1)
+        for s in range(5)
+    ])
+    plan = make_plan(frames[0], CFG)
+    mesh = make_mesh(n_rows=4, n_data=2)
+    out, vals = filter_video(frames, CFG, mesh=mesh, plan=plan,
+                             frames_per_step=4)   # forces 2 chunks + padding
+    assert out.shape == frames.shape
+    assert vals.shape == (5, CFG.num_eigvecs)
+    for i in range(5):
+        ref = filter_image(frames[i], CFG, plan=plan)
+        np.testing.assert_allclose(out[i], ref.image, atol=2e-4)
+
+
+def test_video_rejects_bad_shape():
+    with pytest.raises(ValueError):
+        filter_video(np.zeros((8, 8)), CFG)
