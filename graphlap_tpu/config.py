@@ -18,6 +18,7 @@ from dataclasses import dataclass
 KERNELS = ("gaussian", "nlm")
 NORMALIZATIONS = ("sinkhorn", "symmetric", "none")
 FILTERS = ("identity", "power", "lowpass", "sharpen", "exp_decay")
+SOLVERS = ("oneshot", "chol", "lobpcg")
 DTYPES = ("float32", "bfloat16")
 
 
@@ -46,7 +47,13 @@ class PipelineConfig:
 
     # --- eigensolve ---
     num_eigvecs: int = 50          # m, kept eigenpairs
-    eig_tol: float = 3e-3         # relative spectral cutoff for pseudo-inverses
+    eig_tol: float = 3e-3         # relative spectral cutoff / ridge scale
+    solver: str = "chol"           # "chol" (1x eigh + Cholesky ridge: TPU-fast,
+                                   #   backward-stable, exactly orthonormal V) |
+                                   # "lobpcg" (chol + top-m iterative solve:
+                                   #   O(p^2 m) — fastest at large p) |
+                                   # "oneshot" (classical Fowlkes one-shot:
+                                   #   3x eigh, truncated pinv)
 
     # --- spectral filter ---
     filter_name: str = "identity"  # see ops/filters.py registry
@@ -69,6 +76,8 @@ class PipelineConfig:
             raise ValueError(f"filter_name must be one of {FILTERS}, got {self.filter_name!r}")
         if self.affinity_dtype not in DTYPES:
             raise ValueError(f"affinity_dtype must be one of {DTYPES}")
+        if self.solver not in SOLVERS:
+            raise ValueError(f"solver must be one of {SOLVERS}, got {self.solver!r}")
         if self.patch_size % 2 != 1:
             raise ValueError("patch_size must be odd")
         if not (0.0 < self.sample_rho <= 1.0):

@@ -29,7 +29,7 @@ from ..config import PipelineConfig
 from ..utils.sampling import SamplePlan, uniform_grid_sample
 from ..ops.affinity import affinity_blocks
 from ..ops.sinkhorn import normalize_blocks
-from ..ops.nystrom import nystrom_eigh
+from ..ops.nystrom import nystrom_eigh, nystrom_eigh_chol
 from ..ops.filters import apply_spectral_filter
 
 
@@ -52,8 +52,14 @@ def _filter_channel(img2d: jnp.ndarray, idx_a: jnp.ndarray, perm: jnp.ndarray,
         return filter_channel_streaming(img2d, idx_a, perm, inv_perm, cfg)
     kaa, kab = affinity_blocks(img2d, idx_a, perm, cfg)
     waa, wab, _, _ = normalize_blocks(
-        kaa, kab, cfg.normalization, cfg.sinkhorn_iters, cfg.eig_tol)
-    basis = nystrom_eigh(waa, wab, cfg.num_eigvecs, cfg.eig_tol)
+        kaa, kab, cfg.normalization, cfg.sinkhorn_iters, cfg.eig_tol,
+        cfg.solver)
+    if cfg.solver in ("chol", "lobpcg"):
+        method = "lobpcg" if cfg.solver == "lobpcg" else "eigh"
+        basis = nystrom_eigh_chol(waa, wab, cfg.num_eigvecs, cfg.eig_tol,
+                                  method)
+    else:
+        basis = nystrom_eigh(waa, wab, cfg.num_eigvecs, cfg.eig_tol)
     y_perm = jnp.take(img2d.astype(jnp.float32).ravel(), perm)
     z_perm = apply_spectral_filter(
         y_perm, basis.vals, basis.vecs, cfg.filter_name, cfg.filter_param)
@@ -108,12 +114,17 @@ def _stage_affinity(img2d, idx_a, perm, cfg: PipelineConfig):
 @partial(jax.jit, static_argnames=("cfg",))
 def _stage_normalize(kaa, kab, cfg: PipelineConfig):
     waa, wab, _, _ = normalize_blocks(
-        kaa, kab, cfg.normalization, cfg.sinkhorn_iters, cfg.eig_tol)
+        kaa, kab, cfg.normalization, cfg.sinkhorn_iters, cfg.eig_tol,
+        cfg.solver)
     return waa, wab
 
 
 @partial(jax.jit, static_argnames=("cfg",))
 def _stage_eigh(waa, wab, cfg: PipelineConfig):
+    if cfg.solver in ("chol", "lobpcg"):
+        method = "lobpcg" if cfg.solver == "lobpcg" else "eigh"
+        return nystrom_eigh_chol(waa, wab, cfg.num_eigvecs, cfg.eig_tol,
+                                 method)
     return nystrom_eigh(waa, wab, cfg.num_eigvecs, cfg.eig_tol)
 
 

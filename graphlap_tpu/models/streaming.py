@@ -24,8 +24,9 @@ from ..config import PipelineConfig
 from ..ops import streaming as st
 from ..ops.affinity import affinity_strip, extract_features
 from ..ops.filters import FILTER_REGISTRY
-from ..ops.linalg import psd_pinv, psd_pinv_sqrt, trunc_inv_sqrt_vals
-from ..ops.nystrom import _LIVE_NORM2
+from ..ops.linalg import psd_pinv_sqrt, trunc_inv_sqrt_vals
+from ..ops.nystrom import _LIVE_NORM2, nystrom_chol_factor
+from ..ops.sinkhorn import _make_kaa_solve
 
 _EPS = 1e-30
 
@@ -58,13 +59,13 @@ def filter_channel_streaming(img2d: jnp.ndarray, idx_a: jnp.ndarray,
     ones_p = jnp.ones(p, jnp.float32)
 
     kaa = affinity_strip(feats_a, feats_a, dtype)     # exact (p, p)
-    kaa_pinv = psd_pinv(kaa, cfg.eig_tol)
+    kaa_solve = _make_kaa_solve(kaa, cfg.eig_tol, cfg.solver)
 
     def ktilde_apply(s):
         """K~ [s_a; s_b] via streaming strip products."""
         u = st.matvec(feats_a, feats_pad, s, ones_p, b_mask, block, dtype)
         top = kaa @ s[:p] + u
-        t = s[:p] + kaa_pinv @ u
+        t = s[:p] + kaa_solve(u)
         bottom = st.rmatvec(feats_a, feats_pad, t, ones_p, b_mask, block, dtype)
         return jax.lax.dynamic_update_slice(bottom, top, (0,))
 
@@ -85,15 +86,20 @@ def filter_channel_streaming(img2d: jnp.ndarray, idx_a: jnp.ndarray,
 
     # --- Nystrom eigensolve (streaming cross) ---
     waa = kaa * (s_a[:, None] * s_a[None, :])
-    whalf = psd_pinv_sqrt(waa, cfg.eig_tol)
     cross = st.gram(feats_a, feats_pad, s_a, s_b_cols, block, dtype)
-    s_mat = waa + whalf @ cross @ whalf
-    s_mat = 0.5 * (s_mat + s_mat.T)
-    vals, vecs = jnp.linalg.eigh(s_mat)
     m = cfg.num_eigvecs
-    vals_m = vals[::-1][:m]
-    basis0 = whalf @ (vecs[:, ::-1][:, :m]
-                      * trunc_inv_sqrt_vals(vals_m, cfg.eig_tol)[None, :])
+    if cfg.solver in ("chol", "lobpcg"):
+        method = "lobpcg" if cfg.solver == "lobpcg" else "eigh"
+        vals_m, basis0 = nystrom_chol_factor(waa, cross, m, cfg.eig_tol,
+                                             method)
+    else:
+        whalf = psd_pinv_sqrt(waa, cfg.eig_tol)
+        s_mat = waa + whalf @ cross @ whalf
+        s_mat = 0.5 * (s_mat + s_mat.T)
+        vals, vecs = jnp.linalg.eigh(s_mat)
+        vals_m = vals[::-1][:m]
+        basis0 = whalf @ (vecs[:, ::-1][:, :m]
+                          * trunc_inv_sqrt_vals(vals_m, cfg.eig_tol)[None, :])
 
     v_a = waa @ basis0                                # (p, m)
     y = img2d.astype(jnp.float32).ravel()

@@ -31,27 +31,56 @@ from .linalg import psd_pinv, psd_pinv_np
 _EPS = 1e-30
 
 
-def nystrom_matvec(kaa, kab, kaa_pinv, v_a, v_b):
-    """(K~ v) for v = [v_a; v_b], via the strip only. O(Np)."""
+def _make_kaa_solve(kaa, eig_tol: float, solver: str):
+    """u -> K_AA^+ u (truncated pinv) or (K_AA + eps I)^{-1} u (ridge chol).
+
+    The chol form skips one O(p^3) eigh — the dominant TPU cost at p ~ 5k
+    (see ops/nystrom.py chol notes). eps is relative to the max row sum.
+    """
+    if solver in ("chol", "lobpcg"):
+        import jax.scipy.linalg as jsl
+        eps = eig_tol * jnp.max(jnp.sum(jnp.abs(kaa), axis=1))
+        l = jnp.linalg.cholesky(kaa + eps * jnp.eye(kaa.shape[0], dtype=kaa.dtype))
+        return lambda u: jsl.cho_solve((l, True), u)
+    pinv = psd_pinv(kaa, eig_tol)
+    return lambda u: pinv @ u
+
+
+def _make_kaa_solve_np(kaa, eig_tol: float, solver: str):
+    if solver in ("chol", "lobpcg"):
+        import scipy.linalg as sl
+        eps = eig_tol * np.max(np.sum(np.abs(kaa), axis=1))
+        cf = sl.cho_factor(kaa + eps * np.eye(kaa.shape[0]), lower=True)
+        return lambda u: sl.cho_solve(cf, u)
+    pinv = psd_pinv_np(kaa, eig_tol)
+    return lambda u: pinv @ u
+
+
+def nystrom_matvec(kaa, kab, kaa_solve, v_a, v_b):
+    """(K~ v) for v = [v_a; v_b], via the strip only. O(Np).
+
+    ``kaa_solve`` applies the (regularized) inverse of K_AA — a callable.
+    """
     u = kab @ v_b                      # (p,)
     top = kaa @ v_a + u
-    t = v_a + kaa_pinv @ u
+    t = v_a + kaa_solve(u)
     bottom = kab.T @ t                 # (N-p,)
     return top, bottom
 
 
-def sinkhorn_scaling(kaa, kab, iters: int, eig_tol: float):
+def sinkhorn_scaling(kaa, kab, iters: int, eig_tol: float,
+                     solver: str = "oneshot"):
     """Scaling vector s with diag(s) K~ diag(s) ~ doubly stochastic.
 
     Returns (s_a (p,), s_b (N-p,)).
     """
     p = kaa.shape[0]
     nb = kab.shape[1]
-    kaa_pinv = psd_pinv(kaa, eig_tol)
+    kaa_solve = _make_kaa_solve(kaa, eig_tol, solver)
 
     def body(_, s):
         s_a, s_b = s[:p], s[p:]
-        top, bottom = nystrom_matvec(kaa, kab, kaa_pinv, s_a, s_b)
+        top, bottom = nystrom_matvec(kaa, kab, kaa_solve, s_a, s_b)
         ks = jnp.concatenate([top, bottom])
         ks = jnp.maximum(ks, _EPS)     # K_BB completion can dip negative
         return jnp.sqrt(s / ks)
@@ -61,7 +90,8 @@ def sinkhorn_scaling(kaa, kab, iters: int, eig_tol: float):
     return s[:p], s[p:]
 
 
-def normalize_blocks(kaa, kab, normalization: str, iters: int, eig_tol: float):
+def normalize_blocks(kaa, kab, normalization: str, iters: int, eig_tol: float,
+                     solver: str = "oneshot"):
     """Scaled blocks (W_AA, W_AB) per the configured normalization.
 
     sinkhorn:  s from Sinkhorn balancing           (doubly stochastic)
@@ -70,12 +100,12 @@ def normalize_blocks(kaa, kab, normalization: str, iters: int, eig_tol: float):
     """
     p = kaa.shape[0]
     if normalization == "sinkhorn":
-        s_a, s_b = sinkhorn_scaling(kaa, kab, iters, eig_tol)
+        s_a, s_b = sinkhorn_scaling(kaa, kab, iters, eig_tol, solver)
     elif normalization == "symmetric":
-        kaa_pinv = psd_pinv(kaa, eig_tol)
+        kaa_solve = _make_kaa_solve(kaa, eig_tol, solver)
         ones_a = jnp.ones(p, dtype=kaa.dtype)
         ones_b = jnp.ones(kab.shape[1], dtype=kaa.dtype)
-        top, bottom = nystrom_matvec(kaa, kab, kaa_pinv, ones_a, ones_b)
+        top, bottom = nystrom_matvec(kaa, kab, kaa_solve, ones_a, ones_b)
         s_a = jax.lax.rsqrt(jnp.maximum(top, _EPS))
         s_b = jax.lax.rsqrt(jnp.maximum(bottom, _EPS))
     else:
@@ -89,32 +119,37 @@ def normalize_blocks(kaa, kab, normalization: str, iters: int, eig_tol: float):
 
 # --- numpy float64 twins for the CPU oracle ---------------------------------
 
-def nystrom_matvec_np(kaa, kab, kaa_pinv, v_a, v_b):
+def nystrom_matvec_np(kaa, kab, kaa_solve, v_a, v_b):
+    if not callable(kaa_solve):
+        pinv = kaa_solve
+        kaa_solve = lambda u: pinv @ u
     u = kab @ v_b
     top = kaa @ v_a + u
-    t = v_a + kaa_pinv @ u
+    t = v_a + kaa_solve(u)
     bottom = kab.T @ t
     return top, bottom
 
 
-def sinkhorn_scaling_np(kaa, kab, iters: int, eig_tol: float):
+def sinkhorn_scaling_np(kaa, kab, iters: int, eig_tol: float,
+                        solver: str = "oneshot"):
     p = kaa.shape[0]
-    kaa_pinv = psd_pinv_np(kaa, eig_tol)
+    kaa_solve = _make_kaa_solve_np(kaa, eig_tol, solver)
     s = np.ones(p + kab.shape[1], dtype=np.float64)
     for _ in range(iters):
-        top, bottom = nystrom_matvec_np(kaa, kab, kaa_pinv, s[:p], s[p:])
+        top, bottom = nystrom_matvec_np(kaa, kab, kaa_solve, s[:p], s[p:])
         ks = np.maximum(np.concatenate([top, bottom]), _EPS)
         s = np.sqrt(s / ks)
     return s[:p], s[p:]
 
 
-def normalize_blocks_np(kaa, kab, normalization: str, iters: int, eig_tol: float):
+def normalize_blocks_np(kaa, kab, normalization: str, iters: int,
+                        eig_tol: float, solver: str = "oneshot"):
     p = kaa.shape[0]
     if normalization == "sinkhorn":
-        s_a, s_b = sinkhorn_scaling_np(kaa, kab, iters, eig_tol)
+        s_a, s_b = sinkhorn_scaling_np(kaa, kab, iters, eig_tol, solver)
     elif normalization == "symmetric":
-        kaa_pinv = psd_pinv_np(kaa, eig_tol)
-        top, bottom = nystrom_matvec_np(kaa, kab, kaa_pinv,
+        kaa_solve = _make_kaa_solve_np(kaa, eig_tol, solver)
+        top, bottom = nystrom_matvec_np(kaa, kab, kaa_solve,
                                         np.ones(p), np.ones(kab.shape[1]))
         s_a = 1.0 / np.sqrt(np.maximum(top, _EPS))
         s_b = 1.0 / np.sqrt(np.maximum(bottom, _EPS))

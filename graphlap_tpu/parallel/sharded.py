@@ -33,7 +33,7 @@ import numpy as np
 from ..config import PipelineConfig
 from ..ops.affinity import affinity_strip, extract_features
 from ..ops.filters import apply_spectral_filter
-from ..ops.nystrom import nystrom_eigh
+from ..ops.nystrom import nystrom_eigh, nystrom_eigh_chol
 from ..ops.sinkhorn import normalize_blocks
 from ..utils.sampling import SamplePlan
 from .mesh import shard
@@ -64,14 +64,20 @@ def build_sharded_pipeline(mesh, cfg: PipelineConfig):
 
         waa, wab, _, _ = jax.vmap(
             lambda a, b_: normalize_blocks(a, b_, cfg.normalization,
-                                           cfg.sinkhorn_iters, cfg.eig_tol)
+                                           cfg.sinkhorn_iters, cfg.eig_tol,
+                                           cfg.solver)
         )(kaa, kab)
         waa = shard(waa, mesh, "data")
         wab = shard(wab, mesh, "data", None, "rows")
 
-        basis = jax.vmap(
-            lambda a, b_: nystrom_eigh(a, b_, cfg.num_eigvecs, cfg.eig_tol)
-        )(waa, wab)
+        if cfg.solver in ("chol", "lobpcg"):
+            method = "lobpcg" if cfg.solver == "lobpcg" else "eigh"
+            eig_fn = lambda a, b_: nystrom_eigh_chol(
+                a, b_, cfg.num_eigvecs, cfg.eig_tol, method)
+        else:
+            eig_fn = lambda a, b_: nystrom_eigh(
+                a, b_, cfg.num_eigvecs, cfg.eig_tol)
+        basis = jax.vmap(eig_fn)(waa, wab)
         vecs = shard(basis.vecs, mesh, "data", "rows", None)  # (B, N, m)
 
         y_perm = jnp.take(frames.reshape(b, h * w), perm, axis=1)

@@ -15,7 +15,7 @@ from graphlap_tpu.config import PipelineConfig
 from graphlap_tpu.utils.sampling import SamplePlan, uniform_grid_sample
 from graphlap_tpu.ops.affinity import extract_features_np, affinity_strip_np
 from graphlap_tpu.ops.sinkhorn import normalize_blocks_np
-from graphlap_tpu.ops.nystrom import nystrom_eigh_np
+from graphlap_tpu.ops.nystrom import nystrom_eigh_chol_np, nystrom_eigh_np
 from graphlap_tpu.ops.filters import apply_spectral_filter_np
 
 
@@ -34,8 +34,10 @@ def oracle_filter_channel(img2d: np.ndarray, plan: SamplePlan,
     """
     kaa, kab = oracle_affinity(img2d, plan, cfg)
     waa, wab, _, _ = normalize_blocks_np(
-        kaa, kab, cfg.normalization, cfg.sinkhorn_iters, cfg.eig_tol)
-    vals, vecs = nystrom_eigh_np(waa, wab, cfg.num_eigvecs, cfg.eig_tol)
+        kaa, kab, cfg.normalization, cfg.sinkhorn_iters, cfg.eig_tol,
+        cfg.solver)
+    eig_fn = nystrom_eigh_chol_np if cfg.solver == "chol" else nystrom_eigh_np
+    vals, vecs = eig_fn(waa, wab, cfg.num_eigvecs, cfg.eig_tol)
     y_perm = np.asarray(img2d, np.float64).ravel()[plan.perm]
     z_perm = apply_spectral_filter_np(y_perm, vals, vecs,
                                       cfg.filter_name, cfg.filter_param)

@@ -31,7 +31,9 @@ def test_streaming_matches_materialized(noisy, filter_name, param, norm):
     stream = filter_image(noisy, base.replace(streaming=True, block_cols=640),
                           plan=plan)
     np.testing.assert_allclose(stream.image, dense.image, atol=3e-4)
-    np.testing.assert_allclose(stream.eigvals, dense.eigvals, atol=3e-4)
+    # rtol matters: unnormalized spectra have eigenvalues O(1000)
+    np.testing.assert_allclose(stream.eigvals, dense.eigvals,
+                               rtol=1e-4, atol=3e-4)
 
 
 def test_streaming_single_block(noisy):
