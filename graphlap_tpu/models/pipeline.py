@@ -95,11 +95,27 @@ def filter_image(image: np.ndarray, cfg: PipelineConfig,
         z, vals = _filter_channel(jnp.asarray(image, jnp.float32),
                                   idx_a, perm, inv_perm, cfg)
         out = np.asarray(jax.block_until_ready(z))
-    else:
+        return FilterResult(image=out, eigvals=np.asarray(vals), timings={})
+
+    # Channels vmap in parallel only while the per-channel strip fits:
+    # C strips of p x N floats must stay under ~a third of HBM. Past that,
+    # loop channels sequentially (same compiled executable each time).
+    channels = image.shape[-1]
+    bytes_per_strip = 0 if cfg.streaming else plan.p * plan.n * 4
+    if channels * bytes_per_strip <= 4e9:
         chw = jnp.asarray(np.moveaxis(image, -1, 0), jnp.float32)
         z, vals = _filter_channels(chw, idx_a, perm, inv_perm, cfg)
         out = np.moveaxis(np.asarray(jax.block_until_ready(z)), 0, -1)
-    return FilterResult(image=out, eigvals=np.asarray(vals), timings={})
+        return FilterResult(image=out, eigvals=np.asarray(vals), timings={})
+
+    outs, all_vals = [], []
+    for c in range(channels):
+        z, vals = _filter_channel(jnp.asarray(image[..., c], jnp.float32),
+                                  idx_a, perm, inv_perm, cfg)
+        outs.append(np.asarray(jax.block_until_ready(z)))
+        all_vals.append(np.asarray(vals))
+    return FilterResult(image=np.stack(outs, axis=-1),
+                        eigvals=np.stack(all_vals), timings={})
 
 
 # ---------------------------------------------------------------------------

@@ -121,6 +121,16 @@ def test_output_range_and_shape(gate128):
     assert res.eigvals.shape == (CONFIG1.num_eigvecs,)
 
 
+def test_no_nans_under_debug_sanitizer():
+    """SURVEY.md §5 sanitizer row: the whole pipeline under jax_debug_nans."""
+    import jax
+    img = make_test_image(32, 32, seed=13)
+    cfg = PipelineConfig(kernel="nlm", h=0.25, sample_rho=0.05, num_eigvecs=12)
+    with jax.debug_nans(True):
+        res = filter_image(img, cfg)
+    assert np.isfinite(res.image).all()
+
+
 def test_golden_regression(gate128):
     """Frozen scalar fingerprints at fixed seed catch silent regressions
     (SURVEY.md §4.5 golden-image role, without binary fixtures)."""
