@@ -48,10 +48,12 @@ class PipelineConfig:
     # --- eigensolve ---
     num_eigvecs: int = 50          # m, kept eigenpairs
     eig_tol: float = 3e-3         # relative spectral cutoff / ridge scale
-    solver: str = "chol"           # "chol" (1x eigh + Cholesky ridge: TPU-fast,
+    solver: str = "lobpcg"         # "chol" (1x eigh + Cholesky ridge: TPU-fast,
                                    #   backward-stable, exactly orthonormal V) |
-                                   # "lobpcg" (chol + top-m iterative solve:
-                                   #   O(p^2 m) — fastest at large p) |
+                                   # "lobpcg" (DEFAULT: chol + top-m iterative
+                                   #   solve, O(p^2 m); falls back to the dense
+                                   #   eigh when 5m >= p, so small problems are
+                                   #   bit-identical to "chol") |
                                    # "oneshot" (classical Fowlkes one-shot:
                                    #   3x eigh, truncated pinv)
 

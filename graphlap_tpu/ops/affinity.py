@@ -90,7 +90,8 @@ def affinity_strip(
     """
     a = feats_a.astype(dtype)
     b = feats_all.astype(dtype)
-    cross = jnp.dot(a, b.T, preferred_element_type=jnp.float32)
+    prec = "default" if dtype == jnp.bfloat16 else "highest"
+    cross = jnp.dot(a, b.T, preferred_element_type=jnp.float32, precision=prec)
     na = jnp.sum(feats_a.astype(jnp.float32) ** 2, axis=1)
     nb = jnp.sum(feats_all.astype(jnp.float32) ** 2, axis=1)
     d2 = jnp.maximum(na[:, None] + nb[None, :] - 2.0 * cross, 0.0)

@@ -41,7 +41,11 @@ def _cdiv(a: int, b: int) -> int:
 def _affinity_kernel(a_ref, b_ref, out_ref):
     a = a_ref[:]                                   # (TILE_P, D)
     b = b_ref[:]                                   # (D, TILE_N)
-    cross = jnp.dot(a, b, preferred_element_type=jnp.float32)
+    # bf16 inputs must use DEFAULT precision: Mosaic rejects a bf16 matmul
+    # carrying the package-wide HIGHEST contract precision ("Bad lhs type");
+    # bf16 x bf16 -> f32 accumulate is already exactly one MXU pass.
+    prec = ("default" if a.dtype == jnp.bfloat16 else "highest")
+    cross = jnp.dot(a, b, preferred_element_type=jnp.float32, precision=prec)
     af = a.astype(jnp.float32)
     bf = b.astype(jnp.float32)
     na = jnp.sum(af * af, axis=1, keepdims=True)   # (TILE_P, 1)

@@ -36,7 +36,8 @@ def oracle_filter_channel(img2d: np.ndarray, plan: SamplePlan,
     waa, wab, _, _ = normalize_blocks_np(
         kaa, kab, cfg.normalization, cfg.sinkhorn_iters, cfg.eig_tol,
         cfg.solver)
-    eig_fn = nystrom_eigh_chol_np if cfg.solver == "chol" else nystrom_eigh_np
+    eig_fn = (nystrom_eigh_chol_np if cfg.solver in ("chol", "lobpcg")
+              else nystrom_eigh_np)
     vals, vecs = eig_fn(waa, wab, cfg.num_eigvecs, cfg.eig_tol)
     y_perm = np.asarray(img2d, np.float64).ravel()[plan.perm]
     z_perm = apply_spectral_filter_np(y_perm, vals, vecs,

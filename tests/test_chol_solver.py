@@ -65,7 +65,9 @@ def test_matches_oneshot_spectrum_top():
 
 def test_chol_default_and_gate(img96):
     img, noisy = img96
-    assert CONFIG2.solver == "chol"
+    # default is lobpcg, which IS the chol math (dense-eigh fallback at
+    # small p, top-m LOBPCG above)
+    assert CONFIG2.solver == "lobpcg"
     res = filter_image(noisy, CONFIG2)
     orc, _ = oracle_filter_image(noisy, CONFIG2)
     delta = abs(psnr(img, res.image) - psnr(img, orc))
