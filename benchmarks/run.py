@@ -43,10 +43,15 @@ def row2():
 
 
 def row3():
-    """1024x1024 RGB per-channel, sharpening filter."""
+    """1024x1024 RGB per-channel, sharpening filter.
+
+    Streaming path: a materialized strip at p=4096, N=1M is 17 GB — over
+    HBM. Streaming recompute keeps it at O(N d) (~110 MB of features).
+    """
     import graphlap_tpu as gl
     img = gl.make_test_image(1024, 1024, channels=3)
-    cfg = gl.CONFIG3.replace(use_pallas=True)
+    cfg = gl.CONFIG3.replace(streaming=True, block_cols=131072,
+                             affinity_dtype="bfloat16")
     return "cfg3_1024_rgb_sharpen", cfg, img, img  # no noise: enhancement run
 
 
@@ -57,7 +62,7 @@ def row4():
     noisy = np.clip(gl.add_gaussian_noise(img, 0.1, seed=1), 0, 1)
     cfg = gl.PipelineConfig(
         kernel="nlm", h=0.25, sample_rho=0.01, sample_cap=4096,
-        num_eigvecs=50, sinkhorn_iters=20, filter_name="identity",
+        num_eigvecs=50, sinkhorn_iters=10, filter_name="identity",
         streaming=True, block_cols=131072, affinity_dtype="bfloat16")
     return "cfg4_8mp_streaming", cfg, img, noisy
 

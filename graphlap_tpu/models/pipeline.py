@@ -56,8 +56,9 @@ def _filter_channel(img2d: jnp.ndarray, idx_a: jnp.ndarray, perm: jnp.ndarray,
         cfg.solver)
     if cfg.solver in ("chol", "lobpcg"):
         method = "lobpcg" if cfg.solver == "lobpcg" else "eigh"
+        gdt = jnp.bfloat16 if cfg.affinity_dtype == "bfloat16" else jnp.float32
         basis = nystrom_eigh_chol(waa, wab, cfg.num_eigvecs, cfg.eig_tol,
-                                  method)
+                                  method, gdt)
     else:
         basis = nystrom_eigh(waa, wab, cfg.num_eigvecs, cfg.eig_tol)
     y_perm = jnp.take(img2d.astype(jnp.float32).ravel(), perm)
@@ -139,8 +140,9 @@ def _stage_normalize(kaa, kab, cfg: PipelineConfig):
 def _stage_eigh(waa, wab, cfg: PipelineConfig):
     if cfg.solver in ("chol", "lobpcg"):
         method = "lobpcg" if cfg.solver == "lobpcg" else "eigh"
+        gdt = jnp.bfloat16 if cfg.affinity_dtype == "bfloat16" else jnp.float32
         return nystrom_eigh_chol(waa, wab, cfg.num_eigvecs, cfg.eig_tol,
-                                 method)
+                                 method, gdt)
     return nystrom_eigh(waa, wab, cfg.num_eigvecs, cfg.eig_tol)
 
 

@@ -4,8 +4,16 @@ TPU-native answer to SURVEY.md §5 "long-context" row and §7 step 5 — the
 ring-attention/flash-attention analogue for this workload. At 8 MP the
 (p, N) strip is ~250 GB: instead, every strip product is a ``lax.scan``
 over column blocks that recomputes K tiles from the (N, d) feature tensor
-(O(Npd) extra FLOPs, trivially fused by XLA into the consuming GEMM) and
-accumulates the product online. Peak memory drops to O(N d + p^2).
+(O(Npd) extra FLOPs) and accumulates the product online. Peak memory drops
+to O(N d + p^2).
+
+Performance note (measured at 8 MP, p=4096): the pipeline is VPU-bound on
+the elementwise ``exp`` over N*p kernel evaluations per sweep, not on the
+GEMMs. In bf16 mode the ENTIRE tile stays bf16 — distances, exp, scaling
+multiplies, and the consuming dot inputs — halving the VPU elementwise cost
+and keeping the MXU single-pass; the small vectors/factors entering the
+dots are cast to bf16 at the call site so XLA never materializes an f32
+upcast of a tile. Accumulation is always f32.
 
 Conventions:
 * Features arrive permuted [A; B] and zero-padded to a multiple of the
@@ -22,13 +30,11 @@ D_c = diag(col_scale)):
     matvec      (D_r C D_c) v          -> (p,)
     rmatvec     (D_r C D_c)^T t        -> (n_pad,)
     gram        (D_r C D_c)(D_r C D_c)^T -> (p, p)      [the one-shot cross]
-    rmatmat + colstats: B_cols^T y and column sq-norms of C^T G in one pass
+    rmatmat + colstats: V^T y and column sq-norms of V in one pass
     rmat_apply  (D_r C D_c)^T G w      -> (n_pad,)       [extension apply]
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -42,7 +48,16 @@ def _blocks(feats_pad: jnp.ndarray, block: int):
 
 
 def _kernel_blk(feats_a, fb, dtype):
-    return affinity_strip(feats_a, fb, dtype)      # (p, block)
+    """(p, block) kernel tile; in bf16 mode the exp itself runs in bf16."""
+    k = affinity_strip(feats_a, fb, dtype)
+    return k.astype(dtype)
+
+
+def _dot(a, b, dtype):
+    """MXU dot with inputs in the tile dtype, f32 accumulate."""
+    prec = "default" if dtype == jnp.bfloat16 else "highest"
+    return jnp.dot(a.astype(dtype), b.astype(dtype),
+                   preferred_element_type=jnp.float32, precision=prec)
 
 
 def matvec(feats_a, feats_pad, v, row_scale, col_scale, block, dtype):
@@ -53,7 +68,7 @@ def matvec(feats_a, feats_pad, v, row_scale, col_scale, block, dtype):
     def body(acc, xs):
         f, w = xs
         kb = _kernel_blk(feats_a, f, dtype)
-        return acc + kb @ w, None
+        return acc + _dot(kb, w, dtype), None
 
     acc0 = jnp.zeros(feats_a.shape[0], jnp.float32)
     acc, _ = jax.lax.scan(body, acc0, (fb, vb))
@@ -67,7 +82,7 @@ def rmatvec(feats_a, feats_pad, t, row_scale, col_scale, block, dtype):
 
     def body(_, f):
         kb = _kernel_blk(feats_a, f, dtype)
-        return None, kb.T @ tr
+        return None, _dot(kb.T, tr, dtype)
 
     _, out = jax.lax.scan(body, None, fb)
     return out.reshape(-1) * col_scale
@@ -76,12 +91,12 @@ def rmatvec(feats_a, feats_pad, t, row_scale, col_scale, block, dtype):
 def gram(feats_a, feats_pad, row_scale, col_scale, block, dtype):
     """(D_r C D_c)(D_r C D_c)^T -> (p, p): the O(N p^2) one-shot cross."""
     fb = _blocks(feats_pad, block)
-    cs = col_scale.reshape(fb.shape[0], block)
+    cs = col_scale.astype(dtype).reshape(fb.shape[0], block)
 
     def body(acc, xs):
         f, c = xs
         kb = _kernel_blk(feats_a, f, dtype) * c[None, :]
-        return acc + jnp.dot(kb, kb.T, preferred_element_type=jnp.float32), None
+        return acc + _dot(kb, kb.T, dtype), None
 
     p = feats_a.shape[0]
     acc, _ = jax.lax.scan(body, jnp.zeros((p, p), jnp.float32), (fb, cs))
@@ -90,18 +105,18 @@ def gram(feats_a, feats_pad, row_scale, col_scale, block, dtype):
 
 def rmatmat_colstats(feats_a, feats_pad, g, y, row_scale, col_scale, block,
                      dtype):
-    """One pass over V_blk = (D_r C D_c)^T G (n_pad, m), returning
+    """One pass over V_blk = (D_c C^T D_r) G (n_pad, m), returning
     (column sq-norms (m,), V^T y (m,)) without materializing V."""
     fb = _blocks(feats_pad, block)
-    cs = col_scale.reshape(fb.shape[0], block)
+    cs = col_scale.astype(dtype).reshape(fb.shape[0], block)
     yb = y.reshape(fb.shape[0], block)
     gr = g * row_scale[:, None]                    # fold row scale into G
 
     def body(carry, xs):
         norms, coeffs = carry
         f, c, yv = xs
-        kb = _kernel_blk(feats_a, f, dtype) * c[None, :]   # (p, blk)
-        vb = kb.T @ gr                                     # (blk, m)
+        kb = _kernel_blk(feats_a, f, dtype) * c[:, None].T  # (p, blk)
+        vb = _dot(kb.T, gr, dtype)                          # (blk, m) f32
         return (norms + jnp.sum(vb * vb, axis=0),
                 coeffs + vb.T @ yv), None
 
@@ -118,7 +133,7 @@ def rmat_apply(feats_a, feats_pad, g, w, row_scale, col_scale, block, dtype):
     def body(_, xs):
         f, c = xs
         kb = _kernel_blk(feats_a, f, dtype)
-        return None, (kb.T @ gw) * c
+        return None, _dot(kb.T, gw, dtype) * c
 
     fb = _blocks(feats_pad, block)
     cs = col_scale.reshape(fb.shape[0], block)

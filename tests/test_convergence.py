@@ -1,0 +1,53 @@
+"""Sinkhorn fixed-iteration validation (SURVEY.md §7 hard part 5).
+
+The reference iterates to a convergence test; we use a shape-static fixed
+count. These tests pin down that the default count is in the converged
+regime across the config matrix's kernel types.
+"""
+
+import numpy as np
+import pytest
+
+from graphlap_tpu.config import PipelineConfig
+from graphlap_tpu.io import make_test_image
+from graphlap_tpu.ops.affinity import affinity_strip_np, extract_features_np
+from graphlap_tpu.ops.linalg import psd_pinv_np
+from graphlap_tpu.ops.sinkhorn import nystrom_matvec_np, sinkhorn_scaling_np
+from graphlap_tpu.utils.sampling import uniform_grid_sample
+
+TOL = 3e-3
+
+
+def _blocks(kernel):
+    img = make_test_image(48, 48, seed=6)
+    cfg = PipelineConfig(kernel=kernel, h=0.25 if kernel == "nlm" else 0.3)
+    plan = uniform_grid_sample(48, 48, 70)
+    feats = extract_features_np(img, cfg)
+    fp = feats[plan.perm]
+    strip = affinity_strip_np(fp[: plan.p], fp)
+    return strip[:, : plan.p], strip[:, plan.p:]
+
+
+@pytest.mark.parametrize("kernel", ["gaussian", "nlm"])
+def test_default_iterations_converged(kernel):
+    """20 iterations lands within 0.5% of the 200-iteration fixed point."""
+    kaa, kab = _blocks(kernel)
+    sa20, sb20 = sinkhorn_scaling_np(kaa, kab, 20, TOL)
+    sa200, sb200 = sinkhorn_scaling_np(kaa, kab, 200, TOL)
+    assert np.abs(sa20 / sa200 - 1).max() < 5e-3
+    assert np.abs(sb20 / sb200 - 1).max() < 5e-3
+
+
+@pytest.mark.parametrize("kernel", ["gaussian", "nlm"])
+def test_converged_scaling_is_doubly_stochastic(kernel):
+    """At the fixed point, diag(s) K~ diag(s) row sums ~ 1 (on the
+    well-conditioned bulk; the truncated K_BB completion biases a tail)."""
+    kaa, kab = _blocks(kernel)
+    s_a, s_b = sinkhorn_scaling_np(kaa, kab, 200, TOL)
+    pinv = psd_pinv_np(kaa, TOL)
+    top, bottom = nystrom_matvec_np(kaa * np.outer(s_a, s_a),
+                                    kab * np.outer(s_a, s_b),
+                                    psd_pinv_np(kaa * np.outer(s_a, s_a), TOL),
+                                    np.ones_like(s_a), np.ones_like(s_b))
+    sums = np.concatenate([top, bottom])
+    assert np.abs(np.median(sums) - 1) < 0.02
