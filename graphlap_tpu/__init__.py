@@ -23,10 +23,13 @@ from .io import load_image, save_image, add_gaussian_noise, make_test_image
 from .metrics import psnr, ssim
 from .models.pipeline import (
     FilterResult,
+    compute_basis,
     filter_image,
     filter_image_staged,
     make_plan,
 )
+from .models.video import filter_video
+from .utils.checkpoint import filter_with_basis, load_basis, save_basis
 from .utils.sampling import SamplePlan, uniform_grid_sample
 
 __version__ = "0.1.0"
@@ -36,5 +39,7 @@ __all__ = [
     "load_image", "save_image", "add_gaussian_noise", "make_test_image",
     "psnr", "ssim",
     "FilterResult", "filter_image", "filter_image_staged", "make_plan",
+    "compute_basis", "filter_video",
+    "save_basis", "load_basis", "filter_with_basis",
     "SamplePlan", "uniform_grid_sample",
 ]
