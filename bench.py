@@ -86,6 +86,12 @@ def main():
     wall, res = timed_run(gl, cfg, noisy)
     mps = MEGAPIXELS / wall
 
+    # bf16 mixed-precision run: ~1.8x faster but its PSNR sits 0.13 dB from
+    # the f32 CPU reference (above the 0.1 dB parity gate), so it is
+    # reported as extra rather than as the headline.
+    cfg_bf16 = cfg.replace(affinity_dtype="bfloat16")
+    wall_bf16, res_bf16 = timed_run(gl, cfg_bf16, noisy)
+
     # eigensolve wall-time (graded secondary metric) from the staged path
     staged = gl.filter_image_staged(noisy, cfg)     # warm shapes
     staged = gl.filter_image_staged(noisy, cfg)
@@ -99,6 +105,9 @@ def main():
         "vs_baseline": round(mps / cpu_mps, 3) if cpu_mps else None,
         "extra": {
             "wall_s": round(wall, 4),
+            "bf16_wall_s": round(wall_bf16, 4),
+            "bf16_mp_per_s": round(MEGAPIXELS / wall_bf16, 4),
+            "bf16_psnr_db": round(gl.psnr(img, res_bf16.image), 3),
             "eigensolve_wall_s": round(staged.timings["eigensolve"], 4),
             "stage_walls_s": {k: round(v, 4) for k, v in staged.timings.items()},
             "psnr_noisy_db": round(psnr_in, 3),

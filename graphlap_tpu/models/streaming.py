@@ -61,12 +61,40 @@ def filter_channel_streaming(img2d: jnp.ndarray, idx_a: jnp.ndarray,
     kaa = affinity_strip(feats_a, feats_a, dtype)     # exact (p, p)
     kaa_solve = _make_kaa_solve(kaa, cfg.eig_tol, cfg.solver)
 
+    if cfg.use_pallas:
+        # fused Pallas matvecs: K tiles live only in VMEM; the transposed
+        # feature matrix is built once and reused across every pass
+        from ..ops import pallas_streaming as pst
+        _, p_pad = pst.p_tiling(p)
+        tn = 1024 if dtype == jnp.bfloat16 else 512
+        n_pad_k = _cdiv(n_pad, tn) * tn
+        fa_pad = jnp.zeros((p_pad, pst.D_PAD), dtype).at[:p, :d].set(
+            feats_a.astype(dtype))
+        f_t = jnp.zeros((pst.D_PAD, n_pad_k), dtype).at[:d, :n_pad].set(
+            feats_pad.astype(dtype).T)
+
+        def strip_matvec(v_scaled):
+            vv = jnp.zeros(n_pad_k, jnp.float32).at[:n_pad].set(v_scaled)
+            return pst.matvec_pallas(fa_pad, f_t, vv)[:p]
+
+        def strip_rmatvec(t_scaled):
+            tt = jnp.zeros(p_pad, jnp.float32).at[:p].set(t_scaled)
+            return pst.rmatvec_pallas(fa_pad, f_t, tt)[:n_pad]
+    else:
+        def strip_matvec(v_scaled):
+            return st.matvec(feats_a, feats_pad, v_scaled, ones_p,
+                             jnp.ones_like(v_scaled), block, dtype)
+
+        def strip_rmatvec(t_scaled):
+            return st.rmatvec(feats_a, feats_pad, t_scaled, ones_p,
+                              jnp.ones_like(feats_pad[:, 0]), block, dtype)
+
     def ktilde_apply(s):
         """K~ [s_a; s_b] via streaming strip products."""
-        u = st.matvec(feats_a, feats_pad, s, ones_p, b_mask, block, dtype)
+        u = strip_matvec(s * b_mask)
         top = kaa @ s[:p] + u
         t = s[:p] + kaa_solve(u)
-        bottom = st.rmatvec(feats_a, feats_pad, t, ones_p, b_mask, block, dtype)
+        bottom = strip_rmatvec(t) * b_mask
         return jax.lax.dynamic_update_slice(bottom, top, (0,))
 
     # --- normalization (streaming Sinkhorn / symmetric) ---

@@ -1,0 +1,173 @@
+"""Fused Pallas streaming matvecs: kernel tiles never touch HBM.
+
+The XLA streaming operators (ops/streaming.py) materialize each recomputed
+K block in HBM between the exp and the consuming dot (~2 GB of traffic per
+8 MP block-sweep). These kernels fuse  distance-GEMM -> exp -> dot  inside
+VMEM tiles — the flash-attention pattern for this workload (SURVEY.md §5
+long-context row):
+
+    matvec   out(p)   = sum_j exp(-d2(F_A, F_j)) @ v_j     (K v)
+    rmatvec  out_j(n) = exp(-d2(F_A, F_j))^T @ t           (K^T t)
+
+Tiling: the sample block F_A is small (p <= ~4k rows of 128 features =
+1-2 MB), so it sits in VMEM WHOLE and the grid runs over N tiles only —
+one feature fetch per pass, no per-p-tile refetch, and few, fat grid steps
+(the first cut used (p/512) x (N/512) tiles and died of grid overhead +
+8x feature traffic: 7.9 s vs 7.1 s XLA at 8 MP).
+
+Caller contract: features zero-padded to (.., D=128) and row counts padded
+to the tile multiples (zero feature rows/columns are exact no-ops as long
+as the paired vector entries are zero). The transposed feature matrix
+(D, n_pad) is built ONCE by the caller and reused across all passes.
+dtype=bf16 runs distances, exp, and dots in bf16 with f32 accumulation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+D_PAD = 128
+MAX_TILE_P = 4096
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def p_tiling(p: int) -> tuple[int, int]:
+    """(tile, p_pad): sample-axis tile <= MAX_TILE_P with exact division.
+
+    p <= 4096 gets one whole-p tile; larger p splits into the fewest tiles
+    of equal (512-aligned) size, minimizing pad waste.
+    """
+    k = _cdiv(p, MAX_TILE_P)
+    tp = _cdiv(_cdiv(p, k), 512) * 512
+    return tp, tp * k
+
+
+def _tile_p_of(p_pad: int) -> int:
+    return p_pad // _cdiv(p_pad, MAX_TILE_P)
+
+
+def _tile_n(dtype) -> int:
+    # keep the (TILE_P, TILE_N) kernel tile ~8 MB of VMEM
+    return 1024 if dtype == jnp.bfloat16 else 512
+
+
+def _kb_tile(a, bt, dtype):
+    """(tile_p, tile_n) kernel tile from feature tiles, in ``dtype``."""
+    prec = "default" if dtype == jnp.bfloat16 else "highest"
+    cross = jnp.dot(a, bt, preferred_element_type=jnp.float32, precision=prec)
+    af = a.astype(jnp.float32)
+    bf = bt.astype(jnp.float32)
+    na = jnp.sum(af * af, axis=1, keepdims=True)
+    nb = jnp.sum(bf * bf, axis=0, keepdims=True)
+    d2 = jnp.maximum(na + nb - 2.0 * cross, 0.0)
+    if dtype == jnp.bfloat16:
+        return jnp.exp(-d2.astype(jnp.bfloat16))
+    return jnp.exp(-d2)
+
+
+def _matvec_kernel(a_ref, b_ref, v_ref, out_ref):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    kb = _kb_tile(a_ref[:], b_ref[:], a_ref.dtype)
+    prec = "default" if kb.dtype == jnp.bfloat16 else "highest"
+    out_ref[:] += jnp.dot(kb, v_ref[:].T.astype(kb.dtype),
+                          preferred_element_type=jnp.float32,
+                          precision=prec)
+
+
+def _rmatvec_kernel(a_ref, b_ref, t_ref, out_ref):
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    kb = _kb_tile(a_ref[:], b_ref[:], a_ref.dtype)
+    prec = "default" if kb.dtype == jnp.bfloat16 else "highest"
+    out_ref[:] += jnp.dot(t_ref[:].astype(kb.dtype), kb,
+                          preferred_element_type=jnp.float32,
+                          precision=prec)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def matvec_pallas(feats_a_pad, feats_t, v, interpret: bool | None = None):
+    """K @ v: ((p_pad, D), (D, n_pad), (n_pad,)) -> (p_pad,) f32."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    p_pad = feats_a_pad.shape[0]
+    n_pad = feats_t.shape[1]
+    dtype = feats_a_pad.dtype
+    tp = _tile_p_of(p_pad)
+    tn = _tile_n(dtype)
+    grid = (p_pad // tp, n_pad // tn)
+    out = pl.pallas_call(
+        _matvec_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tp, D_PAD), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D_PAD, tn), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tp, 1), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((p_pad, 1), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * p_pad * n_pad * (D_PAD + 1),
+            bytes_accessed=(p_pad + n_pad) * D_PAD * dtype.itemsize
+            + 4 * (p_pad + n_pad),
+            transcendentals=p_pad * n_pad,
+        ),
+        interpret=interpret,
+    )(feats_a_pad, feats_t, v.astype(dtype).reshape(1, n_pad))
+    return out[:, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def rmatvec_pallas(feats_a_pad, feats_t, t, interpret: bool | None = None):
+    """K^T @ t: ((p_pad, D), (D, n_pad), (p_pad,)) -> (n_pad,) f32."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    p_pad = feats_a_pad.shape[0]
+    n_pad = feats_t.shape[1]
+    dtype = feats_a_pad.dtype
+    tp = _tile_p_of(p_pad)
+    tn = _tile_n(dtype)
+    grid = (n_pad // tn, p_pad // tp)
+    out = pl.pallas_call(
+        _rmatvec_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tp, D_PAD), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D_PAD, tn), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tp), lambda j, i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tn), lambda j, i: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * p_pad * n_pad * (D_PAD + 1),
+            bytes_accessed=(p_pad + n_pad) * D_PAD * dtype.itemsize
+            + 4 * (p_pad + n_pad),
+            transcendentals=p_pad * n_pad,
+        ),
+        interpret=interpret,
+    )(feats_a_pad, feats_t, t.astype(dtype).reshape(1, p_pad))
+    return out[0]
