@@ -47,6 +47,17 @@ def test_streaming_single_block(noisy):
     np.testing.assert_allclose(stream.image, dense.image, atol=3e-4)
 
 
+def test_streaming_pallas_matvecs_match(noisy):
+    """Fused Pallas K-matvec kernels == XLA scan operators (interpret)."""
+    cfg = PipelineConfig(kernel="nlm", h=0.25, sample_rho=0.03,
+                         num_eigvecs=24, streaming=True, block_cols=1024)
+    plan = make_plan(noisy, cfg)
+    xla = filter_image(noisy, cfg, plan=plan)
+    pal = filter_image(noisy, cfg.replace(use_pallas=True), plan=plan)
+    np.testing.assert_allclose(pal.image, xla.image, atol=3e-4)
+    np.testing.assert_allclose(pal.eigvals, xla.eigvals, atol=3e-4)
+
+
 def test_streaming_rgb(noisy):
     img = make_test_image(32, 32, channels=3, seed=12)
     cfg = PipelineConfig(kernel="nlm", h=0.25, sample_rho=0.05,
