@@ -53,6 +53,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="convert input to grayscale")
     p.add_argument("-bf16", action="store_true",
                    help="bfloat16 affinity GEMMs (faster, small PSNR cost)")
+    p.add_argument("-solver", default="lobpcg",
+                   choices=["lobpcg", "chol", "oneshot"],
+                   help="eigensolver (see docs/ARCHITECTURE.md section 4)")
+    p.add_argument("-streaming", action="store_true",
+                   help="blockwise recompute path (big images, no K strip)")
+    p.add_argument("-block_cols", type=int, default=65536,
+                   help="streaming column-block width")
+    p.add_argument("-pallas", action="store_true",
+                   help="fused Pallas kernels for the affinity/matvec path")
     p.add_argument("-save_basis", default=None,
                    help="write the eigenbasis to this .npz for filter replay")
     p.add_argument("-log_view", action="store_true",
@@ -84,6 +93,8 @@ def main(argv=None) -> int:
         normalization=args.normalization, sinkhorn_iters=args.sinkhorn_iters,
         filter_name=args.filter_name, filter_param=args.filter_param,
         affinity_dtype="bfloat16" if args.bf16 else "float32",
+        solver=args.solver, streaming=args.streaming,
+        block_cols=args.block_cols, use_pallas=args.pallas,
     )
 
     clean = gl.load_image(args.input, grayscale=args.grayscale)

@@ -191,6 +191,16 @@ def filter_image_staged(image: np.ndarray, cfg: PipelineConfig,
     image = np.asarray(image)
     if plan is None:
         plan = make_plan(image, cfg)
+
+    if cfg.streaming:
+        # streaming fuses all stages into one scan-heavy program; per-stage
+        # walls don't exist — report the end-to-end wall as one entry
+        t0 = time.perf_counter()
+        res = filter_image(image, cfg, plan=plan)
+        wall = time.perf_counter() - t0
+        return FilterResult(image=res.image, eigvals=res.eigvals,
+                            timings={"pipeline": wall})
+
     idx_a = jnp.asarray(plan.idx_a)
     perm = jnp.asarray(plan.perm)
     inv_perm = jnp.asarray(plan.inv_perm)

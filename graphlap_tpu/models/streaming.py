@@ -10,6 +10,13 @@ needs ~1 GB instead of ~250 GB.
 
 Produces the same math as models/pipeline.py (same eigensolve on the same
 scaled blocks); tests assert allclose between the two paths.
+
+Permutation-free: unlike the dense path, pixels stay in NATURAL order.
+The [A; B] reordering the reference uses is only bookkeeping, and on TPU
+an N-row random gather costs seconds at 8 MP (measured: the permuted
+variant spent ~4 of its 5.6 s base in gathers, independent of p, m and
+d). Here the only index ops are p-sized: gather the sample rows, scatter
+the p-sized results back — everything N-sized is a contiguous mask.
 """
 
 from __future__ import annotations
@@ -47,15 +54,15 @@ def filter_channel_streaming(img2d: jnp.ndarray, idx_a: jnp.ndarray,
     block = min(cfg.block_cols, _cdiv(n, 1))
     n_pad = _cdiv(n, block) * block
 
-    feats = extract_features(img2d, cfg)
-    feats_perm = jnp.take(feats, perm, axis=0)
-    feats_a = feats_perm[:p]
+    feats = extract_features(img2d, cfg)              # NATURAL pixel order
+    feats_a = jnp.take(feats, idx_a, axis=0)          # p-row gather only
     d = feats.shape[1]
-    feats_pad = jnp.zeros((n_pad, d), feats.dtype).at[:n].set(feats_perm)
+    feats_pad = jnp.zeros((n_pad, d), feats.dtype).at[:n].set(feats)
 
     idx = jnp.arange(n_pad)
     valid = (idx < n).astype(jnp.float32)
-    b_mask = valid * (idx >= p).astype(jnp.float32)   # 1 on B columns only
+    a_mask = jnp.zeros(n_pad, jnp.float32).at[idx_a].set(1.0)
+    b_mask = valid * (1.0 - a_mask)                   # 1 on B columns only
     ones_p = jnp.ones(p, jnp.float32)
 
     kaa = affinity_strip(feats_a, feats_a, dtype)     # exact (p, p)
@@ -90,12 +97,13 @@ def filter_channel_streaming(img2d: jnp.ndarray, idx_a: jnp.ndarray,
                               jnp.ones_like(feats_pad[:, 0]), block, dtype)
 
     def ktilde_apply(s):
-        """K~ [s_a; s_b] via streaming strip products."""
+        """K~ s in natural order via streaming strip products."""
+        s_a = jnp.take(s, idx_a)                      # p gather
         u = strip_matvec(s * b_mask)
-        top = kaa @ s[:p] + u
-        t = s[:p] + kaa_solve(u)
+        top = kaa @ s_a + u
+        t = s_a + kaa_solve(u)
         bottom = strip_rmatvec(t) * b_mask
-        return jax.lax.dynamic_update_slice(bottom, top, (0,))
+        return bottom.at[idx_a].set(top)              # p scatter
 
     # --- normalization (streaming Sinkhorn / symmetric) ---
     if cfg.normalization == "sinkhorn":
@@ -109,8 +117,8 @@ def filter_channel_streaming(img2d: jnp.ndarray, idx_a: jnp.ndarray,
         s = jax.lax.rsqrt(ks) * valid
     else:
         s = valid
-    s_a = s[:p]
-    s_b_cols = s * b_mask                             # 0 on A prefix + pads
+    s_a = jnp.take(s, idx_a)
+    s_b_cols = s * b_mask                             # 0 on A columns + pads
 
     # --- Nystrom eigensolve (streaming cross) ---
     waa = kaa * (s_a[:, None] * s_a[None, :])
@@ -131,8 +139,8 @@ def filter_channel_streaming(img2d: jnp.ndarray, idx_a: jnp.ndarray,
 
     v_a = waa @ basis0                                # (p, m)
     y = img2d.astype(jnp.float32).ravel()
-    y_perm = jnp.take(y, perm)
-    y_pad = jnp.zeros(n_pad, jnp.float32).at[:n].set(y_perm)
+    y_pad = jnp.zeros(n_pad, jnp.float32).at[:n].set(y)
+    y_a = jnp.take(y_pad, idx_a)
 
     norms_b, coeffs_b = st.rmatmat_colstats(
         feats_a, feats_pad, basis0, y_pad, s_a, s_b_cols, block, dtype)
@@ -140,7 +148,7 @@ def filter_channel_streaming(img2d: jnp.ndarray, idx_a: jnp.ndarray,
     live = dnorm > _LIVE_NORM2
     scale = jnp.where(live, 1.0 / jnp.sqrt(jnp.where(live, dnorm, 1.0)), 0.0)
 
-    coeffs = scale * (v_a.T @ y_pad[:p] + coeffs_b)   # vecs^T y, (m,)
+    coeffs = scale * (v_a.T @ y_a + coeffs_b)         # vecs^T y, (m,)
 
     # --- spectral filter, applied through the factor (no N x m array) ---
     filt = FILTER_REGISTRY[cfg.filter_name]
@@ -151,8 +159,8 @@ def filter_channel_streaming(img2d: jnp.ndarray, idx_a: jnp.ndarray,
     z_a = v_a @ wvec
     z_full = st.rmat_apply(feats_a, feats_pad, basis0, wvec,
                            s_a, s_b_cols, block, dtype)
-    z_full = jax.lax.dynamic_update_slice(z_full, z_a, (0,))
+    z_full = z_full.at[idx_a].set(z_a)                # p scatter
     if filt.affine:
         z_full = z_full + y_pad
-    z = jnp.take(z_full[:n], inv_perm).reshape(h, w)
-    return jnp.clip(z, 0.0, 1.0), vals_m
+    z = z_full[:n].reshape(h, w)                      # natural order: no
+    return jnp.clip(z, 0.0, 1.0), vals_m              # un-permute gather
