@@ -67,7 +67,47 @@ def row4():
     return "cfg4_8mp_streaming", cfg, img, noisy
 
 
-ROWS = {"1": row1, "2": row2, "3": row3, "4": row4}
+def row5():
+    """Video batch (config 5 shape at single-chip scale): 8x 512^2 frames
+    through the (data, rows)-sharded pipeline. On a pod this scales over
+    the data axis via jax.distributed (scripts/multihost_launch.py)."""
+    import graphlap_tpu as gl
+    frames = np.stack([
+        np.clip(gl.add_gaussian_noise(gl.make_test_image(512, 512, seed=s),
+                                      0.1, seed=s), 0, 1)
+        for s in range(8)
+    ])
+    cfg = gl.PipelineConfig(kernel="nlm", h=0.25, sample_rho=0.005,
+                            num_eigvecs=50, sinkhorn_iters=10,
+                            affinity_dtype="bfloat16")
+    return "cfg5_video_8x512", cfg, frames, frames
+
+
+ROWS = {"1": row1, "2": row2, "3": row3, "4": row4, "5": row5}
+
+
+def device_wall(image2d, cfg, plan) -> float:
+    """Device-only wall: inputs pre-staged, completion synced by pulling a
+    4-byte scalar. The end-to-end wall on this box includes ~seconds of
+    image upload/download through the remote-TPU tunnel (measured via
+    jax.profiler), which real deployments don't pay."""
+    import jax
+    import jax.numpy as jnp
+    from graphlap_tpu.models.pipeline import _filter_channel
+
+    img = jax.device_put(jnp.asarray(image2d, jnp.float32))
+    idx_a = jax.device_put(jnp.asarray(plan.idx_a))
+    perm = jax.device_put(jnp.asarray(plan.perm))
+    inv_perm = jax.device_put(jnp.asarray(plan.inv_perm))
+    sync = jax.jit(jnp.sum)
+    float(sync(_filter_channel(img, idx_a, perm, inv_perm, cfg)[0]))  # warm
+    walls = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        z, _ = _filter_channel(img, idx_a, perm, inv_perm, cfg)
+        float(sync(z))
+        walls.append(time.perf_counter() - t0)
+    return min(walls)
 
 
 def run_row(name, cfg, clean, image):
@@ -86,6 +126,8 @@ def run_row(name, cfg, clean, image):
         res = gl.filter_image(image, cfg, plan=plan)
         walls.append(time.perf_counter() - t0)
     wall = min(walls)
+    dev_wall = device_wall(image if image.ndim == 2 else image[..., 0],
+                           cfg, plan)
     channels = 1 if image.ndim == 2 else image.shape[-1]
     mp = n * channels / 1e6
 
@@ -102,6 +144,8 @@ def run_row(name, cfg, clean, image):
         "config_hash": cfg.config_hash(),
         "wall_s": round(wall, 4), "compile_s": round(compile_wall, 2),
         "mp_per_s": round(mp / wall, 4),
+        "device_wall_s": round(dev_wall, 4),
+        "device_mp_per_s": round((n / 1e6) / dev_wall, 4),
         "staged_timings_s": staged_timings,
         "psnr_in_db": round(gl.psnr(clean, image), 3) if image is not clean else None,
         "psnr_out_db": round(gl.psnr(clean, res.image), 3) if image is not clean else None,
@@ -114,6 +158,39 @@ def run_row(name, cfg, clean, image):
     return rec
 
 
+def run_video_row(name, cfg, frames):
+    import jax
+    import graphlap_tpu as gl
+    from graphlap_tpu.models.pipeline import make_plan
+    from graphlap_tpu.models.video import filter_video
+    from graphlap_tpu.parallel.mesh import make_mesh
+
+    plan = make_plan(frames[0], cfg)
+    mesh = make_mesh()                      # all local devices
+    filter_video(frames, cfg, mesh=mesh, plan=plan)     # compile + warm
+    walls = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out, _ = filter_video(frames, cfg, mesh=mesh, plan=plan)
+        walls.append(time.perf_counter() - t0)
+    wall = min(walls)
+    mp = frames.size / 1e6
+    rec = {
+        "row": name, "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]), "shape": list(frames.shape),
+        "p": plan.p, "m": cfg.num_eigvecs, "config_hash": cfg.config_hash(),
+        "wall_s": round(wall, 4), "mp_per_s": round(mp / wall, 4),
+        "psnr_out_db": round(float(np.mean([
+            gl.psnr(gl.make_test_image(512, 512, seed=s), out[s])
+            for s in range(frames.shape[0])])), 3),
+        "ts": time.time(),
+    }
+    RESULTS.parent.mkdir(parents=True, exist_ok=True)
+    with RESULTS.open("a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("rows", nargs="*", default=list(ROWS))
@@ -124,7 +201,10 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     for r in args.rows:
         name, cfg, clean, image = ROWS[r]()
-        run_row(name, cfg, clean, image)
+        if r == "5":
+            run_video_row(name, cfg, image)
+        else:
+            run_row(name, cfg, clean, image)
 
 
 if __name__ == "__main__":

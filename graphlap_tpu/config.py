@@ -44,6 +44,10 @@ class PipelineConfig:
     # --- normalization ---
     normalization: str = "sinkhorn"  # "sinkhorn" | "symmetric" | "none"
     sinkhorn_iters: int = 20         # fixed (shape-static) iteration count
+    sinkhorn_coarse: int = 1         # streaming only: >1 runs the Sinkhorn
+                                     # fixed point against every k-th column
+                                     # (PAPERS.md scalable-Sinkhorn idea) +
+                                     # one full-res extension pass
 
     # --- eigensolve ---
     num_eigvecs: int = 50          # m, kept eigenpairs
@@ -84,6 +88,8 @@ class PipelineConfig:
             raise ValueError("patch_size must be odd")
         if not (0.0 < self.sample_rho <= 1.0):
             raise ValueError("sample_rho must be in (0, 1]")
+        if self.sinkhorn_coarse < 1:
+            raise ValueError("sinkhorn_coarse must be >= 1")
 
     def num_samples(self, n_pixels: int) -> int:
         """p = min(cap, ceil(rho * N)), at least num_eigvecs."""

@@ -106,7 +106,44 @@ def filter_channel_streaming(img2d: jnp.ndarray, idx_a: jnp.ndarray,
         return bottom.at[idx_a].set(top)              # p scatter
 
     # --- normalization (streaming Sinkhorn / symmetric) ---
-    if cfg.normalization == "sinkhorn":
+    if cfg.normalization == "sinkhorn" and cfg.sinkhorn_coarse > 1:
+        # Alternating Sinkhorn iterated entirely through p-sized state
+        # against a decimated column subset (ops/streaming.py
+        # sinkhorn_coarse_step), then ONE full-resolution extension pass.
+        k = cfg.sinkhorn_coarse
+        if block % k != 0:
+            raise ValueError("sinkhorn_coarse must divide block_cols")
+        feats_c = feats_pad[::k]
+        mask_c = b_mask[::k]
+        block_c = block // k
+        ratio = jnp.sum(b_mask) / jnp.maximum(jnp.sum(mask_c), 1.0)
+
+        u0 = ratio * st.matvec(feats_a, feats_c, mask_c, ones_p,
+                               jnp.ones_like(mask_c), block_c, dtype)
+        r0 = jnp.ones(p, jnp.float32)
+
+        def body(_, carry):
+            r_a, u_r, *_ = carry
+            c_a = 1.0 / jnp.maximum(kaa @ r_a + u_r, _EPS)
+            t_r = r_a + kaa_solve(u_r)
+            u_c = st.sinkhorn_coarse_step(feats_a, feats_c, t_r, mask_c,
+                                          ratio, block_c, dtype)
+            r_a2 = 1.0 / jnp.maximum(kaa @ c_a + u_c, _EPS)
+            t_c = c_a + kaa_solve(u_c)
+            u_r2 = st.sinkhorn_coarse_step(feats_a, feats_c, t_c, mask_c,
+                                           ratio, block_c, dtype)
+            return (r_a2, u_r2, c_a, t_r, t_c)
+
+        zero_p = jnp.zeros(p, jnp.float32)
+        r_a, u_r, c_a, t_r, t_c = jax.lax.fori_loop(
+            0, cfg.sinkhorn_iters, body, (r0, u0, r0, zero_p, zero_p))
+        s_a_coarse = jnp.sqrt(jnp.maximum(r_a * c_a, 0.0))
+        kbt = st.rmatvec2(feats_a, feats_pad,
+                          jnp.stack([t_r, t_c], axis=1), b_mask, block, dtype)
+        prod = jnp.maximum(kbt[:, 0] * kbt[:, 1], _EPS)
+        s = (b_mask / jnp.sqrt(prod))
+        s = s.at[idx_a].set(s_a_coarse)
+    elif cfg.normalization == "sinkhorn":
         def body(_, s):
             ks = jnp.maximum(ktilde_apply(s), _EPS)
             return jnp.sqrt(s / ks) * valid

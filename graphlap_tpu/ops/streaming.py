@@ -126,6 +126,45 @@ def rmatmat_colstats(feats_a, feats_pad, g, y, row_scale, col_scale, block,
     return norms, coeffs
 
 
+def sinkhorn_coarse_step(feats_a, feats_c, t, mask_c, ratio, block, dtype):
+    """One coarse Sinkhorn contraction: u = ratio * K_c @ (mask_c / (K_c^T t)).
+
+    The Sinkhorn fixed point only touches the B columns through the p-vector
+    u = K_AB s_B, and s_B itself is 1/(K_BA t) — so the whole iteration can
+    run against a DECIMATED column subset (PAPERS.md: massively scalable
+    Sinkhorn via Nystrom): each fused block computes the kernel tile once,
+    forms the implicit s at the coarse columns, and contracts back to p.
+    ``ratio`` rescales the decimated sum to estimate the full-column sum.
+    """
+    fb = _blocks(feats_c, block)
+    mb = mask_c.reshape(fb.shape[0], block)
+    tt = t
+
+    def body(acc, xs):
+        f, mk = xs
+        kb = _kernel_blk(feats_a, f, dtype)               # (p, blk)
+        y = _dot(kb.T, tt, dtype)                         # K_c^T t  (blk,)
+        r = mk / jnp.maximum(y, 1e-30)                    # coarse s_B
+        return acc + _dot(kb, r, dtype), None
+
+    acc0 = jnp.zeros(feats_a.shape[0], jnp.float32)
+    acc, _ = jax.lax.scan(body, acc0, (fb, mb))
+    return acc * ratio
+
+
+def rmatvec2(feats_a, feats_pad, t2, col_scale, block, dtype):
+    """K^T [t1 t2] -> (n_pad, 2) in ONE pass (shared kernel tiles): the
+    final full-resolution Sinkhorn extension needs K_BA t for two vectors."""
+    fb = _blocks(feats_pad, block)
+
+    def body(_, f):
+        kb = _kernel_blk(feats_a, f, dtype)
+        return None, _dot(kb.T, t2, dtype)                # (blk, 2)
+
+    _, out = jax.lax.scan(body, None, fb)
+    return out.reshape(-1, 2) * col_scale[:, None]
+
+
 def rmat_apply(feats_a, feats_pad, g, w, row_scale, col_scale, block, dtype):
     """(D_r C D_c)^T (G w) -> (n_pad,): the streaming extension apply."""
     gw = (g @ w) * row_scale                       # (p,)

@@ -1,0 +1,58 @@
+"""Coarse (decimated) Sinkhorn mode — streaming-only accelerator.
+
+The alternating fixed point iterated through p-sized state against every
+k-th column (PAPERS.md scalable-Sinkhorn idea). Exactness at k=1 was
+verified against the symmetric fixed point analytically (s agreement to
+1e-10 in the dense model); at k>1 the decimation adds a Monte-Carlo error
+that SHRINKS with the coarse-set size — these tests pin the behavior at
+test scale, where the error is visible but bounded.
+"""
+
+import numpy as np
+import pytest
+
+from graphlap_tpu import add_gaussian_noise, filter_image, make_test_image, psnr
+from graphlap_tpu.config import PipelineConfig
+
+
+@pytest.fixture(scope="module")
+def img96():
+    img = make_test_image(96, 96)
+    noisy = np.clip(add_gaussian_noise(img, 0.1, seed=2), 0, 1)
+    return img, noisy
+
+
+def _cfg(**kw):
+    return PipelineConfig(kernel="nlm", h=0.25, sample_rho=0.02,
+                          num_eigvecs=50, streaming=True, block_cols=1024,
+                          sinkhorn_iters=10, **kw)
+
+
+def test_coarse_close_to_full(img96):
+    img, noisy = img96
+    full = filter_image(noisy, _cfg())
+    coarse = filter_image(noisy, _cfg(sinkhorn_coarse=2))
+    # still denoises, and stays close to the exact-Sinkhorn result
+    assert psnr(img, coarse.image) > psnr(img, noisy) + 0.5
+    assert abs(psnr(img, coarse.image) - psnr(img, full.image)) < 1.0
+    assert np.abs(coarse.image - full.image).max() < 0.05
+
+
+def test_coarse_error_shrinks_with_finer_decimation(img96):
+    img, noisy = img96
+    full = filter_image(noisy, _cfg())
+    d2 = np.abs(filter_image(noisy, _cfg(sinkhorn_coarse=2)).image
+                - full.image).max()
+    d8 = np.abs(filter_image(noisy, _cfg(sinkhorn_coarse=8)).image
+                - full.image).max()
+    assert d2 < d8  # coarser decimation -> larger deviation
+
+
+def test_coarse_validation():
+    with pytest.raises(ValueError):
+        PipelineConfig(sinkhorn_coarse=0)
+    # k must divide the streaming block
+    cfg = _cfg(sinkhorn_coarse=3)
+    img = make_test_image(32, 32)
+    with pytest.raises(ValueError):
+        filter_image(img, cfg)
