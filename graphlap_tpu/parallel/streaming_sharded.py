@@ -1,0 +1,183 @@
+"""Row-sharded streaming pipeline: 8 MP-class images across a mesh.
+
+BASELINE config 4's contract — "affinity row-blocks sharded across v4-8;
+distributed K_AB extension matmuls" — for the strip-free path. Each device
+owns a contiguous slice of the (natural-order, padded) pixel axis and runs
+the streaming block-scan over ITS blocks only; the p-sized accumulators
+(Sinkhorn contractions, the O(Np^2) gram, column stats) are combined with
+one ``psum`` over the ``rows`` axis — the MPI_Allreduce of the reference's
+PETSc MatMult (SURVEY.md §2.3). The p x p eigensolve is replicated
+(communication-free), and the extension/apply outputs stay device-local.
+
+Built as ``shard_map`` wrappers around the SAME ops/streaming.py operators
+the single-device model uses; tests assert sharded == single-device on the
+8-fake-device CPU mesh.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..config import PipelineConfig
+from ..ops import streaming as st
+from ..ops.affinity import affinity_strip, extract_features
+from ..ops.filters import FILTER_REGISTRY
+from ..ops.linalg import psd_pinv_sqrt, trunc_inv_sqrt_vals
+from ..ops.nystrom import _LIVE_NORM2, nystrom_chol_factor
+from ..ops.sinkhorn import _make_kaa_solve
+
+_EPS = 1e-30
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def build_streaming_sharded(mesh, cfg: PipelineConfig):
+    """Returns a jitted fn (img2d (H,W) f32, idx_a (p,)) -> (z2d, vals)
+    with the pixel axis sharded over mesh axis 'rows'."""
+
+    dtype = jnp.bfloat16 if cfg.affinity_dtype == "bfloat16" else jnp.float32
+    n_rows = int(np.prod([s for name, s in zip(mesh.axis_names,
+                                               mesh.devices.shape)
+                          if name == "rows"]))
+
+    def smap(fn, in_specs, out_specs):
+        return shard_map(fn, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_rep=False)
+
+    # --- sharded primitives over local row-slices -------------------------
+    def _mv(fa, f_loc, v_loc, block):
+        u = st.matvec(fa, f_loc, v_loc, jnp.ones(fa.shape[0], jnp.float32),
+                      jnp.ones_like(v_loc), block, dtype)
+        return jax.lax.psum(u, "rows")
+
+    def _rmv(fa, f_loc, t, block):
+        return st.rmatvec(fa, f_loc, t, jnp.ones(fa.shape[0], jnp.float32),
+                          jnp.ones_like(f_loc[:, 0]), block, dtype)
+
+    def _gram(fa, f_loc, s_a, cols_loc, block):
+        g = st.gram(fa, f_loc, s_a, cols_loc, block, dtype)
+        return jax.lax.psum(g, "rows")
+
+    def _colstats(fa, f_loc, basis, y_loc, s_a, cols_loc, block):
+        norms, coeffs = st.rmatmat_colstats(fa, f_loc, basis, y_loc, s_a,
+                                            cols_loc, block, dtype)
+        return jax.lax.psum(norms, "rows"), jax.lax.psum(coeffs, "rows")
+
+    def _apply(fa, f_loc, basis, w, s_a, cols_loc, block):
+        return st.rmat_apply(fa, f_loc, basis, w, s_a, cols_loc, block, dtype)
+
+    @jax.jit
+    def run(img2d, idx_a):
+        h, w = img2d.shape
+        n = h * w
+        p = idx_a.shape[0]
+        block = cfg.block_cols
+        chunk = block * n_rows
+        n_pad = _cdiv(n, chunk) * chunk
+
+        feats = extract_features(img2d, cfg)          # replicated, natural
+        feats_a = jnp.take(feats, idx_a, axis=0)
+        d = feats.shape[1]
+        feats_pad = jnp.zeros((n_pad, d), feats.dtype).at[:n].set(feats)
+
+        idx = jnp.arange(n_pad)
+        valid = (idx < n).astype(jnp.float32)
+        a_mask = jnp.zeros(n_pad, jnp.float32).at[idx_a].set(1.0)
+        b_mask = valid * (1.0 - a_mask)
+
+        kaa = affinity_strip(feats_a, feats_a, dtype)
+        kaa_solve = _make_kaa_solve(kaa, cfg.eig_tol, cfg.solver)
+
+        pN, pNd = P("rows"), P("rows", None)
+        rep, rep2 = P(), P(None, None)
+        mv = smap(partial(_mv, block=block), (rep2, pNd, pN), rep)
+        rmv = smap(partial(_rmv, block=block), (rep2, pNd, rep), pN)
+        gramf = smap(partial(_gram, block=block), (rep2, pNd, rep, pN), rep2)
+        colstats = smap(partial(_colstats, block=block),
+                        (rep2, pNd, rep2, pN, rep, pN), (rep, rep))
+        applyf = smap(partial(_apply, block=block),
+                      (rep2, pNd, rep2, rep, rep, pN), pN)
+
+        def ktilde_apply(s):
+            s_a = jnp.take(s, idx_a)
+            u = mv(feats_a, feats_pad, s * b_mask)
+            top = kaa @ s_a + u
+            t = s_a + kaa_solve(u)
+            bottom = rmv(feats_a, feats_pad, t) * b_mask
+            return bottom.at[idx_a].set(top)
+
+        if cfg.normalization == "sinkhorn":
+            def body(_, s):
+                ks = jnp.maximum(ktilde_apply(s), _EPS)
+                return jnp.sqrt(s / ks) * valid
+            s = jax.lax.fori_loop(0, cfg.sinkhorn_iters, body,
+                                  jnp.ones(n_pad, jnp.float32) * valid)
+        elif cfg.normalization == "symmetric":
+            s = jax.lax.rsqrt(jnp.maximum(ktilde_apply(valid), _EPS)) * valid
+        else:
+            s = valid
+        s_a = jnp.take(s, idx_a)
+        s_b_cols = s * b_mask
+
+        waa = kaa * (s_a[:, None] * s_a[None, :])
+        cross = gramf(feats_a, feats_pad, s_a, s_b_cols)
+        m = cfg.num_eigvecs
+        if cfg.solver in ("chol", "lobpcg"):
+            method = "lobpcg" if cfg.solver == "lobpcg" else "eigh"
+            vals_m, basis0 = nystrom_chol_factor(waa, cross, m, cfg.eig_tol,
+                                                 method)
+        else:
+            whalf = psd_pinv_sqrt(waa, cfg.eig_tol)
+            s_mat = waa + whalf @ cross @ whalf
+            s_mat = 0.5 * (s_mat + s_mat.T)
+            vals, vecs = jnp.linalg.eigh(s_mat)
+            vals_m = vals[::-1][:m]
+            basis0 = whalf @ (vecs[:, ::-1][:, :m]
+                              * trunc_inv_sqrt_vals(vals_m,
+                                                    cfg.eig_tol)[None, :])
+
+        v_a = waa @ basis0
+        y = img2d.astype(jnp.float32).ravel()
+        y_pad = jnp.zeros(n_pad, jnp.float32).at[:n].set(y)
+        y_a = jnp.take(y_pad, idx_a)
+
+        norms_b, coeffs_b = colstats(feats_a, feats_pad, basis0, y_pad,
+                                     s_a, s_b_cols)
+        dnorm = jnp.sum(v_a * v_a, axis=0) + norms_b
+        live = dnorm > _LIVE_NORM2
+        scale = jnp.where(live, 1.0 / jnp.sqrt(jnp.where(live, dnorm, 1.0)),
+                          0.0)
+        coeffs = scale * (v_a.T @ y_a + coeffs_b)
+
+        filt = FILTER_REGISTRY[cfg.filter_name]
+        fvals = filt.fn(vals_m, cfg.filter_param)
+        g = (fvals - 1.0) if filt.affine else fvals
+        wvec = scale * g * coeffs
+
+        z_a = v_a @ wvec
+        z_full = applyf(feats_a, feats_pad, basis0, wvec, s_a, s_b_cols)
+        z_full = z_full.at[idx_a].set(z_a)
+        if filt.affine:
+            z_full = z_full + y_pad
+        z = z_full[:n].reshape(h, w)
+        return jnp.clip(z, 0.0, 1.0), vals_m
+
+    return run
+
+
+def filter_image_streaming_sharded(image: np.ndarray, cfg: PipelineConfig,
+                                   plan, mesh):
+    """Host entry: one grayscale image through the rows-sharded streaming
+    pipeline."""
+    run = build_streaming_sharded(mesh, cfg)
+    z, vals = run(jnp.asarray(image, jnp.float32), jnp.asarray(plan.idx_a))
+    z = jax.block_until_ready(z)
+    return np.asarray(z), np.asarray(vals)

@@ -54,3 +54,18 @@ def test_output_is_committed_across_meshes(frames):
     z1, _ = filter_frames_sharded(frames, CFG, plan, make_mesh(8, 1))
     z2, _ = filter_frames_sharded(frames, CFG, plan, make_mesh(4, 2))
     np.testing.assert_allclose(z1, z2, atol=2e-4)
+
+
+def test_streaming_sharded_matches_single(frames):
+    """Rows-sharded STREAMING pipeline (config 4's 'row-blocks sharded'
+    contract) == single-device streaming/dense output."""
+    from graphlap_tpu.parallel.streaming_sharded import (
+        filter_image_streaming_sharded,
+    )
+    cfg = CFG.replace(streaming=True, block_cols=128, sinkhorn_iters=10)
+    plan = make_plan(frames[0], cfg)
+    ref = filter_image(frames[0], cfg, plan=plan)
+    for mesh in (make_mesh(8, 1), make_mesh(4, 2)):
+        z, vals = filter_image_streaming_sharded(frames[0], cfg, plan, mesh)
+        np.testing.assert_allclose(z, ref.image, atol=2e-4)
+        np.testing.assert_allclose(vals, ref.eigvals, atol=2e-4)
