@@ -83,7 +83,13 @@ def row5():
     return "cfg5_video_8x512", cfg, frames, frames
 
 
-ROWS = {"1": row1, "2": row2, "3": row3, "4": row4, "5": row5}
+def row4c():
+    """8 MP with the coarse (decimated) Sinkhorn accelerator."""
+    name, cfg, img, noisy = row4()
+    return "cfg4_8mp_coarse16", cfg.replace(sinkhorn_coarse=16), img, noisy
+
+
+ROWS = {"1": row1, "2": row2, "3": row3, "4": row4, "4c": row4c, "5": row5}
 
 
 def device_wall(image2d, cfg, plan) -> float:

@@ -52,6 +52,8 @@ class PipelineConfig:
     # --- eigensolve ---
     num_eigvecs: int = 50          # m, kept eigenpairs
     eig_tol: float = 3e-3         # relative spectral cutoff / ridge scale
+    lobpcg_iters: int = 60         # LOBPCG iteration cap (converges ~17-25
+                                   # on kernel spectra; headroom for tails)
     solver: str = "lobpcg"         # "chol" (1x eigh + Cholesky ridge: TPU-fast,
                                    #   backward-stable, exactly orthonormal V) |
                                    # "lobpcg" (DEFAULT: chol + top-m iterative
@@ -90,6 +92,8 @@ class PipelineConfig:
             raise ValueError("sample_rho must be in (0, 1]")
         if self.sinkhorn_coarse < 1:
             raise ValueError("sinkhorn_coarse must be >= 1")
+        if self.lobpcg_iters < 1:
+            raise ValueError("lobpcg_iters must be >= 1")
 
     def num_samples(self, n_pixels: int) -> int:
         """p = min(cap, ceil(rho * N)), at least num_eigvecs."""

@@ -58,7 +58,7 @@ def _filter_channel(img2d: jnp.ndarray, idx_a: jnp.ndarray, perm: jnp.ndarray,
         method = "lobpcg" if cfg.solver == "lobpcg" else "eigh"
         gdt = jnp.bfloat16 if cfg.affinity_dtype == "bfloat16" else jnp.float32
         basis = nystrom_eigh_chol(waa, wab, cfg.num_eigvecs, cfg.eig_tol,
-                                  method, gdt)
+                                  method, gdt, cfg.lobpcg_iters)
     else:
         basis = nystrom_eigh(waa, wab, cfg.num_eigvecs, cfg.eig_tol)
     y_perm = jnp.take(img2d.astype(jnp.float32).ravel(), perm)
@@ -142,7 +142,7 @@ def _stage_eigh(waa, wab, cfg: PipelineConfig):
         method = "lobpcg" if cfg.solver == "lobpcg" else "eigh"
         gdt = jnp.bfloat16 if cfg.affinity_dtype == "bfloat16" else jnp.float32
         return nystrom_eigh_chol(waa, wab, cfg.num_eigvecs, cfg.eig_tol,
-                                 method, gdt)
+                                 method, gdt, cfg.lobpcg_iters)
     return nystrom_eigh(waa, wab, cfg.num_eigvecs, cfg.eig_tol)
 
 

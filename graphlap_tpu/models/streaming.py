@@ -164,7 +164,7 @@ def filter_channel_streaming(img2d: jnp.ndarray, idx_a: jnp.ndarray,
     if cfg.solver in ("chol", "lobpcg"):
         method = "lobpcg" if cfg.solver == "lobpcg" else "eigh"
         vals_m, basis0 = nystrom_chol_factor(waa, cross, m, cfg.eig_tol,
-                                             method)
+                                             method, cfg.lobpcg_iters)
     else:
         whalf = psd_pinv_sqrt(waa, cfg.eig_tol)
         s_mat = waa + whalf @ cross @ whalf

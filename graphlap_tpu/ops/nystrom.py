@@ -118,7 +118,8 @@ def _ridge_eps(mat: jnp.ndarray, rel: float) -> jnp.ndarray:
 
 
 def nystrom_chol_factor(waa: jnp.ndarray, cross: jnp.ndarray, m: int,
-                        eig_tol: float, method: str = "eigh"):
+                        eig_tol: float, method: str = "eigh",
+                        lobpcg_iters: int = 60):
     """Shared chol/ridge core: (vals (m,), factor X (p, m)) with V = C X.
 
     ``cross`` is W_AB W_AB^T however the caller produced it (dense GEMM or
@@ -147,7 +148,8 @@ def nystrom_chol_factor(waa: jnp.ndarray, cross: jnp.ndarray, m: int,
         from jax.experimental.sparse.linalg import lobpcg_standard
 
         x0 = jax.random.normal(jax.random.PRNGKey(0), (p, m), m_mat.dtype)
-        vals_m, y_m, _ = lobpcg_standard(lambda v: m_mat @ v, x0, m=60)
+        vals_m, y_m, _ = lobpcg_standard(lambda v: m_mat @ v, x0,
+                                         m=lobpcg_iters)
         order = jnp.argsort(vals_m)[::-1]
         vals_m = vals_m[order]
         y_m = y_m[:, order]
@@ -176,9 +178,10 @@ def _cross_gemm(wab: jnp.ndarray, gemm_dtype) -> jnp.ndarray:
 
 def nystrom_eigh_chol(waa: jnp.ndarray, wab: jnp.ndarray, m: int,
                       eig_tol: float, method: str = "eigh",
-                      gemm_dtype=jnp.float32) -> EigenBasis:
+                      gemm_dtype=jnp.float32,
+                      lobpcg_iters: int = 60) -> EigenBasis:
     vals_m, x = nystrom_chol_factor(waa, _cross_gemm(wab, gemm_dtype), m,
-                                    eig_tol, method)
+                                    eig_tol, method, lobpcg_iters)
     v_a = waa @ x
     v_b = wab.T @ x
     return EigenBasis(vals=vals_m, vecs=jnp.concatenate([v_a, v_b], axis=0))
