@@ -37,10 +37,6 @@ def make_mesh(n_rows: int | None = None, n_data: int = 1,
     return Mesh(arr, ("data", "rows"))
 
 
-def row_sharding(mesh: Mesh, *spec) -> NamedSharding:
-    return NamedSharding(mesh, P(*spec))
-
-
 def shard(x, mesh: Mesh, *spec):
     """Constrain an intermediate to a named layout; XLA inserts collectives."""
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec)))

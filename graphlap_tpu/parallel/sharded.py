@@ -24,8 +24,6 @@ Krylov iteration (SURVEY.md §3.4).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
