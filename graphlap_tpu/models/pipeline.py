@@ -167,12 +167,23 @@ def compute_basis(image: np.ndarray, cfg: PipelineConfig,
     idx_a = jnp.asarray(plan.idx_a)
     perm = jnp.asarray(plan.perm)
 
-    def one(ch):
-        img2d = jnp.asarray(ch, jnp.float32)
-        kaa, kab = _stage_affinity(img2d, idx_a, perm, cfg)
-        waa, wab = _stage_normalize(kaa, kab, cfg)
-        basis = _stage_eigh(waa, wab, cfg)
-        return np.asarray(basis.vals), np.asarray(basis.vecs)
+    if cfg.streaming:
+        # strip-free basis (O(N m), never the (p, N) strip the streaming
+        # config was chosen to avoid); rows come back in natural order and
+        # are permuted here to the checkpoint's [A; B] convention
+        from .streaming import basis_channel_streaming
+
+        def one(ch):
+            img2d = jnp.asarray(ch, jnp.float32)
+            vals, vecs = basis_channel_streaming(img2d, idx_a, cfg)
+            return np.asarray(vals), np.asarray(vecs)[np.asarray(plan.perm)]
+    else:
+        def one(ch):
+            img2d = jnp.asarray(ch, jnp.float32)
+            kaa, kab = _stage_affinity(img2d, idx_a, perm, cfg)
+            waa, wab = _stage_normalize(kaa, kab, cfg)
+            basis = _stage_eigh(waa, wab, cfg)
+            return np.asarray(basis.vals), np.asarray(basis.vecs)
 
     if image.ndim == 2:
         return one(image)

@@ -22,6 +22,7 @@ the p-sized results back — everything N-sized is a contiguous mask.
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -42,11 +43,28 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def filter_channel_streaming(img2d: jnp.ndarray, idx_a: jnp.ndarray,
-                             perm: jnp.ndarray, inv_perm: jnp.ndarray,
-                             cfg: PipelineConfig):
-    """One grayscale channel, strip-free. Returns (z2d, vals)."""
+class StreamFactor(NamedTuple):
+    """Everything the streaming eigensolve produces, pre-filter: the p-sized
+    factor (V = [scaled extension] @ basis0), column scales, and the V^T y
+    coefficients. Shared by the filter path and the basis/checkpoint path."""
+
+    vals: jnp.ndarray        # (m,) eigenvalues, descending
+    basis0: jnp.ndarray      # (p, m) chol/one-shot factor
+    v_a: jnp.ndarray         # (p, m) A-rows of V (pre column-rescale)
+    scale: jnp.ndarray       # (m,) unit-norm column rescale (0 = dead col)
+    coeffs: jnp.ndarray      # (m,) scale * V^T y
+    s_a: jnp.ndarray         # (p,) Sinkhorn scale at samples
+    s_b_cols: jnp.ndarray    # (n_pad,) column scales (0 on A cols + padding)
+    feats_a: jnp.ndarray     # (p, d)
+    feats_pad: jnp.ndarray   # (n_pad, d)
+    y_pad: jnp.ndarray       # (n_pad,) input pixels, zero-padded
+    n: int                   # true pixel count (static)
+    block: int               # column-block width (static)
+
+
+def _factor_streaming(img2d: jnp.ndarray, idx_a: jnp.ndarray,
+                      cfg: PipelineConfig) -> StreamFactor:
+    """Affinity -> normalization -> Nystrom eigensolve, strip-free."""
     h, w = img2d.shape
     n = h * w
     p = idx_a.shape[0]
@@ -186,6 +204,22 @@ def filter_channel_streaming(img2d: jnp.ndarray, idx_a: jnp.ndarray,
     scale = jnp.where(live, 1.0 / jnp.sqrt(jnp.where(live, dnorm, 1.0)), 0.0)
 
     coeffs = scale * (v_a.T @ y_a + coeffs_b)         # vecs^T y, (m,)
+    return StreamFactor(vals=vals_m, basis0=basis0, v_a=v_a, scale=scale,
+                        coeffs=coeffs, s_a=s_a, s_b_cols=s_b_cols,
+                        feats_a=feats_a, feats_pad=feats_pad, y_pad=y_pad,
+                        n=n, block=block)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def filter_channel_streaming(img2d: jnp.ndarray, idx_a: jnp.ndarray,
+                             perm: jnp.ndarray, inv_perm: jnp.ndarray,
+                             cfg: PipelineConfig):
+    """One grayscale channel, strip-free. Returns (z2d, vals)."""
+    h, w = img2d.shape
+    fac = _factor_streaming(img2d, idx_a, cfg)
+    vals_m, basis0, v_a, scale, coeffs = (
+        fac.vals, fac.basis0, fac.v_a, fac.scale, fac.coeffs)
+    dtype = jnp.bfloat16 if cfg.affinity_dtype == "bfloat16" else jnp.float32
 
     # --- spectral filter, applied through the factor (no N x m array) ---
     filt = FILTER_REGISTRY[cfg.filter_name]
@@ -194,10 +228,25 @@ def filter_channel_streaming(img2d: jnp.ndarray, idx_a: jnp.ndarray,
     wvec = scale * g * coeffs                         # (m,)
 
     z_a = v_a @ wvec
-    z_full = st.rmat_apply(feats_a, feats_pad, basis0, wvec,
-                           s_a, s_b_cols, block, dtype)
+    z_full = st.rmat_apply(fac.feats_a, fac.feats_pad, basis0, wvec,
+                           fac.s_a, fac.s_b_cols, fac.block, dtype)
     z_full = z_full.at[idx_a].set(z_a)                # p scatter
     if filt.affine:
-        z_full = z_full + y_pad
-    z = z_full[:n].reshape(h, w)                      # natural order: no
+        z_full = z_full + fac.y_pad
+    z = z_full[:fac.n].reshape(h, w)                  # natural order: no
     return jnp.clip(z, 0.0, 1.0), vals_m              # un-permute gather
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def basis_channel_streaming(img2d: jnp.ndarray, idx_a: jnp.ndarray,
+                            cfg: PipelineConfig):
+    """Eigenbasis (vals (m,), vecs (N, m)) via the strip-free path, for
+    -save_basis on streaming-sized images (O(N m) output, never O(N p)).
+    vecs rows are in NATURAL pixel order — the caller permutes to the
+    checkpoint's [A; B] convention."""
+    fac = _factor_streaming(img2d, idx_a, cfg)
+    dtype = jnp.bfloat16 if cfg.affinity_dtype == "bfloat16" else jnp.float32
+    v = st.rmatmat(fac.feats_a, fac.feats_pad, fac.basis0,
+                   fac.s_a, fac.s_b_cols, fac.block, dtype)
+    v = v.at[idx_a].set(fac.v_a)                      # p scatter of A rows
+    return fac.vals, v[:fac.n] * fac.scale[None, :]

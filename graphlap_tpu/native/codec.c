@@ -39,12 +39,18 @@ static int skip_ws_comments(const unsigned char *buf, Py_ssize_t len,
     return -1;
 }
 
+/* Dimensions/maxval above this are rejected: caps w*h*channels well under
+ * Py_ssize_t and keeps the accumulation below from overflowing signed long
+ * (UB) on adversarial headers. */
+#define NETPBM_MAX_INT (1L << 30)
+
 static long parse_int(const unsigned char *buf, Py_ssize_t len,
                       Py_ssize_t *pos) {
     if (skip_ws_comments(buf, len, pos) < 0) return -1;
     long v = 0;
     int any = 0;
     while (*pos < len && buf[*pos] >= '0' && buf[*pos] <= '9') {
+        if (v >= NETPBM_MAX_INT) return -1;  /* before the UB, not after */
         v = v * 10 + (buf[*pos] - '0');
         (*pos)++;
         any = 1;
@@ -78,6 +84,14 @@ static PyObject *read_netpbm(PyObject *self, PyObject *args) {
     }
     pos++; /* single whitespace after maxval */
     int two_byte = maxval > 255;
+    /* division-based overflow check before allocating (w, h < 2^30 each,
+     * but their product can still exceed Py_ssize_t on 32-bit builds and
+     * is absurd for an image either way) */
+    if ((Py_ssize_t)w > (PY_SSIZE_T_MAX / 16) / h / channels) {
+        PyBuffer_Release(&view);
+        PyErr_SetString(PyExc_ValueError, "netpbm dimensions too large");
+        return NULL;
+    }
     Py_ssize_t npix = (Py_ssize_t)w * h * channels;
     Py_ssize_t need = npix * (two_byte ? 2 : 1);
     if (len - pos < need) {
@@ -110,6 +124,13 @@ static PyObject *write_netpbm(PyObject *self, PyObject *args) {
     Py_buffer data;
     if (!PyArg_ParseTuple(args, "lliy*", &w, &h, &channels, &data))
         return NULL;
+    if (w <= 0 || h <= 0 || w >= NETPBM_MAX_INT || h >= NETPBM_MAX_INT ||
+        (channels != 1 && channels != 3) ||
+        (Py_ssize_t)w > (PY_SSIZE_T_MAX / 16) / h / channels) {
+        PyBuffer_Release(&data);
+        PyErr_SetString(PyExc_ValueError, "bad dimensions or channels");
+        return NULL;
+    }
     Py_ssize_t npix = (Py_ssize_t)w * h * channels;
     if (data.len != npix * (Py_ssize_t)sizeof(double) ||
         (channels != 1 && channels != 3)) {

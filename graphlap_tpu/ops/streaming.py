@@ -126,6 +126,26 @@ def rmatmat_colstats(feats_a, feats_pad, g, y, row_scale, col_scale, block,
     return norms, coeffs
 
 
+def rmatmat(feats_a, feats_pad, g, row_scale, col_scale, block, dtype):
+    """(D_c C^T D_r) G -> (n_pad, m), MATERIALIZED blockwise.
+
+    Only used when the caller explicitly wants the (N, m) eigenbasis in HBM
+    (checkpoint/-save_basis path) — the filter itself never materializes V
+    (rmat_apply / rmatmat_colstats above). O(N m) output; fine even at 8 MP
+    (m=50 -> 1.6 GB f32), unlike the O(N p) strip."""
+    fb = _blocks(feats_pad, block)
+    cs = col_scale.astype(dtype).reshape(fb.shape[0], block)
+    gr = g * row_scale[:, None]
+
+    def body(_, xs):
+        f, c = xs
+        kb = _kernel_blk(feats_a, f, dtype) * c[:, None].T
+        return None, _dot(kb.T, gr, dtype)
+
+    _, out = jax.lax.scan(body, None, (fb, cs))
+    return out.reshape(-1, g.shape[1])
+
+
 def sinkhorn_coarse_step(feats_a, feats_c, t, mask_c, ratio, block, dtype):
     """One coarse Sinkhorn contraction: u = ratio * K_c @ (mask_c / (K_c^T t)).
 

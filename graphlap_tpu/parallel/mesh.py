@@ -28,10 +28,23 @@ def make_mesh(n_rows: int | None = None, n_data: int = 1,
     reference's only strategy).
     """
     devices = list(devices if devices is not None else jax.devices())
+    if n_data < 1:
+        raise ValueError(f"n_data must be >= 1, got {n_data}")
     if n_rows is None:
+        if len(devices) % n_data != 0:
+            raise ValueError(
+                f"n_data={n_data} does not divide the {len(devices)} available "
+                f"device(s) ({devices[0].platform}); pass n_rows explicitly or "
+                f"choose a divisor of the device count")
         n_rows = len(devices) // n_data
     if n_rows * n_data != len(devices):
-        devices = devices[: n_rows * n_data]
+        raise ValueError(
+            f"mesh shape (data={n_data}, rows={n_rows}) needs "
+            f"{n_rows * n_data} devices but {len(devices)} "
+            f"{devices[0].platform} device(s) are available; on a short "
+            f"platform force virtual CPU devices first "
+            f"(XLA_FLAGS=--xla_force_host_platform_device_count=K plus "
+            f'jax.config.update("jax_platforms", "cpu") before first JAX use)')
     import numpy as np
     arr = np.array(devices).reshape(n_data, n_rows)
     return Mesh(arr, ("data", "rows"))

@@ -84,6 +84,24 @@ def test_chol_projection_filters_tight(img96, name, param):
     assert psnr(orc, res.image) >= 90.0
 
 
+def test_lobpcg_iterative_branch_matches_chol():
+    """Exercise the ACTUAL LOBPCG iteration (p > 5m), not the dense-eigh
+    fallback every small config hits — the production default at
+    p ~ 5k / m = 50 runs this branch (ADVICE round 1: it had zero coverage).
+    64x64 @ rho=0.5 -> p = 2048 >> 5*8."""
+    img = make_test_image(64, 64, seed=7)
+    noisy = np.clip(add_gaussian_noise(img, 0.1, seed=7), 0, 1)
+    base = PipelineConfig(kernel="nlm", h=0.25, sample_rho=0.5,
+                          num_eigvecs=8, sinkhorn_iters=10)
+    plan_p = base.num_samples(64 * 64)
+    assert 5 * base.num_eigvecs < plan_p, plan_p   # iterative branch live
+    res_lob = filter_image(noisy, base.replace(solver="lobpcg"))
+    res_chol = filter_image(noisy, base.replace(solver="chol"))
+    np.testing.assert_allclose(res_lob.eigvals, res_chol.eigvals,
+                               rtol=1e-4, atol=1e-5)
+    assert np.abs(res_lob.image - res_chol.image).max() < 1e-3
+
+
 def test_oneshot_still_available(img96):
     img, noisy = img96
     cfg = CONFIG2.replace(solver="oneshot")

@@ -28,6 +28,36 @@ def test_dryrun_multichip_two():
     ge.dryrun_multichip(2)
 
 
+def test_dryrun_multichip_bare_subprocess():
+    """The driver's invocation mode: a clean interpreter with NO conftest
+    env (no XLA_FLAGS, no JAX_PLATFORMS). Round 1 shipped a dryrun that
+    only worked under pytest and went red in MULTICHIP_r01.json; this test
+    reproduces the driver's call exactly."""
+    import os
+    import subprocess
+    root = Path(__file__).parent.parent
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS",
+                        "_GRAPHLAP_DRYRUN_SUBPROC")}
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", str(root / ".jax_cache"))
+    code = "import __graft_entry__ as g; g.dryrun_multichip(8)"
+    r = subprocess.run([sys.executable, "-c", code], cwd=str(root), env=env,
+                       capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, f"stderr:\n{r.stderr[-3000:]}"
+    assert "dryrun_multichip OK" in r.stdout
+
+
+def test_make_mesh_validates_device_count():
+    import pytest
+    from graphlap_tpu.parallel.mesh import make_mesh
+    with pytest.raises(ValueError, match="devices"):
+        make_mesh(n_rows=3, n_data=2)      # 6 != 8 fake devices
+    with pytest.raises(ValueError, match="divide"):
+        make_mesh(n_data=3)                # 3 does not divide 8
+    with pytest.raises(ValueError, match="devices"):
+        make_mesh(n_rows=2, n_data=1, devices=jax.devices()[:1])
+
+
 def test_bench_contract_keys():
     """bench.py main() must print one JSON object with the driver keys."""
     import bench

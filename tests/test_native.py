@@ -56,6 +56,17 @@ def test_rejects_garbage():
         read_netpbm(b"P5\n10 10\n255\n\x00\x01")  # truncated
 
 
+def test_rejects_adversarial_dims():
+    """Overflow-bait headers must raise cleanly (no UB/crash): huge single
+    dims, and dims whose PRODUCT overflows before the payload check."""
+    for header in (b"P5\n99999999999999999999 1\n255\n",       # > long
+                   b"P5\n1073741825 1\n255\n",                  # > 2^30 cap
+                   b"P6\n1000000000 1000000000\n255\n",         # w*h*3 ovfl
+                   b"P5\n1 1\n99999999999\n"):                  # maxval ovfl
+        with pytest.raises(ValueError):
+            read_netpbm(header + b"\x00" * 16)
+
+
 def test_noise_deterministic_unbiased():
     img = np.full((64, 64), 0.5)
     n1 = add_noise_native(img, 0.1, seed=9)

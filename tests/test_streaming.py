@@ -58,6 +58,33 @@ def test_streaming_pallas_matvecs_match(noisy):
     np.testing.assert_allclose(pal.eigvals, xla.eigvals, atol=3e-4)
 
 
+def test_streaming_compute_basis_matches_dense(noisy):
+    """-save_basis on a streaming config must go through the strip-free
+    path (ADVICE round 1: it silently materialized the dense strip) and
+    produce a basis whose filter replays match the dense basis."""
+    from graphlap_tpu.models.pipeline import compute_basis
+    from graphlap_tpu.utils.checkpoint import SavedBasis, filter_with_basis
+
+    cfg = PipelineConfig(kernel="nlm", h=0.25, sample_rho=0.03,
+                         num_eigvecs=16, sinkhorn_iters=10)
+    plan = make_plan(noisy, cfg)
+    vals_d, vecs_d = compute_basis(noisy, cfg, plan=plan)
+    vals_s, vecs_s = compute_basis(
+        noisy, cfg.replace(streaming=True, block_cols=640), plan=plan)
+    np.testing.assert_allclose(vals_s, vals_d, rtol=1e-4, atol=3e-4)
+
+    def replay(vals, vecs, name, param):
+        b = SavedBasis(vals=vals, vecs=vecs, perm=plan.perm,
+                       inv_perm=plan.inv_perm, height=64, width=64,
+                       config_hash="x")
+        return filter_with_basis(noisy, b, name, param)
+
+    for name, param in (("identity", 0.0), ("sharpen", 0.6)):
+        zd = replay(vals_d, vecs_d, name, param)
+        zs = replay(vals_s, vecs_s, name, param)
+        np.testing.assert_allclose(zs, zd, atol=1e-3)
+
+
 def test_streaming_rgb(noisy):
     img = make_test_image(32, 32, channels=3, seed=12)
     cfg = PipelineConfig(kernel="nlm", h=0.25, sample_rho=0.05,
