@@ -46,11 +46,20 @@ def filter_video(frames: np.ndarray, cfg: PipelineConfig,
         frames_per_step = max(n_data, 1)
     step = max((frames_per_step // n_data) * n_data, n_data)
 
-    run = build_sharded_pipeline(mesh, cfg)
     import jax.numpy as jnp
     idx_a = jnp.asarray(plan.idx_a)
-    perm = jnp.asarray(plan.perm)
-    inv_perm = jnp.asarray(plan.inv_perm)
+    if cfg.streaming:
+        # strip-free batched path: frames on 'data', pixel blocks on 'rows'
+        # (config 5's real shape — a 4K frame's dense strip is ~136 GB f32,
+        # so the dense path below cannot run it at all)
+        from ..parallel.streaming_sharded import build_streaming_sharded_batch
+        srun = build_streaming_sharded_batch(mesh, cfg)
+        run = lambda ch: srun(ch, idx_a)
+    else:
+        drun = build_sharded_pipeline(mesh, cfg)
+        perm = jnp.asarray(plan.perm)
+        inv_perm = jnp.asarray(plan.inv_perm)
+        run = lambda ch: drun(ch, idx_a, perm, inv_perm)
 
     outs, vals = [], []
     for lo in range(0, b, step):
@@ -58,9 +67,58 @@ def filter_video(frames: np.ndarray, cfg: PipelineConfig,
         pad = (-len(chunk)) % step
         if pad:                      # keep the compiled shape static
             chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
-        z, v = run(jnp.asarray(chunk), idx_a, perm, inv_perm)
+        z, v = run(jnp.asarray(chunk))
         z = np.asarray(z)[: len(chunk) - pad if pad else len(chunk)]
         v = np.asarray(v)[: z.shape[0]]
         outs.append(z)
         vals.append(v)
     return np.concatenate(outs), np.concatenate(vals)
+
+
+def filter_video_multihost(local_frames: np.ndarray, cfg: PipelineConfig,
+                           mesh, plan: SamplePlan | None = None):
+    """Multi-process entry (DCN analogue of the reference's MPI launch,
+    SURVEY.md §5 comm-backend row): every process passes its LOCAL
+    (B_local, H, W) frame shard; the shards are assembled into one global
+    jax.Array over the mesh's ``data`` axis
+    (``jax.make_array_from_process_local_data`` — never a replicated copy),
+    the sharded jit runs once across all processes, and the full output is
+    allgathered back to every process.
+
+    Requires ``jax.distributed.initialize()`` to have run (see
+    scripts/multihost_launch.py) and the mesh to span all processes'
+    devices. B_global = B_local * process_count must be divisible by the
+    mesh's data-axis size. Returns (frames (B_global, H, W), vals)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    local_frames = np.asarray(local_frames, np.float32)
+    if local_frames.ndim != 3:
+        raise ValueError(f"expected (B_local, H, W), got {local_frames.shape}")
+    nproc = jax.process_count()
+    b_global = local_frames.shape[0] * nproc
+    n_data = mesh.devices.shape[0]
+    if b_global % n_data != 0:
+        raise ValueError(f"B_global={b_global} not divisible by mesh "
+                         f"data axis {n_data}")
+    if plan is None:
+        plan = make_plan(local_frames[0], cfg)   # shape-only: identical on
+                                                 # every process by design
+    sharding = NamedSharding(mesh, P("data", None, None))
+    global_frames = jax.make_array_from_process_local_data(
+        sharding, local_frames, (b_global, *local_frames.shape[1:]))
+
+    idx_a = jnp.asarray(plan.idx_a)
+    if cfg.streaming:
+        from ..parallel.streaming_sharded import build_streaming_sharded_batch
+        run = build_streaming_sharded_batch(mesh, cfg)
+        z, vals = run(global_frames, idx_a)
+    else:
+        run = build_sharded_pipeline(mesh, cfg)
+        z, vals = run(global_frames, idx_a, jnp.asarray(plan.perm),
+                      jnp.asarray(plan.inv_perm))
+    z = multihost_utils.process_allgather(z, tiled=True)
+    vals = multihost_utils.process_allgather(vals, tiled=True)
+    return np.asarray(z), np.asarray(vals)

@@ -31,6 +31,7 @@ from ..ops.filters import FILTER_REGISTRY
 from ..ops.linalg import psd_pinv_sqrt, trunc_inv_sqrt_vals
 from ..ops.nystrom import _LIVE_NORM2, nystrom_chol_factor
 from ..ops.sinkhorn import _make_kaa_solve
+from .mesh import shard
 
 _EPS = 1e-30
 
@@ -172,6 +173,176 @@ def build_streaming_sharded(mesh, cfg: PipelineConfig):
         if filt.affine:
             z_full = z_full + y_pad
         z = z_full[:n].reshape(h, w)
+        return jnp.clip(z, 0.0, 1.0), vals_m
+
+    return run
+
+
+def build_streaming_sharded_batch(mesh, cfg: PipelineConfig):
+    """Batched variant: frames on mesh axis ``data``, pixel blocks on
+    ``rows`` — BASELINE config 5's real shape ("16x 4K frames ... multi-host
+    v4-32"). A 4K frame is streaming-only territory (the dense strip at
+    p=4096 is ~136 GB f32 per frame), so this is strip-free like the
+    single-frame path above, with a leading batch axis on every operator:
+    each scan step now computes a (B_local, p, block) kernel-tile batch —
+    bigger MXU work per dispatch — and the p-sized eigensolves run as one
+    batched (B_local, p, p) solve per rows-group.
+
+    Returns a jitted fn (frames (B, H, W) f32, idx_a (p,)) -> (z, vals)."""
+
+    dtype = jnp.bfloat16 if cfg.affinity_dtype == "bfloat16" else jnp.float32
+    n_rows = int(np.prod([s for name, s in zip(mesh.axis_names,
+                                               mesh.devices.shape)
+                          if name == "rows"]))
+
+    def smap(fn, in_specs, out_specs):
+        # check_vma off, same reason as the single-frame wrapper above; the
+        # batched path is guarded by the same cross-mesh equivalence tests
+        return shard_map(fn, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)
+
+    ones_p = lambda fa: jnp.ones(fa.shape[0], jnp.float32)
+
+    def _mv(fa, f_loc, v_loc, block):
+        u = jax.vmap(lambda a, f, v: st.matvec(
+            a, f, v, ones_p(a), jnp.ones_like(v), block, dtype)
+        )(fa, f_loc, v_loc)
+        return jax.lax.psum(u, "rows")
+
+    def _rmv(fa, f_loc, t, block):
+        return jax.vmap(lambda a, f, tt: st.rmatvec(
+            a, f, tt, ones_p(a), jnp.ones_like(f[:, 0]), block, dtype)
+        )(fa, f_loc, t)
+
+    def _gram(fa, f_loc, s_a, cols_loc, block):
+        g = jax.vmap(lambda a, f, sa, c: st.gram(a, f, sa, c, block, dtype)
+                     )(fa, f_loc, s_a, cols_loc)
+        return jax.lax.psum(g, "rows")
+
+    def _colstats(fa, f_loc, basis, y_loc, s_a, cols_loc, block):
+        norms, coeffs = jax.vmap(
+            lambda a, f, g, y, sa, c: st.rmatmat_colstats(
+                a, f, g, y, sa, c, block, dtype)
+        )(fa, f_loc, basis, y_loc, s_a, cols_loc)
+        return jax.lax.psum(norms, "rows"), jax.lax.psum(coeffs, "rows")
+
+    def _apply(fa, f_loc, basis, w, s_a, cols_loc, block):
+        return jax.vmap(lambda a, f, g, wv, sa, c: st.rmat_apply(
+            a, f, g, wv, sa, c, block, dtype)
+        )(fa, f_loc, basis, w, s_a, cols_loc)
+
+    @jax.jit
+    def run(frames, idx_a):
+        bsz, h, w = frames.shape
+        n = h * w
+        p = idx_a.shape[0]
+        block = cfg.block_cols
+        chunk = block * n_rows
+        n_pad = _cdiv(n, chunk) * chunk
+
+        frames = shard(frames.astype(jnp.float32), mesh, "data", None, None)
+        feats = jax.vmap(lambda im: extract_features(im, cfg))(frames)
+        feats_a = jnp.take(feats, idx_a, axis=1)              # (B, p, d)
+        d = feats.shape[2]
+        feats_pad = jnp.zeros((bsz, n_pad, d), feats.dtype).at[:, :n].set(feats)
+
+        idx = jnp.arange(n_pad)
+        valid = (idx < n).astype(jnp.float32)
+        a_mask = jnp.zeros(n_pad, jnp.float32).at[idx_a].set(1.0)
+        b_mask = valid * (1.0 - a_mask)
+
+        kaa = jax.vmap(lambda a: affinity_strip(a, a, dtype))(feats_a)
+        if cfg.solver in ("chol", "lobpcg"):
+            import jax.scipy.linalg as jsl
+            eps = cfg.eig_tol * jnp.max(jnp.sum(jnp.abs(kaa), axis=2), axis=1)
+            lchol = jnp.linalg.cholesky(
+                kaa + eps[:, None, None] * jnp.eye(p, dtype=kaa.dtype))
+            kaa_solve = jax.vmap(lambda lf, uf: jsl.cho_solve((lf, True), uf))
+            solve = lambda u: kaa_solve(lchol, u)
+        else:
+            from ..ops.linalg import psd_pinv
+            pinv = jax.vmap(lambda k: psd_pinv(k, cfg.eig_tol))(kaa)
+            solve = lambda u: jnp.einsum("bij,bj->bi", pinv, u)
+
+        dB, dB2, dB3 = P("data"), P("data", None, None), P("data", None)
+        pB, pBd = P("data", "rows"), P("data", "rows", None)
+        mv = smap(partial(_mv, block=block), (dB2, pBd, pB), dB3)
+        rmv = smap(partial(_rmv, block=block), (dB2, pBd, dB3), pB)
+        gramf = smap(partial(_gram, block=block), (dB2, pBd, dB3, pB), dB2)
+        colstats = smap(partial(_colstats, block=block),
+                        (dB2, pBd, dB2, pB, dB3, pB), (dB3, dB3))
+        applyf = smap(partial(_apply, block=block),
+                      (dB2, pBd, dB2, dB3, dB3, pB), pB)
+
+        def ktilde_apply(s):                                  # (B, n_pad)
+            s_a = jnp.take(s, idx_a, axis=1)
+            u = mv(feats_a, feats_pad, s * b_mask[None, :])
+            top = jnp.einsum("bij,bj->bi", kaa, s_a) + u
+            t = s_a + solve(u)
+            bottom = rmv(feats_a, feats_pad, t) * b_mask[None, :]
+            return bottom.at[:, idx_a].set(top)
+
+        if cfg.normalization == "sinkhorn":
+            def body(_, s):
+                ks = jnp.maximum(ktilde_apply(s), _EPS)
+                return jnp.sqrt(s / ks) * valid[None, :]
+            s = jax.lax.fori_loop(
+                0, cfg.sinkhorn_iters, body,
+                jnp.broadcast_to(valid, (bsz, n_pad)).astype(jnp.float32))
+        elif cfg.normalization == "symmetric":
+            s = jax.lax.rsqrt(jnp.maximum(
+                ktilde_apply(jnp.broadcast_to(valid, (bsz, n_pad))), _EPS)
+            ) * valid[None, :]
+        else:
+            s = jnp.broadcast_to(valid, (bsz, n_pad)).astype(jnp.float32)
+        s_a = jnp.take(s, idx_a, axis=1)
+        s_b_cols = s * b_mask[None, :]
+
+        waa = kaa * (s_a[:, :, None] * s_a[:, None, :])
+        cross = gramf(feats_a, feats_pad, s_a, s_b_cols)
+        m = cfg.num_eigvecs
+        if cfg.solver in ("chol", "lobpcg"):
+            method = "lobpcg" if cfg.solver == "lobpcg" else "eigh"
+            vals_m, basis0 = jax.vmap(
+                lambda a, c: nystrom_chol_factor(a, c, m, cfg.eig_tol,
+                                                 method, cfg.lobpcg_iters)
+            )(waa, cross)
+        else:
+            def oneshot(a, c):
+                whalf = psd_pinv_sqrt(a, cfg.eig_tol)
+                s_mat = a + whalf @ c @ whalf
+                s_mat = 0.5 * (s_mat + s_mat.T)
+                vals, vecs = jnp.linalg.eigh(s_mat)
+                vm = vals[::-1][:m]
+                b0 = whalf @ (vecs[:, ::-1][:, :m]
+                              * trunc_inv_sqrt_vals(vm, cfg.eig_tol)[None, :])
+                return vm, b0
+            vals_m, basis0 = jax.vmap(oneshot)(waa, cross)
+
+        v_a = jnp.matmul(waa, basis0)                         # (B, p, m)
+        y = frames.reshape(bsz, n)
+        y_pad = jnp.zeros((bsz, n_pad), jnp.float32).at[:, :n].set(y)
+        y_a = jnp.take(y_pad, idx_a, axis=1)
+
+        norms_b, coeffs_b = colstats(feats_a, feats_pad, basis0, y_pad,
+                                     s_a, s_b_cols)
+        dnorm = jnp.sum(v_a * v_a, axis=1) + norms_b          # (B, m)
+        live = dnorm > _LIVE_NORM2
+        scale = jnp.where(live, 1.0 / jnp.sqrt(jnp.where(live, dnorm, 1.0)),
+                          0.0)
+        coeffs = scale * (jnp.einsum("bpm,bp->bm", v_a, y_a) + coeffs_b)
+
+        filt = FILTER_REGISTRY[cfg.filter_name]
+        fvals = filt.fn(vals_m, cfg.filter_param)
+        g = (fvals - 1.0) if filt.affine else fvals
+        wvec = scale * g * coeffs                             # (B, m)
+
+        z_a = jnp.einsum("bpm,bm->bp", v_a, wvec)
+        z_full = applyf(feats_a, feats_pad, basis0, wvec, s_a, s_b_cols)
+        z_full = z_full.at[:, idx_a].set(z_a)
+        if filt.affine:
+            z_full = z_full + y_pad
+        z = z_full[:, :n].reshape(bsz, h, w)
         return jnp.clip(z, 0.0, 1.0), vals_m
 
     return run

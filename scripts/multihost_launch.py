@@ -9,17 +9,22 @@ JAX process group over DCN, and the (data, rows) mesh spans all chips.
     python scripts/multihost_launch.py --frames frames.npy --out out.npy \
         [--coordinator host0:1234 --num_processes 4 --process_id $ID]
 
-Each host feeds its local frame shard; XLA handles cross-host collectives.
+``--frames`` holds the GLOBAL batch; each process slices out and feeds its
+own contiguous frame shard, and the shards are stitched into one global
+jax.Array (models/video.py::filter_video_multihost) — no replicated copies
+cross the DCN. Validated by tests/test_multihost.py as a real 2-process
+group on localhost CPU (the cluster-simulation strategy of SURVEY.md §4.3).
 """
 
 from __future__ import annotations
 
 import argparse
+import os
 
 import numpy as np
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", required=True, help=".npy of (B, H, W) frames")
     ap.add_argument("--out", required=True)
@@ -30,11 +35,31 @@ def main():
     ap.add_argument("--kernel", default="nlm")
     ap.add_argument("--sample", type=float, default=0.01)
     ap.add_argument("--eigvals", type=int, default=50)
+    ap.add_argument("--sinkhorn_iters", type=int, default=20)
+    ap.add_argument("--streaming", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="strip-free path (required for 4K-class frames; "
+                         "--no-streaming uses the dense sharded pipeline)")
+    ap.add_argument("--block_cols", type=int, default=65536)
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=("float32", "bfloat16"))
     ap.add_argument("--n_data", type=int, default=None,
                     help="mesh data-axis size (default: #processes)")
-    args = ap.parse_args()
+    ap.add_argument("--cpu_devices", type=int, default=0,
+                    help="force N virtual CPU devices per process "
+                         "(cluster simulation on localhost)")
+    args = ap.parse_args(argv)
 
+    if args.cpu_devices:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.cpu_devices}"
+        ).strip()
     import jax
+    if args.cpu_devices:
+        jax.config.update("jax_platforms", "cpu")
+        # cross-process CPU collectives need an explicit implementation
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
     if args.coordinator:
         jax.distributed.initialize(
             coordinator_address=args.coordinator,
@@ -44,17 +69,28 @@ def main():
         jax.distributed.initialize()    # TPU pod auto-detection
 
     import graphlap_tpu as gl
-    from graphlap_tpu.models.video import filter_video
+    from graphlap_tpu.models.video import filter_video_multihost
     from graphlap_tpu.parallel.mesh import make_mesh
 
     frames = np.load(args.frames)
+    nproc = jax.process_count()
+    if frames.shape[0] % nproc != 0:
+        raise SystemExit(f"frame count {frames.shape[0]} not divisible by "
+                         f"{nproc} processes")
+    b_local = frames.shape[0] // nproc
+    local = frames[jax.process_index() * b_local:
+                   (jax.process_index() + 1) * b_local]
+
     cfg = gl.PipelineConfig(kernel=args.kernel, sample_rho=args.sample,
                             num_eigvecs=args.eigvals,
-                            affinity_dtype="bfloat16", streaming=False)
-    n_data = args.n_data or jax.process_count()
+                            sinkhorn_iters=args.sinkhorn_iters,
+                            affinity_dtype=args.dtype,
+                            streaming=args.streaming,
+                            block_cols=args.block_cols)
+    n_data = args.n_data or nproc
     mesh = make_mesh(n_data=n_data,
                      n_rows=len(jax.devices()) // n_data)
-    out, _ = filter_video(frames, cfg, mesh=mesh)
+    out, _ = filter_video_multihost(local, cfg, mesh)
     if jax.process_index() == 0:
         np.save(args.out, out)
         print(f"wrote {args.out} {out.shape}")

@@ -1,0 +1,74 @@
+"""Real multi-process (DCN-analogue) smoke: 2 jax.distributed processes on
+localhost CPU, each with 4 virtual devices, driving the config-5 batched
+pipeline through scripts/multihost_launch.py (SURVEY.md §4.3: simulate the
+cluster you don't have). Asserts the multi-process pixels match the
+single-process filter_video output."""
+
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+ROOT = Path(__file__).parent.parent
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.parametrize("streaming", [True, False])
+def test_two_process_launch_matches_single(tmp_path, streaming):
+    from graphlap_tpu import add_gaussian_noise, make_test_image
+    from graphlap_tpu.config import PipelineConfig
+    from graphlap_tpu.models.pipeline import make_plan
+    from graphlap_tpu.models.video import filter_video
+    from graphlap_tpu.parallel.mesh import make_mesh
+
+    frames = np.stack([
+        np.clip(add_gaussian_noise(make_test_image(32, 32, seed=s), 0.1,
+                                   seed=s), 0, 1)
+        for s in range(4)
+    ]).astype(np.float32)
+    fpath = tmp_path / "frames.npy"
+    np.save(fpath, frames)
+
+    port = _free_port()
+    procs = []
+    env_base = {k: v for k, v in os.environ.items()
+                if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env_base.setdefault("JAX_COMPILATION_CACHE_DIR", str(ROOT / ".jax_cache"))
+    for pid in range(2):
+        out = tmp_path / f"out{pid}.npy"
+        cmd = [sys.executable, str(ROOT / "scripts" / "multihost_launch.py"),
+               "--frames", str(fpath), "--out", str(out),
+               "--coordinator", f"127.0.0.1:{port}",
+               "--num_processes", "2", "--process_id", str(pid),
+               "--cpu_devices", "4", "--sample", "0.03", "--eigvals", "8",
+               "--sinkhorn_iters", "8", "--dtype", "float32",
+               "--block_cols", "128",
+               "--streaming" if streaming else "--no-streaming"]
+        procs.append(subprocess.Popen(cmd, cwd=str(ROOT), env=env_base,
+                                      stdout=subprocess.PIPE,
+                                      stderr=subprocess.STDOUT, text=True))
+    logs = []
+    for p in procs:
+        out_text, _ = p.communicate(timeout=600)
+        logs.append(out_text)
+    assert all(p.returncode == 0 for p in procs), \
+        "\n---\n".join(t[-3000:] for t in logs)
+
+    got = np.load(tmp_path / "out0.npy")
+    cfg = PipelineConfig(kernel="nlm", sample_rho=0.03, num_eigvecs=8,
+                         sinkhorn_iters=8, affinity_dtype="float32",
+                         streaming=streaming, block_cols=128)
+    plan = make_plan(frames[0], cfg)
+    want, _ = filter_video(frames, cfg, mesh=make_mesh(n_rows=4, n_data=2),
+                           plan=plan, frames_per_step=4)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=3e-4)

@@ -32,3 +32,43 @@ def test_video_batch_matches_per_frame():
 def test_video_rejects_bad_shape():
     with pytest.raises(ValueError):
         filter_video(np.zeros((8, 8)), CFG)
+
+
+def test_video_streaming_batch_matches_per_frame():
+    """Config 5's real path: frames on 'data', pixel blocks on 'rows',
+    strip-free. Must equal the single-image streaming path per frame."""
+    scfg = CFG.replace(streaming=True, block_cols=128)
+    frames = np.stack([
+        np.clip(add_gaussian_noise(make_test_image(32, 32, seed=s), 0.1,
+                                   seed=s), 0, 1)
+        for s in range(5)
+    ])
+    plan = make_plan(frames[0], scfg)
+    mesh = make_mesh(n_rows=4, n_data=2)
+    out, vals = filter_video(frames, scfg, mesh=mesh, plan=plan,
+                             frames_per_step=4)   # 2 chunks + padding
+    assert out.shape == frames.shape
+    assert vals.shape == (5, scfg.num_eigvecs)
+    for i in range(5):
+        ref = filter_image(frames[i], scfg, plan=plan)
+        np.testing.assert_allclose(out[i], ref.image, atol=3e-4)
+
+
+@pytest.mark.parametrize("filter_name,param", [("identity", 0.0),
+                                               ("sharpen", 0.6)])
+def test_video_streaming_batch_filters(filter_name, param):
+    """Projection AND affine filters through the batched streaming path,
+    rows-only mesh (the 1-real-chip bench shape class)."""
+    scfg = CFG.replace(streaming=True, block_cols=256,
+                       filter_name=filter_name, filter_param=param)
+    frames = np.stack([
+        np.clip(add_gaussian_noise(make_test_image(32, 32, seed=s), 0.1,
+                                   seed=s), 0, 1)
+        for s in range(3)
+    ])
+    plan = make_plan(frames[0], scfg)
+    out, _ = filter_video(frames, scfg, mesh=make_mesh(n_rows=8, n_data=1),
+                          plan=plan, frames_per_step=3)
+    for i in range(3):
+        ref = filter_image(frames[i], scfg, plan=plan)
+        np.testing.assert_allclose(out[i], ref.image, atol=3e-4)
