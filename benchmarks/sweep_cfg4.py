@@ -1,0 +1,102 @@
+"""cfg4 (8 MP) recipe sweep: device wall + parity of each accelerator stack.
+
+Runs the gate-compliant f32 exact-Sinkhorn streaming pipeline once as the
+parity reference, then each candidate recipe (bf16, coarse Sinkhorn k,
+coarse gram k_g), recording device wall, PSNR vs clean, and PSNR delta /
+agreement vs the f32 reference. Picks the recipe for the headline row with
+a measured parity bound attached (VERDICT r1 items 5+6).
+
+    python benchmarks/sweep_cfg4.py            # real TPU
+Appends to benchmarks/results/cfg4_sweep.jsonl.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from pathlib import Path
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      str(Path(__file__).parent.parent / ".jax_cache"))
+
+import numpy as np
+
+RESULTS = Path(__file__).parent / "results" / "cfg4_sweep.jsonl"
+
+
+def device_wall_and_out(image, cfg, plan, reps=3):
+    import jax
+    import jax.numpy as jnp
+    from graphlap_tpu.models.pipeline import _filter_channel
+
+    img = jax.device_put(jnp.asarray(image, jnp.float32))
+    idx_a = jax.device_put(jnp.asarray(plan.idx_a))
+    perm = jax.device_put(jnp.asarray(plan.perm))
+    inv_perm = jax.device_put(jnp.asarray(plan.inv_perm))
+    sync = jax.jit(jnp.sum)
+    z, _ = _filter_channel(img, idx_a, perm, inv_perm, cfg)
+    float(sync(z))
+    walls = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        z, _ = _filter_channel(img, idx_a, perm, inv_perm, cfg)
+        float(sync(z))
+        walls.append(time.perf_counter() - t0)
+    return min(walls), np.asarray(z)
+
+
+def main():
+    import graphlap_tpu as gl
+    from graphlap_tpu.models.pipeline import make_plan
+
+    h, w = 2048, 4096
+    img = gl.make_test_image(h, w)
+    noisy = np.clip(gl.add_gaussian_noise(img, 0.1, seed=1), 0, 1)
+    base = gl.PipelineConfig(
+        kernel="nlm", h=0.25, sample_rho=0.01, sample_cap=4096,
+        num_eigvecs=50, sinkhorn_iters=10, filter_name="identity",
+        streaming=True, block_cols=131072)
+    plan = make_plan(noisy, base)
+    mp = h * w / 1e6
+
+    recipes = [
+        ("f32_exact", base),
+        ("bf16_exact", base.replace(affinity_dtype="bfloat16")),
+        ("bf16_sc16", base.replace(affinity_dtype="bfloat16",
+                                   sinkhorn_coarse=16)),
+        ("bf16_sc32", base.replace(affinity_dtype="bfloat16",
+                                   sinkhorn_coarse=32)),
+        ("bf16_sc32_gc2", base.replace(affinity_dtype="bfloat16",
+                                       sinkhorn_coarse=32, gram_coarse=2)),
+        ("bf16_sc32_gc4", base.replace(affinity_dtype="bfloat16",
+                                       sinkhorn_coarse=32, gram_coarse=4)),
+        ("bf16_sc64_gc8", base.replace(affinity_dtype="bfloat16",
+                                       sinkhorn_coarse=64, gram_coarse=8)),
+        ("f32_sc32_gc4", base.replace(sinkhorn_coarse=32, gram_coarse=4)),
+    ]
+
+    ref_out = None
+    RESULTS.parent.mkdir(parents=True, exist_ok=True)
+    for name, cfg in recipes:
+        wall, out = device_wall_and_out(noisy, cfg, plan)
+        rec = {
+            "recipe": name, "device_wall_s": round(wall, 4),
+            "device_mp_per_s": round(mp / wall, 3),
+            "psnr_out_db": round(gl.psnr(img, out), 4),
+            "config_hash": cfg.config_hash(), "ts": time.time(),
+        }
+        if name == "f32_exact":
+            ref_out = out
+            rec["is_reference"] = True
+        else:
+            rec["psnr_vs_f32_db"] = round(gl.psnr(ref_out, out), 2)
+            rec["dpsnr_vs_clean_db"] = round(
+                abs(gl.psnr(img, out) - gl.psnr(img, ref_out)), 4)
+        with RESULTS.open("a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    main()

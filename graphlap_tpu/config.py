@@ -48,6 +48,16 @@ class PipelineConfig:
                                      # fixed point against every k-th column
                                      # (PAPERS.md scalable-Sinkhorn idea) +
                                      # one full-res extension pass
+    gram_coarse: int = 1             # streaming only: >1 estimates the
+                                     # O(Np^2) one-shot cross W_AB W_AB^T
+                                     # (the single-chip cost king: 2.18 s of
+                                     # cfg4's 3.24 s, benchmarks/results/
+                                     # profile.jsonl) from every k-th column,
+                                     # energy-ratio rescaled. Kernel columns
+                                     # of adjacent pixels are near-duplicates,
+                                     # so spatial decimation is the same
+                                     # Monte-Carlo trick as sinkhorn_coarse;
+                                     # error shrinks with N (tests pin it)
 
     # --- eigensolve ---
     num_eigvecs: int = 50          # m, kept eigenpairs
@@ -92,6 +102,8 @@ class PipelineConfig:
             raise ValueError("sample_rho must be in (0, 1]")
         if self.sinkhorn_coarse < 1:
             raise ValueError("sinkhorn_coarse must be >= 1")
+        if self.gram_coarse < 1:
+            raise ValueError("gram_coarse must be >= 1")
         if self.lobpcg_iters < 1:
             raise ValueError("lobpcg_iters must be >= 1")
 

@@ -177,7 +177,37 @@ def _factor_streaming(img2d: jnp.ndarray, idx_a: jnp.ndarray,
 
     # --- Nystrom eigensolve (streaming cross) ---
     waa = kaa * (s_a[:, None] * s_a[None, :])
-    cross = st.gram(feats_a, feats_pad, s_a, s_b_cols, block, dtype)
+
+    def stream_gram(cols, blk, decim):
+        """sum_j (c_j k_j)(c_j k_j)^T over every ``decim``-th column, with
+        the fused Pallas emitter when its tiling fits (kb / f32-distance
+        tiles never round-trip HBM), else the XLA scan."""
+        if cfg.use_pallas:
+            from ..ops import pallas_streaming as pst
+            tn = 1024 if dtype == jnp.bfloat16 else 512
+            if n_pad == f_t.shape[1] and blk % tn == 0:
+                ft = f_t[:, ::decim] if decim > 1 else f_t
+                g = pst.gram_pallas(fa_pad, ft, cols, blk)[:p, :p]
+                return g * (s_a[:, None] * s_a[None, :])
+        fp = feats_pad[::decim] if decim > 1 else feats_pad
+        return st.gram(feats_a, fp, s_a, cols, blk, dtype)
+
+    if cfg.gram_coarse > 1:
+        # decimated-column estimate of the O(Np^2) cross (the profiled
+        # single-chip cost king): G ~= ratio * sum_{j in S} (c_j k_j)(...)^T
+        # with the energy ratio sum c^2 / sum_S c^2 — exact for spatially
+        # smooth column mass, and kernel columns of adjacent pixels are
+        # near-duplicates. Full-resolution colstats below keeps the column
+        # norms / coefficients exact; only the p x p spectrum is estimated.
+        kg = cfg.gram_coarse
+        if block % kg != 0:
+            raise ValueError("gram_coarse must divide block_cols")
+        cols_g = s_b_cols[::kg]
+        ratio_g = (jnp.sum(s_b_cols * s_b_cols)
+                   / jnp.maximum(jnp.sum(cols_g * cols_g), _EPS))
+        cross = ratio_g * stream_gram(cols_g, block // kg, kg)
+    else:
+        cross = stream_gram(s_b_cols, block, 1)
     m = cfg.num_eigvecs
     if cfg.solver in ("chol", "lobpcg"):
         method = "lobpcg" if cfg.solver == "lobpcg" else "eigh"

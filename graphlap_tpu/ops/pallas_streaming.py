@@ -101,6 +101,77 @@ def _rmatvec_kernel(a_ref, b_ref, t_ref, out_ref):
                           precision=prec)
 
 
+def _kb_emit_kernel(a_ref, b_ref, c_ref, out_ref):
+    kb = _kb_tile(a_ref[:], b_ref[:], a_ref.dtype)
+    out_ref[:] = kb * c_ref[:].astype(kb.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def kb_strip_pallas(feats_a_pad, f_t_block, cols, interpret: bool | None = None):
+    """Column-scaled kernel strip block, emitted fused: (p_pad, D), (D, S),
+    (S,) -> exp(-d2) * cols (p_pad, S) in the feature dtype.
+
+    One fused dist-GEMM -> exp -> scale per VMEM tile: the f32 distance
+    intermediate and the unscaled kb never exist in HBM (the XLA version
+    round-trips both, ~0.6 s of the 2.18 s gram pass at 8 MP —
+    benchmarks/results/profile.jsonl). The emitted block feeds a plain XLA
+    GEMM (gram) or matmul chain; emitting beats full fusion here because a
+    fully-fused gram must recompute kb tiles p/tile_p times per output
+    row-block, multiplying the exp cost."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    p_pad = feats_a_pad.shape[0]
+    s = f_t_block.shape[1]
+    dtype = feats_a_pad.dtype
+    tp = _tile_p_of(p_pad)
+    tn = _tile_n(dtype)
+    grid = (p_pad // tp, s // tn)
+    return pl.pallas_call(
+        _kb_emit_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tp, D_PAD), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D_PAD, tn), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tp, tn), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((p_pad, s), dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * p_pad * s * (D_PAD + 1),
+            bytes_accessed=(p_pad + s) * D_PAD * dtype.itemsize
+            + p_pad * s * dtype.itemsize,
+            transcendentals=p_pad * s,
+        ),
+        interpret=interpret,
+    )(feats_a_pad, f_t_block, cols.astype(dtype).reshape(1, s))
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def gram_pallas(feats_a_pad, f_t, cols, block: int,
+                interpret: bool | None = None):
+    """(D_r-free) gram sum_j (c_j k_j)(c_j k_j)^T -> (p_pad, p_pad) f32,
+    scanning emitted kb superblocks. Caller applies the row scale."""
+    dtype = feats_a_pad.dtype
+    p_pad = feats_a_pad.shape[0]
+    n_pad = f_t.shape[1]
+    prec = "default" if dtype == jnp.bfloat16 else "highest"
+
+    def body(acc, i):
+        bt = jax.lax.dynamic_slice_in_dim(f_t, i * block, block, axis=1)
+        cb = jax.lax.dynamic_slice_in_dim(cols, i * block, block, axis=0)
+        kb = kb_strip_pallas(feats_a_pad, bt, cb, interpret=interpret)
+        return acc + jnp.dot(kb, kb.T, preferred_element_type=jnp.float32,
+                             precision=prec), None
+
+    acc0 = jnp.zeros((p_pad, p_pad), jnp.float32)
+    acc, _ = jax.lax.scan(body, acc0, jnp.arange(n_pad // block))
+    return acc
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def matvec_pallas(feats_a_pad, feats_t, v, interpret: bool | None = None):
     """K @ v: ((p_pad, D), (D, n_pad), (n_pad,)) -> (p_pad,) f32."""

@@ -133,7 +133,20 @@ def build_streaming_sharded(mesh, cfg: PipelineConfig):
         s_b_cols = s * b_mask
 
         waa = kaa * (s_a[:, None] * s_a[None, :])
-        cross = gramf(feats_a, feats_pad, s_a, s_b_cols)
+        if cfg.gram_coarse > 1:
+            # decimated cross estimate (models/streaming.py gram_coarse)
+            kg = cfg.gram_coarse
+            if block % kg != 0:
+                raise ValueError("gram_coarse must divide block_cols")
+            feats_g = shard(feats_pad[::kg], mesh, "rows", None)
+            cols_g = s_b_cols[::kg]
+            ratio_g = (jnp.sum(s_b_cols * s_b_cols)
+                       / jnp.maximum(jnp.sum(cols_g * cols_g), _EPS))
+            gramg = smap(partial(_gram, block=block // kg),
+                         (rep2, pNd, rep, pN), rep2)
+            cross = ratio_g * gramg(feats_a, feats_g, s_a, cols_g)
+        else:
+            cross = gramf(feats_a, feats_pad, s_a, s_b_cols)
         m = cfg.num_eigvecs
         if cfg.solver in ("chol", "lobpcg"):
             method = "lobpcg" if cfg.solver == "lobpcg" else "eigh"
@@ -231,6 +244,16 @@ def build_streaming_sharded_batch(mesh, cfg: PipelineConfig):
             a, f, g, wv, sa, c, block, dtype)
         )(fa, f_loc, basis, w, s_a, cols_loc)
 
+    def _coarse(fa, fc_loc, t, mc_loc, block):
+        u = jax.vmap(lambda a, f, tt, mk: st.sinkhorn_coarse_step(
+            a, f, tt, mk, 1.0, block, dtype))(fa, fc_loc, t, mc_loc)
+        return jax.lax.psum(u, "rows")
+
+    def _rmv2(fa, f_loc, t2, block):
+        return jax.vmap(lambda a, f, tt: st.rmatvec2(
+            a, f, tt, jnp.ones_like(f[:, 0]), block, dtype)
+        )(fa, f_loc, t2)
+
     @jax.jit
     def run(frames, idx_a):
         bsz, h, w = frames.shape
@@ -282,7 +305,51 @@ def build_streaming_sharded_batch(mesh, cfg: PipelineConfig):
             bottom = rmv(feats_a, feats_pad, t) * b_mask[None, :]
             return bottom.at[:, idx_a].set(top)
 
-        if cfg.normalization == "sinkhorn":
+        if cfg.normalization == "sinkhorn" and cfg.sinkhorn_coarse > 1:
+            # decimated-column Sinkhorn fixed point (models/streaming.py
+            # coarse branch, batched + rows-sharded): p-sized state against
+            # every k-th column, then ONE full-res extension pass
+            k = cfg.sinkhorn_coarse
+            if block % k != 0:
+                raise ValueError("sinkhorn_coarse must divide block_cols")
+            feats_c = shard(feats_pad[:, ::k], mesh, "data", "rows", None)
+            mask_c = b_mask[::k]
+            block_c = block // k
+            ratio = jnp.sum(b_mask) / jnp.maximum(jnp.sum(mask_c), 1.0)
+            coarse = smap(partial(_coarse, block=block_c),
+                          (dB2, pBd, dB3, pB), dB3)
+            mask_cb = jnp.broadcast_to(mask_c, (bsz, mask_c.shape[0]))
+
+            mvc = smap(partial(_mv, block=block_c), (dB2, pBd, pB), dB3)
+            u0 = ratio * mvc(feats_a, feats_c, mask_cb)
+            r0 = jnp.ones((bsz, p), jnp.float32)
+
+            def cbody(_, carry):
+                r_a, u_r, *_ = carry
+                kaa_r = jnp.einsum("bij,bj->bi", kaa.astype(jnp.float32), r_a)
+                c_a = 1.0 / jnp.maximum(kaa_r + u_r, _EPS)
+                t_r = r_a + solve(u_r)
+                u_c = ratio * coarse(feats_a, feats_c, t_r, mask_cb)
+                kaa_c = jnp.einsum("bij,bj->bi", kaa.astype(jnp.float32), c_a)
+                r_a2 = 1.0 / jnp.maximum(kaa_c + u_c, _EPS)
+                t_c = c_a + solve(u_c)
+                u_r2 = ratio * coarse(feats_a, feats_c, t_c, mask_cb)
+                return (r_a2, u_r2, c_a, t_r, t_c)
+
+            zero_p = jnp.zeros((bsz, p), jnp.float32)
+            r_a, u_r, c_a, t_r, t_c = jax.lax.fori_loop(
+                0, cfg.sinkhorn_iters, cbody, (r0, u0, r0, zero_p, zero_p))
+            s_a_coarse = jnp.sqrt(jnp.maximum(r_a * c_a, 0.0))
+            rmv2 = smap(partial(_rmv2, block=block),
+                        (dB2, pBd, P("data", None, None)),
+                        P("data", "rows", None))
+            kbt = rmv2(feats_a, feats_pad,
+                       jnp.stack([t_r, t_c], axis=2)) * b_mask[None, :, None]
+            prod = jnp.maximum(kbt[..., 0] * kbt[..., 1], _EPS)
+            s = jnp.where(b_mask[None, :] > 0,
+                          b_mask[None, :] / jnp.sqrt(prod), 0.0)
+            s = s.at[:, idx_a].set(s_a_coarse)
+        elif cfg.normalization == "sinkhorn":
             def body(_, s):
                 ks = jnp.maximum(ktilde_apply(s), _EPS)
                 return jnp.sqrt(s / ks) * valid[None, :]
@@ -299,7 +366,21 @@ def build_streaming_sharded_batch(mesh, cfg: PipelineConfig):
         s_b_cols = s * b_mask[None, :]
 
         waa = kaa * (s_a[:, :, None] * s_a[:, None, :])
-        cross = gramf(feats_a, feats_pad, s_a, s_b_cols)
+        if cfg.gram_coarse > 1:
+            # decimated cross estimate (models/streaming.py gram_coarse)
+            kg = cfg.gram_coarse
+            if block % kg != 0:
+                raise ValueError("gram_coarse must divide block_cols")
+            feats_g = shard(feats_pad[:, ::kg], mesh, "data", "rows", None)
+            cols_g = s_b_cols[:, ::kg]
+            ratio_g = (jnp.sum(s_b_cols * s_b_cols, axis=1)
+                       / jnp.maximum(jnp.sum(cols_g * cols_g, axis=1), _EPS))
+            gramg = smap(partial(_gram, block=block // kg),
+                         (dB2, pBd, dB3, pB), dB2)
+            cross = ratio_g[:, None, None] * gramg(feats_a, feats_g, s_a,
+                                                   cols_g)
+        else:
+            cross = gramf(feats_a, feats_pad, s_a, s_b_cols)
         m = cfg.num_eigvecs
         if cfg.solver in ("chol", "lobpcg"):
             method = "lobpcg" if cfg.solver == "lobpcg" else "eigh"

@@ -48,9 +48,22 @@ def test_streaming_single_block(noisy):
 
 
 def test_streaming_pallas_matvecs_match(noisy):
-    """Fused Pallas K-matvec kernels == XLA scan operators (interpret)."""
+    """Fused Pallas K-matvec + gram kernels == XLA scan operators
+    (interpret)."""
     cfg = PipelineConfig(kernel="nlm", h=0.25, sample_rho=0.03,
                          num_eigvecs=24, streaming=True, block_cols=1024)
+    plan = make_plan(noisy, cfg)
+    xla = filter_image(noisy, cfg, plan=plan)
+    pal = filter_image(noisy, cfg.replace(use_pallas=True), plan=plan)
+    np.testing.assert_allclose(pal.image, xla.image, atol=3e-4)
+    np.testing.assert_allclose(pal.eigvals, xla.eigvals, atol=3e-4)
+
+
+def test_streaming_pallas_coarse_gram_matches(noisy):
+    """Pallas emitter path under gram_coarse decimation == XLA path."""
+    cfg = PipelineConfig(kernel="nlm", h=0.25, sample_rho=0.03,
+                         num_eigvecs=24, streaming=True, block_cols=1024,
+                         sinkhorn_coarse=2, gram_coarse=2)
     plan = make_plan(noisy, cfg)
     xla = filter_image(noisy, cfg, plan=plan)
     pal = filter_image(noisy, cfg.replace(use_pallas=True), plan=plan)

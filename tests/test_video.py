@@ -54,6 +54,24 @@ def test_video_streaming_batch_matches_per_frame():
         np.testing.assert_allclose(out[i], ref.image, atol=3e-4)
 
 
+def test_video_streaming_batch_coarse_sinkhorn():
+    """Batched + rows-sharded coarse (decimated) Sinkhorn == the
+    single-image streaming coarse path (cfg5's 4K recipe)."""
+    scfg = CFG.replace(streaming=True, block_cols=128, sinkhorn_coarse=4)
+    frames = np.stack([
+        np.clip(add_gaussian_noise(make_test_image(32, 32, seed=s), 0.1,
+                                   seed=s), 0, 1)
+        for s in range(2)
+    ])
+    plan = make_plan(frames[0], scfg)
+    out, vals = filter_video(frames, scfg, mesh=make_mesh(n_rows=4, n_data=2),
+                             plan=plan, frames_per_step=2)
+    for i in range(2):
+        ref = filter_image(frames[i], scfg, plan=plan)
+        np.testing.assert_allclose(out[i], ref.image, atol=3e-4)
+        np.testing.assert_allclose(vals[i], ref.eigvals, rtol=1e-4, atol=3e-4)
+
+
 @pytest.mark.parametrize("filter_name,param", [("identity", 0.0),
                                                ("sharpen", 0.6)])
 def test_video_streaming_batch_filters(filter_name, param):
