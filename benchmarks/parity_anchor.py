@@ -1,0 +1,84 @@
+"""Oracle parity anchor at the largest CPU-feasible size (VERDICT r1 #5).
+
+The graded gate (PSNR delta vs the float64 CPU oracle <= 0.1 dB) is proven
+in tests at 96-128 px. This script extends the anchor to the largest size
+the single-core f64 oracle can run (the oracle gram is O(N p^2) f64 on one
+core), comparing against:
+
+  * the f32 streaming path (the parity REFERENCE used by the 8 MP sweep) —
+    oracle -> f32-streaming at 192^2 plus f32-streaming -> recipe at 8 MP
+    (benchmarks/results/cfg4_sweep.jsonl) is the measured parity chain;
+  * the accelerated recipes (bf16, gram_coarse) at the same size.
+
+    JAX_PLATFORMS=cpu is forced; run anywhere. Appends to
+    benchmarks/results/parity_anchor.jsonl.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))   # tests.oracle
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      str(Path(__file__).parent.parent / ".jax_cache"))
+
+import numpy as np
+
+RESULTS = Path(__file__).parent / "results" / "parity_anchor.jsonl"
+
+
+def main():
+    import jax
+    jax.config.update("jax_platforms", "cpu")   # env var ignored by axon
+
+    import graphlap_tpu as gl
+    from graphlap_tpu.models.pipeline import make_plan
+    from tests.oracle import oracle_filter_image
+
+    side = int(sys.argv[1]) if len(sys.argv) > 1 else 192
+    img = gl.make_test_image(side, side)
+    noisy = np.clip(gl.add_gaussian_noise(img, 0.1, seed=1), 0, 1)
+    base = gl.PipelineConfig(
+        kernel="nlm", h=0.25, sample_rho=0.01, sample_cap=4096,
+        num_eigvecs=50, sinkhorn_iters=10, filter_name="identity",
+        streaming=True, block_cols=4608 if side % 3 == 0 else 4096)
+    plan = make_plan(noisy, base)
+
+    t0 = time.perf_counter()
+    orc, _ = oracle_filter_image(noisy, base.replace(streaming=False))
+    oracle_wall = time.perf_counter() - t0
+    psnr_oracle = gl.psnr(img, orc)
+
+    recipes = [
+        ("f32_streaming", base),
+        ("bf16_streaming", base.replace(affinity_dtype="bfloat16")),
+        ("bf16_gc4", base.replace(affinity_dtype="bfloat16", gram_coarse=4)),
+        ("bf16_sc16_gc4", base.replace(affinity_dtype="bfloat16",
+                                       sinkhorn_coarse=16, gram_coarse=4)),
+    ]
+    RESULTS.parent.mkdir(parents=True, exist_ok=True)
+    recs = [{"recipe": "oracle_f64", "side": side, "p": plan.p,
+             "psnr_out_db": round(psnr_oracle, 4),
+             "wall_s": round(oracle_wall, 1), "ts": time.time()}]
+    for name, cfg in recipes:
+        res = gl.filter_image(noisy, cfg, plan=plan)
+        recs.append({
+            "recipe": name, "side": side, "p": plan.p,
+            "psnr_out_db": round(gl.psnr(img, res.image), 4),
+            "dpsnr_vs_oracle_db": round(
+                abs(gl.psnr(img, res.image) - psnr_oracle), 4),
+            "psnr_vs_oracle_db": round(gl.psnr(orc, res.image), 2),
+            "ts": time.time(),
+        })
+    with RESULTS.open("a") as f:
+        for r in recs:
+            f.write(json.dumps(r) + "\n")
+            print(json.dumps(r), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -60,20 +60,20 @@ def main():
     plan = make_plan(noisy, base)
     mp = h * w / 1e6
 
+    bf16 = base.replace(affinity_dtype="bfloat16")
     recipes = [
         ("f32_exact", base),
-        ("bf16_exact", base.replace(affinity_dtype="bfloat16")),
-        ("bf16_sc16", base.replace(affinity_dtype="bfloat16",
-                                   sinkhorn_coarse=16)),
-        ("bf16_sc32", base.replace(affinity_dtype="bfloat16",
-                                   sinkhorn_coarse=32)),
-        ("bf16_sc32_gc2", base.replace(affinity_dtype="bfloat16",
-                                       sinkhorn_coarse=32, gram_coarse=2)),
-        ("bf16_sc32_gc4", base.replace(affinity_dtype="bfloat16",
-                                       sinkhorn_coarse=32, gram_coarse=4)),
-        ("bf16_sc64_gc8", base.replace(affinity_dtype="bfloat16",
-                                       sinkhorn_coarse=64, gram_coarse=8)),
-        ("f32_sc32_gc4", base.replace(sinkhorn_coarse=32, gram_coarse=4)),
+        # round 2: gate-compliant candidates (gram_coarse perturbs only the
+        # p x p spectrum; 0.065 dB vs the f64 oracle at 384^2,
+        # parity_anchor.jsonl) and the Pallas fused-emitter stacks
+        ("bf16_gc2", bf16.replace(gram_coarse=2)),
+        ("bf16_gc4", bf16.replace(gram_coarse=4)),
+        ("bf16_gc8", bf16.replace(gram_coarse=8)),
+        ("bf16_gc4_pallas", bf16.replace(gram_coarse=4, use_pallas=True)),
+        ("bf16_sc16_gc4", bf16.replace(sinkhorn_coarse=16, gram_coarse=4)),
+        ("bf16_sc64_gc8_pallas", bf16.replace(sinkhorn_coarse=64,
+                                              gram_coarse=8,
+                                              use_pallas=True)),
     ]
 
     ref_out = None
