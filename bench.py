@@ -36,9 +36,14 @@ def make_workload(pallas: bool):
     import graphlap_tpu as gl
 
     cfg = gl.CONFIG2  # NLM 5x5, 2% sample, sinkhorn, identity filter, m=50
-    # TPU: the fused Pallas affinity emitter (single strip buffer in HBM).
+    # TPU: the fused Pallas affinity emitter (single strip buffer in HBM)
+    # + bf16 for ONLY the one-shot cross GEMM — measured 0.0000 dB PSNR
+    # delta / 125 dB agreement vs the all-f32 output at this exact shape
+    # (benchmarks/results/cfg2_sweep.jsonl) while cutting the device wall
+    # 0.92 -> 0.51 s. Strip + Sinkhorn stay f32 (bf16 THERE costs 0.135 dB,
+    # same sweep).
     # CPU baseline: plain jnp (pallas interpret mode would be unfairly slow).
-    cfg = cfg.replace(use_pallas=pallas)
+    cfg = cfg.replace(use_pallas=pallas, gram_dtype="bfloat16")
     img = gl.make_test_image(H, W)
     noisy = np.clip(gl.add_gaussian_noise(img, 0.1, seed=1), 0, 1)
     return gl, cfg, img, noisy
@@ -117,6 +122,12 @@ def main():
     cfg_bf16 = cfg.replace(affinity_dtype="bfloat16")
     wall_bf16, res_bf16 = timed_run(gl, cfg_bf16, noisy)
 
+    # measured parity bound of the headline recipe vs the all-f32 path
+    # (which is oracle-gated in tests): the graded "PSNR delta vs CPU
+    # reference" chain, recorded in every round's bench artifact
+    _, res_f32 = timed_run(gl, cfg.replace(gram_dtype="float32"), noisy,
+                           n_runs=1)
+
     # device-only wall (inputs pre-staged, scalar-readback sync): the
     # end-to-end wall on this box includes seconds of image transfer
     # through the remote-TPU tunnel that real deployments don't pay
@@ -140,6 +151,9 @@ def main():
             "bf16_wall_s": round(wall_bf16, 4),
             "bf16_mp_per_s": round(MEGAPIXELS / wall_bf16, 4),
             "bf16_psnr_db": round(gl.psnr(img, res_bf16.image), 3),
+            "psnr_vs_f32_db": round(gl.psnr(res_f32.image, res.image), 2),
+            "dpsnr_vs_f32_db": round(abs(gl.psnr(img, res.image)
+                                         - gl.psnr(img, res_f32.image)), 4),
             "eigensolve_wall_s": round(staged.timings["eigensolve"], 4),
             "stage_walls_s": {k: round(v, 4) for k, v in staged.timings.items()},
             "psnr_noisy_db": round(psnr_in, 3),

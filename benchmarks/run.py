@@ -38,7 +38,10 @@ def row2():
     import graphlap_tpu as gl
     img = gl.make_test_image(512, 512)
     noisy = np.clip(gl.add_gaussian_noise(img, 0.1, seed=1), 0, 1)
-    return "cfg2_512_nlm", gl.CONFIG2.replace(use_pallas=True), img, noisy
+    # production recipe: Pallas affinity emitter + bf16 cross GEMM only
+    # (0.0000 dB / 125 dB agreement vs all-f32, cfg2_sweep.jsonl)
+    cfg = gl.CONFIG2.replace(use_pallas=True, gram_dtype="bfloat16")
+    return "cfg2_512_nlm", cfg, img, noisy
 
 
 def row3():
@@ -54,7 +57,7 @@ def row3():
     img = gl.make_test_image(1024, 1024, channels=3)
     noisy = np.clip(gl.add_gaussian_noise(img, 0.03, seed=3), 0, 1)
     cfg = gl.CONFIG3.replace(streaming=True, block_cols=131072,
-                             affinity_dtype="bfloat16")
+                             affinity_dtype="bfloat16", gram_coarse=4)
     return "cfg3_1024_rgb_sharpen", cfg, img, noisy
 
 
@@ -92,6 +95,33 @@ def row4c():
     return "cfg4_8mp_coarse16", cfg.replace(sinkhorn_coarse=16), img, noisy
 
 
+def row4g():
+    """8 MP HEADLINE: gate-compliant fast recipe (bf16 + coarse gram).
+    Measured 0.001-0.006 dB vs the f32-exact reference at this exact shape
+    (benchmarks/results/cfg4_sweep.jsonl) — coarse gram perturbs only the
+    p x p spectrum while Sinkhorn and all column stats stay exact."""
+    name, cfg, img, noisy = row4()
+    return "cfg4_8mp_bf16_gc8", cfg.replace(gram_coarse=8), img, noisy
+
+
+def row4x():
+    """8 MP TURBO: both decimations + bf16 + Pallas fused kernels —
+    0.59 s / 14.2 MP/s single-chip, 0.30 dB from the f32-exact trajectory
+    (a PSNR IMPROVEMENT vs clean; documented as secondary, not the parity
+    headline)."""
+    name, cfg, img, noisy = row4()
+    return ("cfg4_8mp_turbo_sc64_gc8",
+            cfg.replace(sinkhorn_coarse=64, gram_coarse=8, use_pallas=True),
+            img, noisy)
+
+
+def row4m():
+    """8 MP at the gate boundary: sc16+gc4 = 1.50 s, 0.0995 dB measured."""
+    name, cfg, img, noisy = row4()
+    return ("cfg4_8mp_sc16_gc4",
+            cfg.replace(sinkhorn_coarse=16, gram_coarse=4), img, noisy)
+
+
 def row5s():
     """Config 5 at its REAL per-frame scale on one chip: 4K frames
     (2160x3840 = 8.3 MP each) through the batched STREAMING path
@@ -111,8 +141,8 @@ def row5s():
     return "cfg5_video_2x4k_streaming", cfg, frames, frames
 
 
-ROWS = {"1": row1, "2": row2, "3": row3, "4": row4, "4c": row4c, "5": row5,
-        "5s": row5s}
+ROWS = {"1": row1, "2": row2, "3": row3, "4": row4, "4c": row4c,
+        "4g": row4g, "4m": row4m, "4x": row4x, "5": row5, "5s": row5s}
 
 
 def _grad_energy(img: np.ndarray) -> float:
@@ -122,14 +152,14 @@ def _grad_energy(img: np.ndarray) -> float:
 
 
 def _parity_cfg(cfg):
-    """The gate-compliant twin of a fast config (f32, full-res Sinkhorn),
-    or None if cfg is already compliant. Used to attach a measured parity
-    bound to every accelerated headline row (BASELINE.json metric:
-    'PSNR delta vs CPU reference' — transitively, vs the compliant path
-    that IS oracle-gated in tests)."""
-    if cfg.affinity_dtype == "float32" and cfg.sinkhorn_coarse == 1:
-        return None
-    return cfg.replace(affinity_dtype="float32", sinkhorn_coarse=1)
+    """The gate-compliant twin of a fast config (f32, full-res Sinkhorn,
+    exact gram, XLA ops), or None if cfg is already compliant. Used to
+    attach a measured parity bound to every accelerated headline row
+    (BASELINE.json metric: 'PSNR delta vs CPU reference' — transitively,
+    vs the compliant path that IS oracle-gated in tests)."""
+    exact = cfg.replace(affinity_dtype="float32", sinkhorn_coarse=1,
+                        gram_coarse=1, gram_dtype="auto", use_pallas=False)
+    return None if exact == cfg else exact
 
 
 def device_wall(image2d, cfg, plan) -> float:

@@ -45,6 +45,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-normalization", default="sinkhorn",
                    choices=["sinkhorn", "symmetric", "none"])
     p.add_argument("-sinkhorn_iters", type=int, default=20)
+    p.add_argument("-sinkhorn_coarse", type=int, default=1,
+                   help="streaming only: iterate Sinkhorn against every "
+                        "k-th column (8 MP-scale accelerator)")
+    p.add_argument("-gram_coarse", type=int, default=1,
+                   help="streaming only: estimate the O(Np^2) cross from "
+                        "every k-th column (8 MP-scale accelerator)")
     p.add_argument("-noise", type=float, default=0.0,
                    help="experiment mode: add Gaussian noise of this std "
                         "before filtering and report PSNR vs the clean input")
@@ -53,6 +59,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="convert input to grayscale")
     p.add_argument("-bf16", action="store_true",
                    help="bfloat16 affinity GEMMs (faster, small PSNR cost)")
+    p.add_argument("-gram_dtype", default="auto",
+                   choices=["auto", "float32", "bfloat16"],
+                   help="dense path: dtype of the one-shot cross GEMM only "
+                        "(bf16 = large eigensolve speedup, near-zero PSNR "
+                        "cost)")
     p.add_argument("-solver", default="lobpcg",
                    choices=["lobpcg", "chol", "oneshot"],
                    help="eigensolver (see docs/ARCHITECTURE.md section 4)")
@@ -91,8 +102,10 @@ def main(argv=None) -> int:
         patch_size=args.patch, sample_rho=args.sample,
         sample_cap=args.sample_cap, num_eigvecs=args.eigvals,
         normalization=args.normalization, sinkhorn_iters=args.sinkhorn_iters,
+        sinkhorn_coarse=args.sinkhorn_coarse, gram_coarse=args.gram_coarse,
         filter_name=args.filter_name, filter_param=args.filter_param,
         affinity_dtype="bfloat16" if args.bf16 else "float32",
+        gram_dtype=args.gram_dtype,
         solver=args.solver, streaming=args.streaming,
         block_cols=args.block_cols, use_pallas=args.pallas,
     )

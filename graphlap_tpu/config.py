@@ -79,6 +79,16 @@ class PipelineConfig:
 
     # --- precision policy ---
     affinity_dtype: str = "float32"  # GEMM dtype for the K strip
+    gram_dtype: str = "auto"         # dense path: dtype of the one-shot
+                                     # cross GEMM W_AB W_AB^T only ("auto"
+                                     # follows affinity_dtype). bf16 here is
+                                     # the cheapest large win at 512^2-class
+                                     # sizes: the cross is the eigensolve
+                                     # stage's dominant cost and its input
+                                     # rounding only perturbs the p x p
+                                     # spectrum (parity measured in
+                                     # benchmarks/results/). Streaming paths
+                                     # ignore it (tile dtype rules there)
     use_pallas: bool = False         # fused Pallas affinity kernel
     streaming: bool = False          # recompute K tiles blockwise (big images)
     block_cols: int = 65536          # streaming column-block width
@@ -94,6 +104,8 @@ class PipelineConfig:
             raise ValueError(f"filter_name must be one of {FILTERS}, got {self.filter_name!r}")
         if self.affinity_dtype not in DTYPES:
             raise ValueError(f"affinity_dtype must be one of {DTYPES}")
+        if self.gram_dtype not in DTYPES + ("auto",):
+            raise ValueError(f"gram_dtype must be 'auto' or one of {DTYPES}")
         if self.solver not in SOLVERS:
             raise ValueError(f"solver must be one of {SOLVERS}, got {self.solver!r}")
         if self.patch_size % 2 != 1:
@@ -106,6 +118,11 @@ class PipelineConfig:
             raise ValueError("gram_coarse must be >= 1")
         if self.lobpcg_iters < 1:
             raise ValueError("lobpcg_iters must be >= 1")
+
+    def gram_gemm_dtype(self) -> str:
+        """Resolved dtype of the dense one-shot cross GEMM."""
+        return (self.affinity_dtype if self.gram_dtype == "auto"
+                else self.gram_dtype)
 
     def num_samples(self, n_pixels: int) -> int:
         """p = min(cap, ceil(rho * N)), at least num_eigvecs."""

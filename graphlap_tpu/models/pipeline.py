@@ -56,7 +56,8 @@ def _filter_channel(img2d: jnp.ndarray, idx_a: jnp.ndarray, perm: jnp.ndarray,
         cfg.solver)
     if cfg.solver in ("chol", "lobpcg"):
         method = "lobpcg" if cfg.solver == "lobpcg" else "eigh"
-        gdt = jnp.bfloat16 if cfg.affinity_dtype == "bfloat16" else jnp.float32
+        gdt = (jnp.bfloat16 if cfg.gram_gemm_dtype() == "bfloat16"
+               else jnp.float32)
         basis = nystrom_eigh_chol(waa, wab, cfg.num_eigvecs, cfg.eig_tol,
                                   method, gdt, cfg.lobpcg_iters)
     else:
@@ -140,7 +141,8 @@ def _stage_normalize(kaa, kab, cfg: PipelineConfig):
 def _stage_eigh(waa, wab, cfg: PipelineConfig):
     if cfg.solver in ("chol", "lobpcg"):
         method = "lobpcg" if cfg.solver == "lobpcg" else "eigh"
-        gdt = jnp.bfloat16 if cfg.affinity_dtype == "bfloat16" else jnp.float32
+        gdt = (jnp.bfloat16 if cfg.gram_gemm_dtype() == "bfloat16"
+               else jnp.float32)
         return nystrom_eigh_chol(waa, wab, cfg.num_eigvecs, cfg.eig_tol,
                                  method, gdt, cfg.lobpcg_iters)
     return nystrom_eigh(waa, wab, cfg.num_eigvecs, cfg.eig_tol)

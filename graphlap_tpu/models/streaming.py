@@ -184,8 +184,7 @@ def _factor_streaming(img2d: jnp.ndarray, idx_a: jnp.ndarray,
         tiles never round-trip HBM), else the XLA scan."""
         if cfg.use_pallas:
             from ..ops import pallas_streaming as pst
-            tn = 1024 if dtype == jnp.bfloat16 else 512
-            if n_pad == f_t.shape[1] and blk % tn == 0:
+            if n_pad == f_t.shape[1] and blk % pst.EMIT_TN == 0:
                 ft = f_t[:, ::decim] if decim > 1 else f_t
                 g = pst.gram_pallas(fa_pad, ft, cols, blk)[:p, :p]
                 return g * (s_a[:, None] * s_a[None, :])

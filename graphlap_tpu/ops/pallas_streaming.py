@@ -106,6 +106,21 @@ def _kb_emit_kernel(a_ref, b_ref, c_ref, out_ref):
     out_ref[:] = kb * c_ref[:].astype(kb.dtype)
 
 
+# Emitter tiling: unlike the matvec kernels (tiny outputs, kb lives only on
+# the stack), the emitter materializes kb — the f32 distance intermediate
+# (tp x tn x 4B) plus the double-buffered output tile must fit the 16 MB
+# scoped-VMEM limit, so tiles are capped at (2048, 512) (measured OOM at
+# (4096, 1024): 17.5 MB stack).
+EMIT_TN = 512
+
+
+def _emit_tile_p(p_pad: int) -> int:
+    for cand in (2048, 1024, 512):
+        if p_pad % cand == 0:
+            return cand
+    raise ValueError(f"p_pad={p_pad} not 512-aligned")
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def kb_strip_pallas(feats_a_pad, f_t_block, cols, interpret: bool | None = None):
     """Column-scaled kernel strip block, emitted fused: (p_pad, D), (D, S),
@@ -123,8 +138,8 @@ def kb_strip_pallas(feats_a_pad, f_t_block, cols, interpret: bool | None = None)
     p_pad = feats_a_pad.shape[0]
     s = f_t_block.shape[1]
     dtype = feats_a_pad.dtype
-    tp = _tile_p_of(p_pad)
-    tn = _tile_n(dtype)
+    tp = _emit_tile_p(p_pad)
+    tn = EMIT_TN
     grid = (p_pad // tp, s // tn)
     return pl.pallas_call(
         _kb_emit_kernel,

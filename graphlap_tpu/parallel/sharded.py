@@ -72,7 +72,7 @@ def build_sharded_pipeline(mesh, cfg: PipelineConfig):
             method = "lobpcg" if cfg.solver == "lobpcg" else "eigh"
             eig_fn = lambda a, b_: nystrom_eigh_chol(
                 a, b_, cfg.num_eigvecs, cfg.eig_tol, method,
-                jnp.float32 if cfg.affinity_dtype != "bfloat16"
+                jnp.float32 if cfg.gram_gemm_dtype() != "bfloat16"
                 else jnp.bfloat16, cfg.lobpcg_iters)
         else:
             eig_fn = lambda a, b_: nystrom_eigh(

@@ -110,6 +110,18 @@ def test_oneshot_still_available(img96):
     assert abs(psnr(img, res.image) - psnr(img, orc)) <= 0.1
 
 
+def test_gram_dtype_bf16_close(img96):
+    """bf16 on ONLY the one-shot cross GEMM (gram_dtype) stays near the f32
+    result — the input rounding perturbs just the p x p spectrum."""
+    img, noisy = img96
+    f32 = filter_image(noisy, CONFIG2)
+    bf = filter_image(noisy, CONFIG2.replace(gram_dtype="bfloat16"))
+    assert abs(psnr(img, bf.image) - psnr(img, f32.image)) < 0.05
+    assert psnr(f32.image, bf.image) > 55.0
+
+
 def test_solver_validation():
     with pytest.raises(ValueError):
         PipelineConfig(solver="qr")
+    with pytest.raises(ValueError):
+        PipelineConfig(gram_dtype="fp8")
