@@ -83,9 +83,13 @@ def row5():
                                       0.1, seed=s), 0, 1)
         for s in range(8)
     ])
+    # batched STREAMING path (one jit step for all 8 frames: per-step
+    # memory is O(B(Nd + p^2)) ~ 0.2 GB, vs 8 dense strips ~ 11 GB which
+    # cannot compile on one chip)
     cfg = gl.PipelineConfig(kernel="nlm", h=0.25, sample_rho=0.005,
                             num_eigvecs=50, sinkhorn_iters=10,
-                            affinity_dtype="bfloat16")
+                            affinity_dtype="bfloat16", streaming=True,
+                            block_cols=32768, gram_coarse=4)
     return "cfg5_video_8x512", cfg, frames, frames
 
 
@@ -261,13 +265,16 @@ def run_video_row(name, cfg, frames):
     plan = make_plan(frames[0], cfg)
     mesh = make_mesh()                      # all local devices
     b = frames.shape[0]
+    # streaming: all frames in one jit step (O(B(Nd+p^2)) memory);
+    # dense: the per-step strips must fit HBM, cap the batch
+    fps = b if cfg.streaming else min(b, 2)
     filter_video(frames, cfg, mesh=mesh, plan=plan,
-                 frames_per_step=b)         # compile + warm (one step)
+                 frames_per_step=fps)       # compile + warm
     walls = []
     for _ in range(3):
         t0 = time.perf_counter()
         out, _ = filter_video(frames, cfg, mesh=mesh, plan=plan,
-                              frames_per_step=b)
+                              frames_per_step=fps)
         walls.append(time.perf_counter() - t0)
     wall = min(walls)
     mp = frames.size / 1e6

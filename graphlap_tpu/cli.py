@@ -7,15 +7,46 @@ experiment mode with PSNR reporting, and ``-log_view`` stage timings.
 
     python -m graphlap_tpu.cli -f in.png -o out.png -kernel nlm -sample 0.02 \
         -eigvals 50 -filter identity -noise 0.1 -log_view
+
+Like PETSc's ``~/.petscrc``, default options are read from ``~/.graphlaprc``
+(or the file named by ``-opts_file``): one ``-flag value`` pair per line,
+``#`` comments allowed; command-line flags override file defaults.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 import numpy as np
+
+RC_FILE = os.path.expanduser("~/.graphlaprc")
+
+
+def _read_opts_file(path: str) -> list[str]:
+    """PETSc-rc-style option file -> argv prefix (CLI args win: argparse
+    takes the LAST occurrence of a flag)."""
+    args: list[str] = []
+    with open(path) as f:
+        for line in f:
+            line = line.split("#", 1)[0].strip()
+            if line:
+                args.extend(line.split())
+    return args
+
+
+def _with_rc_defaults(argv: list[str]) -> list[str]:
+    argv = list(argv)
+    path = None
+    if "-opts_file" in argv:
+        i = argv.index("-opts_file")
+        path = argv[i + 1]
+        del argv[i:i + 2]
+    elif os.path.exists(RC_FILE):
+        path = RC_FILE
+    return (_read_opts_file(path) + argv) if path else argv
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -83,11 +114,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="append a structured JSON run record to this file")
     p.add_argument("-cpu", action="store_true",
                    help="force the CPU backend")
+    p.add_argument("-opts_file", default=None,
+                   help="option defaults file (PETSc-rc style: one '-flag "
+                        "value' per line, # comments); ~/.graphlaprc is "
+                        "read automatically; CLI flags override")
     return p
 
 
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+    argv = sys.argv[1:] if argv is None else list(argv)
+    args = build_parser().parse_args(_with_rc_defaults(argv))
 
     if args.cpu:
         import jax

@@ -40,6 +40,21 @@ def test_cli_denoise_run(img_file, tmp_path, capsys):
     assert result.shape == (64, 64)
 
 
+def test_cli_opts_file(img_file, tmp_path, capsys):
+    """PETSc-rc-style defaults file: file sets flags, CLI overrides."""
+    rc_path = tmp_path / "rc"
+    rc_path.write_text("# defaults\n-kernel nlm\n-sample 0.03\n"
+                       "-eigvals 24\n-noise 0.1\n")
+    out = str(tmp_path / "o.png")
+    rc = cli_main(["-f", img_file, "-o", out, "-grayscale", "-cpu",
+                   "-opts_file", str(rc_path), "-eigvals", "16"])
+    assert rc == 0
+    captured = capsys.readouterr().out
+    assert "kernel=nlm" in captured        # from the rc file
+    assert "m=16" in captured              # CLI override wins
+    assert "PSNR noisy" in captured        # -noise from the rc file
+
+
 def test_cli_bad_flag(img_file):
     with pytest.raises(SystemExit):
         cli_main(["-f", img_file, "-kernel", "nope"])
