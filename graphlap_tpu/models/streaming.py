@@ -58,8 +58,17 @@ class StreamFactor(NamedTuple):
     feats_a: jnp.ndarray     # (p, d)
     feats_pad: jnp.ndarray   # (n_pad, d)
     y_pad: jnp.ndarray       # (n_pad,) input pixels, zero-padded
+    v_b: jnp.ndarray | None  # (n_pad, m) pre-rescale V, materialized by the
+                             # colstats pass when O(Nm) fits HBM (the apply
+                             # then skips a full kernel-recompute pass);
+                             # None above _V_BYTES_CAP
     n: int                   # true pixel count (static)
     block: int               # column-block width (static)
+
+
+# materialize V (n_pad, m) f32 when it stays under this budget (1.7 GB at
+# 8 MP / m=50; the chip has 16 GB HBM and the strip-free pipeline uses ~2)
+_V_BYTES_CAP = 6e9
 
 
 def _factor_streaming(img2d: jnp.ndarray, idx_a: jnp.ndarray,
@@ -226,8 +235,13 @@ def _factor_streaming(img2d: jnp.ndarray, idx_a: jnp.ndarray,
     y_pad = jnp.zeros(n_pad, jnp.float32).at[:n].set(y)
     y_a = jnp.take(y_pad, idx_a)
 
-    norms_b, coeffs_b = st.rmatmat_colstats(
-        feats_a, feats_pad, basis0, y_pad, s_a, s_b_cols, block, dtype)
+    if n_pad * m * 4 <= _V_BYTES_CAP:
+        norms_b, coeffs_b, v_b = st.rmatmat_colstats_v(
+            feats_a, feats_pad, basis0, y_pad, s_a, s_b_cols, block, dtype)
+    else:
+        norms_b, coeffs_b = st.rmatmat_colstats(
+            feats_a, feats_pad, basis0, y_pad, s_a, s_b_cols, block, dtype)
+        v_b = None
     dnorm = jnp.sum(v_a * v_a, axis=0) + norms_b
     live = dnorm > _LIVE_NORM2
     scale = jnp.where(live, 1.0 / jnp.sqrt(jnp.where(live, dnorm, 1.0)), 0.0)
@@ -236,7 +250,7 @@ def _factor_streaming(img2d: jnp.ndarray, idx_a: jnp.ndarray,
     return StreamFactor(vals=vals_m, basis0=basis0, v_a=v_a, scale=scale,
                         coeffs=coeffs, s_a=s_a, s_b_cols=s_b_cols,
                         feats_a=feats_a, feats_pad=feats_pad, y_pad=y_pad,
-                        n=n, block=block)
+                        v_b=v_b, n=n, block=block)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -257,8 +271,11 @@ def filter_channel_streaming(img2d: jnp.ndarray, idx_a: jnp.ndarray,
     wvec = scale * g * coeffs                         # (m,)
 
     z_a = v_a @ wvec
-    z_full = st.rmat_apply(fac.feats_a, fac.feats_pad, basis0, wvec,
-                           fac.s_a, fac.s_b_cols, fac.block, dtype)
+    if fac.v_b is not None:
+        z_full = fac.v_b @ wvec                       # one skinny GEMM
+    else:
+        z_full = st.rmat_apply(fac.feats_a, fac.feats_pad, basis0, wvec,
+                               fac.s_a, fac.s_b_cols, fac.block, dtype)
     z_full = z_full.at[idx_a].set(z_a)                # p scatter
     if filt.affine:
         z_full = z_full + fac.y_pad
@@ -275,7 +292,10 @@ def basis_channel_streaming(img2d: jnp.ndarray, idx_a: jnp.ndarray,
     checkpoint's [A; B] convention."""
     fac = _factor_streaming(img2d, idx_a, cfg)
     dtype = jnp.bfloat16 if cfg.affinity_dtype == "bfloat16" else jnp.float32
-    v = st.rmatmat(fac.feats_a, fac.feats_pad, fac.basis0,
-                   fac.s_a, fac.s_b_cols, fac.block, dtype)
+    if fac.v_b is not None:
+        v = fac.v_b
+    else:
+        v = st.rmatmat(fac.feats_a, fac.feats_pad, fac.basis0,
+                       fac.s_a, fac.s_b_cols, fac.block, dtype)
     v = v.at[idx_a].set(fac.v_a)                      # p scatter of A rows
     return fac.vals, v[:fac.n] * fac.scale[None, :]

@@ -126,6 +126,32 @@ def rmatmat_colstats(feats_a, feats_pad, g, y, row_scale, col_scale, block,
     return norms, coeffs
 
 
+def rmatmat_colstats_v(feats_a, feats_pad, g, y, row_scale, col_scale,
+                       block, dtype):
+    """rmatmat_colstats that ALSO emits V (n_pad, m) f32 — the pass
+    already computes every V block, so writing it out costs one O(Nm)
+    store, and the later filter apply becomes a single skinny GEMM on V
+    instead of a full kernel-recompute pass (measured ~0.1 s at 8 MP).
+    Only used when the O(Nm) buffer comfortably fits HBM (caller gates)."""
+    fb = _blocks(feats_pad, block)
+    cs = col_scale.astype(dtype).reshape(fb.shape[0], block)
+    yb = y.reshape(fb.shape[0], block)
+    gr = g * row_scale[:, None]
+
+    def body(carry, xs):
+        norms, coeffs = carry
+        f, c, yv = xs
+        kb = _kernel_blk(feats_a, f, dtype) * c[:, None].T
+        vb = _dot(kb.T, gr, dtype)                          # (blk, m) f32
+        return (norms + jnp.sum(vb * vb, axis=0),
+                coeffs + vb.T @ yv), vb
+
+    m = g.shape[1]
+    carry0 = (jnp.zeros(m, jnp.float32), jnp.zeros(m, jnp.float32))
+    (norms, coeffs), v = jax.lax.scan(body, carry0, (fb, cs, yb))
+    return norms, coeffs, v.reshape(-1, m)
+
+
 def rmatmat(feats_a, feats_pad, g, row_scale, col_scale, block, dtype):
     """(D_c C^T D_r) G -> (n_pad, m), MATERIALIZED blockwise.
 

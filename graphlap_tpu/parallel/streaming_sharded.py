@@ -16,7 +16,7 @@ the single-device model uses; tests assert sharded == single-device on the
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -40,9 +40,11 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+@lru_cache(maxsize=None)
 def build_streaming_sharded(mesh, cfg: PipelineConfig):
     """Returns a jitted fn (img2d (H,W) f32, idx_a (p,)) -> (z2d, vals)
-    with the pixel axis sharded over mesh axis 'rows'."""
+    with the pixel axis sharded over mesh axis 'rows'. Memoized on
+    (mesh, cfg) — see build_sharded_pipeline."""
 
     dtype = jnp.bfloat16 if cfg.affinity_dtype == "bfloat16" else jnp.float32
     n_rows = int(np.prod([s for name, s in zip(mesh.axis_names,
@@ -72,6 +74,12 @@ def build_streaming_sharded(mesh, cfg: PipelineConfig):
         return jax.lax.psum(g, "rows")
 
     def _colstats(fa, f_loc, basis, y_loc, s_a, cols_loc, block):
+        norms, coeffs, v_loc = st.rmatmat_colstats_v(
+            fa, f_loc, basis, y_loc, s_a, cols_loc, block, dtype)
+        return (jax.lax.psum(norms, "rows"), jax.lax.psum(coeffs, "rows"),
+                v_loc)
+
+    def _colstats_nov(fa, f_loc, basis, y_loc, s_a, cols_loc, block):
         norms, coeffs = st.rmatmat_colstats(fa, f_loc, basis, y_loc, s_a,
                                             cols_loc, block, dtype)
         return jax.lax.psum(norms, "rows"), jax.lax.psum(coeffs, "rows")
@@ -106,10 +114,18 @@ def build_streaming_sharded(mesh, cfg: PipelineConfig):
         mv = smap(partial(_mv, block=block), (rep2, pNd, pN), rep)
         rmv = smap(partial(_rmv, block=block), (rep2, pNd, rep), pN)
         gramf = smap(partial(_gram, block=block), (rep2, pNd, rep, pN), rep2)
-        colstats = smap(partial(_colstats, block=block),
-                        (rep2, pNd, rep2, pN, rep, pN), (rep, rep))
-        applyf = smap(partial(_apply, block=block),
-                      (rep2, pNd, rep2, rep, rep, pN), pN)
+        # materialize V (n_pad/n_rows x m per device) when it fits HBM:
+        # the filter apply becomes one skinny GEMM instead of a full
+        # kernel-recompute pass (models/streaming.py _V_BYTES_CAP note)
+        mat_v = n_pad * cfg.num_eigvecs * 4 <= 6e9 * n_rows
+        if mat_v:
+            colstats = smap(partial(_colstats, block=block),
+                            (rep2, pNd, rep2, pN, rep, pN), (rep, rep, pNd))
+        else:
+            colstats = smap(partial(_colstats_nov, block=block),
+                            (rep2, pNd, rep2, pN, rep, pN), (rep, rep))
+            applyf = smap(partial(_apply, block=block),
+                          (rep2, pNd, rep2, rep, rep, pN), pN)
 
         def ktilde_apply(s):
             s_a = jnp.take(s, idx_a)
@@ -167,8 +183,12 @@ def build_streaming_sharded(mesh, cfg: PipelineConfig):
         y_pad = jnp.zeros(n_pad, jnp.float32).at[:n].set(y)
         y_a = jnp.take(y_pad, idx_a)
 
-        norms_b, coeffs_b = colstats(feats_a, feats_pad, basis0, y_pad,
-                                     s_a, s_b_cols)
+        if mat_v:
+            norms_b, coeffs_b, v_b = colstats(feats_a, feats_pad, basis0,
+                                              y_pad, s_a, s_b_cols)
+        else:
+            norms_b, coeffs_b = colstats(feats_a, feats_pad, basis0, y_pad,
+                                         s_a, s_b_cols)
         dnorm = jnp.sum(v_a * v_a, axis=0) + norms_b
         live = dnorm > _LIVE_NORM2
         scale = jnp.where(live, 1.0 / jnp.sqrt(jnp.where(live, dnorm, 1.0)),
@@ -181,7 +201,10 @@ def build_streaming_sharded(mesh, cfg: PipelineConfig):
         wvec = scale * g * coeffs
 
         z_a = v_a @ wvec
-        z_full = applyf(feats_a, feats_pad, basis0, wvec, s_a, s_b_cols)
+        if mat_v:
+            z_full = v_b @ wvec      # V materialized by the colstats pass
+        else:
+            z_full = applyf(feats_a, feats_pad, basis0, wvec, s_a, s_b_cols)
         z_full = z_full.at[idx_a].set(z_a)
         if filt.affine:
             z_full = z_full + y_pad
@@ -191,6 +214,7 @@ def build_streaming_sharded(mesh, cfg: PipelineConfig):
     return run
 
 
+@lru_cache(maxsize=None)
 def build_streaming_sharded_batch(mesh, cfg: PipelineConfig):
     """Batched variant: frames on mesh axis ``data``, pixel blocks on
     ``rows`` — BASELINE config 5's real shape ("16x 4K frames ... multi-host
@@ -233,6 +257,14 @@ def build_streaming_sharded_batch(mesh, cfg: PipelineConfig):
         return jax.lax.psum(g, "rows")
 
     def _colstats(fa, f_loc, basis, y_loc, s_a, cols_loc, block):
+        norms, coeffs, v_loc = jax.vmap(
+            lambda a, f, g, y, sa, c: st.rmatmat_colstats_v(
+                a, f, g, y, sa, c, block, dtype)
+        )(fa, f_loc, basis, y_loc, s_a, cols_loc)
+        return (jax.lax.psum(norms, "rows"), jax.lax.psum(coeffs, "rows"),
+                v_loc)
+
+    def _colstats_nov(fa, f_loc, basis, y_loc, s_a, cols_loc, block):
         norms, coeffs = jax.vmap(
             lambda a, f, g, y, sa, c: st.rmatmat_colstats(
                 a, f, g, y, sa, c, block, dtype)
@@ -292,10 +324,16 @@ def build_streaming_sharded_batch(mesh, cfg: PipelineConfig):
         mv = smap(partial(_mv, block=block), (dB2, pBd, pB), dB3)
         rmv = smap(partial(_rmv, block=block), (dB2, pBd, dB3), pB)
         gramf = smap(partial(_gram, block=block), (dB2, pBd, dB3, pB), dB2)
-        colstats = smap(partial(_colstats, block=block),
-                        (dB2, pBd, dB2, pB, dB3, pB), (dB3, dB3))
-        applyf = smap(partial(_apply, block=block),
-                      (dB2, pBd, dB2, dB3, dB3, pB), pB)
+        # V materialization gate — see build_streaming_sharded
+        mat_v = bsz * n_pad * cfg.num_eigvecs * 4 <= 6e9 * n_rows
+        if mat_v:
+            colstats = smap(partial(_colstats, block=block),
+                            (dB2, pBd, dB2, pB, dB3, pB), (dB3, dB3, pBd))
+        else:
+            colstats = smap(partial(_colstats_nov, block=block),
+                            (dB2, pBd, dB2, pB, dB3, pB), (dB3, dB3))
+            applyf = smap(partial(_apply, block=block),
+                          (dB2, pBd, dB2, dB3, dB3, pB), pB)
 
         def ktilde_apply(s):                                  # (B, n_pad)
             s_a = jnp.take(s, idx_a, axis=1)
@@ -405,8 +443,12 @@ def build_streaming_sharded_batch(mesh, cfg: PipelineConfig):
         y_pad = jnp.zeros((bsz, n_pad), jnp.float32).at[:, :n].set(y)
         y_a = jnp.take(y_pad, idx_a, axis=1)
 
-        norms_b, coeffs_b = colstats(feats_a, feats_pad, basis0, y_pad,
-                                     s_a, s_b_cols)
+        if mat_v:
+            norms_b, coeffs_b, v_b = colstats(feats_a, feats_pad, basis0,
+                                              y_pad, s_a, s_b_cols)
+        else:
+            norms_b, coeffs_b = colstats(feats_a, feats_pad, basis0, y_pad,
+                                         s_a, s_b_cols)
         dnorm = jnp.sum(v_a * v_a, axis=1) + norms_b          # (B, m)
         live = dnorm > _LIVE_NORM2
         scale = jnp.where(live, 1.0 / jnp.sqrt(jnp.where(live, dnorm, 1.0)),
@@ -419,7 +461,10 @@ def build_streaming_sharded_batch(mesh, cfg: PipelineConfig):
         wvec = scale * g * coeffs                             # (B, m)
 
         z_a = jnp.einsum("bpm,bm->bp", v_a, wvec)
-        z_full = applyf(feats_a, feats_pad, basis0, wvec, s_a, s_b_cols)
+        if mat_v:
+            z_full = jnp.einsum("bnm,bm->bn", v_b, wvec)
+        else:
+            z_full = applyf(feats_a, feats_pad, basis0, wvec, s_a, s_b_cols)
         z_full = z_full.at[:, idx_a].set(z_a)
         if filt.affine:
             z_full = z_full + y_pad
