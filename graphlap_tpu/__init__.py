@@ -28,7 +28,7 @@ from .models.pipeline import (
     filter_image_staged,
     make_plan,
 )
-from .models.video import filter_video
+from .models.video import filter_video, filter_video_multihost
 from .utils.checkpoint import filter_with_basis, load_basis, save_basis
 from .utils.sampling import SamplePlan, uniform_grid_sample
 
@@ -39,7 +39,7 @@ __all__ = [
     "load_image", "save_image", "add_gaussian_noise", "make_test_image",
     "psnr", "ssim",
     "FilterResult", "filter_image", "filter_image_staged", "make_plan",
-    "compute_basis", "filter_video",
+    "compute_basis", "filter_video", "filter_video_multihost",
     "save_basis", "load_basis", "filter_with_basis",
     "SamplePlan", "uniform_grid_sample",
 ]
