@@ -36,14 +36,19 @@ def make_workload(pallas: bool):
     import graphlap_tpu as gl
 
     cfg = gl.CONFIG2  # NLM 5x5, 2% sample, sinkhorn, identity filter, m=50
-    # TPU: the fused Pallas affinity emitter (single strip buffer in HBM)
-    # + bf16 for ONLY the one-shot cross GEMM — measured 0.0000 dB PSNR
-    # delta / 125 dB agreement vs the all-f32 output at this exact shape
-    # (benchmarks/results/cfg2_sweep.jsonl) while cutting the device wall
-    # 0.92 -> 0.51 s. Strip + Sinkhorn stay f32 (bf16 THERE costs 0.135 dB,
-    # same sweep).
+    # TPU production recipe (every step measured at this exact shape,
+    # benchmarks/results/cfg2_sweep.jsonl, parity vs the all-f32 20-iter
+    # reference that is itself oracle-anchored):
+    #  * fused Pallas affinity emitter (single strip buffer in HBM);
+    #  * bfloat16_store: f32 distance math (bf16 GEMM INPUTS cost 0.135 dB
+    #    via the GEMM-trick cancellation), strip STORED bf16 — halves every
+    #    downstream strip read incl. the auto-bf16 cross GEMM [0.0001 dB];
+    #  * Sinkhorn 10 iterations — converged: 20 -> 10 moves the output by
+    #    0.0003 dB (reference used ~10-50 to convergence).
+    # Device wall 0.92 -> 0.31 s across these steps.
     # CPU baseline: plain jnp (pallas interpret mode would be unfairly slow).
-    cfg = cfg.replace(use_pallas=pallas, gram_dtype="bfloat16")
+    cfg = cfg.replace(use_pallas=pallas, affinity_dtype="bfloat16_store",
+                      sinkhorn_iters=10)
     img = gl.make_test_image(H, W)
     noisy = np.clip(gl.add_gaussian_noise(img, 0.1, seed=1), 0, 1)
     return gl, cfg, img, noisy
@@ -122,11 +127,12 @@ def main():
     cfg_bf16 = cfg.replace(affinity_dtype="bfloat16")
     wall_bf16, res_bf16 = timed_run(gl, cfg_bf16, noisy)
 
-    # measured parity bound of the headline recipe vs the all-f32 path
-    # (which is oracle-gated in tests): the graded "PSNR delta vs CPU
-    # reference" chain, recorded in every round's bench artifact
-    _, res_f32 = timed_run(gl, cfg.replace(gram_dtype="float32"), noisy,
-                           n_runs=1)
+    # measured parity bound of the headline recipe vs the FULL exact path
+    # (all-f32, 20-iteration Sinkhorn — the config that is oracle-gated in
+    # tests): the graded "PSNR delta vs CPU reference" chain, recorded in
+    # every round's bench artifact
+    _, res_f32 = timed_run(gl, gl.CONFIG2.replace(use_pallas=cfg.use_pallas),
+                           noisy, n_runs=1)
 
     # device-only wall (inputs pre-staged, scalar-readback sync): the
     # end-to-end wall on this box includes seconds of image transfer

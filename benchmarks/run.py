@@ -38,9 +38,12 @@ def row2():
     import graphlap_tpu as gl
     img = gl.make_test_image(512, 512)
     noisy = np.clip(gl.add_gaussian_noise(img, 0.1, seed=1), 0, 1)
-    # production recipe: Pallas affinity emitter + bf16 cross GEMM only
-    # (0.0000 dB / 125 dB agreement vs all-f32, cfg2_sweep.jsonl)
-    cfg = gl.CONFIG2.replace(use_pallas=True, gram_dtype="bfloat16")
+    # production recipe: Pallas affinity emitter + bfloat16_store strip +
+    # converged 10-iter Sinkhorn (0.0003 dB vs the all-f32 20-iter
+    # reference, cfg2_sweep.jsonl)
+    cfg = gl.CONFIG2.replace(use_pallas=True,
+                             affinity_dtype="bfloat16_store",
+                             sinkhorn_iters=10)
     return "cfg2_512_nlm", cfg, img, noisy
 
 

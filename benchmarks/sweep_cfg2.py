@@ -58,6 +58,13 @@ def main():
         ("bf16_all", base.replace(affinity_dtype="bfloat16")),
         ("bf16_all_f32gram", base.replace(affinity_dtype="bfloat16",
                                           gram_dtype="float32")),
+        # round 2b: f32 math + bf16 strip STORAGE (gram auto-bf16) — halves
+        # every downstream strip read without the distance-GEMM cancellation
+        ("bf16_store", base.replace(affinity_dtype="bfloat16_store")),
+        ("bf16_store_iters10", base.replace(affinity_dtype="bfloat16_store",
+                                            sinkhorn_iters=10)),
+        ("f32_bf16gram_iters10", base.replace(gram_dtype="bfloat16",
+                                              sinkhorn_iters=10)),
     ]
     ref_out = None
     RESULTS.parent.mkdir(parents=True, exist_ok=True)

@@ -90,6 +90,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="convert input to grayscale")
     p.add_argument("-bf16", action="store_true",
                    help="bfloat16 affinity GEMMs (faster, small PSNR cost)")
+    p.add_argument("-bf16_store", action="store_true",
+                   help="f32 affinity math, bf16 strip STORAGE (halves "
+                        "Sinkhorn bandwidth at near-zero PSNR cost; dense "
+                        "path)")
     p.add_argument("-gram_dtype", default="auto",
                    choices=["auto", "float32", "bfloat16"],
                    help="dense path: dtype of the one-shot cross GEMM only "
@@ -140,7 +144,9 @@ def main(argv=None) -> int:
         normalization=args.normalization, sinkhorn_iters=args.sinkhorn_iters,
         sinkhorn_coarse=args.sinkhorn_coarse, gram_coarse=args.gram_coarse,
         filter_name=args.filter_name, filter_param=args.filter_param,
-        affinity_dtype="bfloat16" if args.bf16 else "float32",
+        affinity_dtype=("bfloat16" if args.bf16
+                        else "bfloat16_store" if args.bf16_store
+                        else "float32"),
         gram_dtype=args.gram_dtype,
         solver=args.solver, streaming=args.streaming,
         block_cols=args.block_cols, use_pallas=args.pallas,

@@ -78,7 +78,20 @@ class PipelineConfig:
     filter_param: float = 1.0      # k for power, beta for sharpen, tau for exp
 
     # --- precision policy ---
-    affinity_dtype: str = "float32"  # GEMM dtype for the K strip
+    affinity_dtype: str = "float32"  # K-strip precision:
+                                     # "float32" — exact;
+                                     # "bfloat16" — bf16 distance-GEMM
+                                     #   inputs (fast, but the GEMM-trick
+                                     #   cancellation costs 0.135 dB at
+                                     #   cfg2 — cfg2_sweep.jsonl);
+                                     # "bfloat16_store" — f32 distances/
+                                     #   exp, strip STORED bf16: halves all
+                                     #   downstream strip bandwidth (the
+                                     #   Sinkhorn wall) with only output
+                                     #   rounding. Dense path only —
+                                     #   streaming recomputes tiles, so
+                                     #   storage dtype is moot there
+                                     #   (treated as float32)
     gram_dtype: str = "auto"         # dense path: dtype of the one-shot
                                      # cross GEMM W_AB W_AB^T only ("auto"
                                      # follows affinity_dtype). bf16 here is
@@ -102,8 +115,9 @@ class PipelineConfig:
             )
         if self.filter_name not in FILTERS:
             raise ValueError(f"filter_name must be one of {FILTERS}, got {self.filter_name!r}")
-        if self.affinity_dtype not in DTYPES:
-            raise ValueError(f"affinity_dtype must be one of {DTYPES}")
+        if self.affinity_dtype not in DTYPES + ("bfloat16_store",):
+            raise ValueError(f"affinity_dtype must be one of "
+                             f"{DTYPES + ('bfloat16_store',)}")
         if self.gram_dtype not in DTYPES + ("auto",):
             raise ValueError(f"gram_dtype must be 'auto' or one of {DTYPES}")
         if self.solver not in SOLVERS:
@@ -121,8 +135,13 @@ class PipelineConfig:
 
     def gram_gemm_dtype(self) -> str:
         """Resolved dtype of the dense one-shot cross GEMM."""
-        return (self.affinity_dtype if self.gram_dtype == "auto"
-                else self.gram_dtype)
+        if self.gram_dtype != "auto":
+            return self.gram_dtype
+        # bfloat16_store already holds the strip in bf16 — the native bf16
+        # MXU pass is both the fast and the bandwidth-matched choice
+        return ("bfloat16"
+                if self.affinity_dtype in ("bfloat16", "bfloat16_store")
+                else "float32")
 
     def num_samples(self, n_pixels: int) -> int:
         """p = min(cap, ceil(rho * N)), at least num_eigvecs."""

@@ -80,13 +80,16 @@ def affinity_strip(
     feats_a: jnp.ndarray,
     feats_all: jnp.ndarray,
     dtype: jnp.dtype = jnp.float32,
+    store_dtype: jnp.dtype | None = None,
 ) -> jnp.ndarray:
     """K strip (p, N): K[i, j] = exp(-|f_Ai - f_j|^2) via the GEMM trick.
 
     ``feats_all`` is in permuted [A; B] order, so columns [:p] are K_AA and
     [p:] are K_AB (SURVEY.md §1.2 Stage 2). The GEMM runs in ``dtype``
     (bf16 allowed, accumulating f32 on the MXU); distances are clamped at 0
-    to kill negative round-off. Output is always float32.
+    to kill negative round-off. Output is float32 unless ``store_dtype``
+    narrows the STORED strip (distances/exp stay in the compute dtype —
+    the bfloat16_store policy: exact math, half the downstream bandwidth).
     """
     a = feats_a.astype(dtype)
     b = feats_all.astype(dtype)
@@ -95,7 +98,8 @@ def affinity_strip(
     na = jnp.sum(feats_a.astype(jnp.float32) ** 2, axis=1)
     nb = jnp.sum(feats_all.astype(jnp.float32) ** 2, axis=1)
     d2 = jnp.maximum(na[:, None] + nb[None, :] - 2.0 * cross, 0.0)
-    return jnp.exp(-d2)
+    out = jnp.exp(-d2)
+    return out if store_dtype is None else out.astype(store_dtype)
 
 
 def affinity_blocks(img: jnp.ndarray, idx_a: jnp.ndarray, perm: jnp.ndarray,
@@ -112,12 +116,17 @@ def affinity_blocks(img: jnp.ndarray, idx_a: jnp.ndarray, perm: jnp.ndarray,
     p = idx_a.shape[0]
     feats_a = feats_perm[:p]
     dtype = jnp.bfloat16 if cfg.affinity_dtype == "bfloat16" else jnp.float32
+    store = (jnp.bfloat16 if cfg.affinity_dtype == "bfloat16_store" else None)
+    # K_AA stays f32 regardless: it feeds the p x p Cholesky/ridge solves
+    # and is tiny; only the (p, N-p) strip pays the bandwidth bill
     kaa = affinity_strip(feats_a, feats_a, dtype)
     if cfg.use_pallas:
         from .pallas_affinity import affinity_strip_pallas
-        kab = affinity_strip_pallas(feats_a, feats_perm[p:], dtype=dtype)
+        kab = affinity_strip_pallas(feats_a, feats_perm[p:], dtype=dtype,
+                                    store_dtype=store)
     else:
-        kab = affinity_strip(feats_a, feats_perm[p:], dtype=dtype)
+        kab = affinity_strip(feats_a, feats_perm[p:], dtype=dtype,
+                             store_dtype=store)
     return kaa, kab
 
 

@@ -51,19 +51,25 @@ def _affinity_kernel(a_ref, b_ref, out_ref):
     na = jnp.sum(af * af, axis=1, keepdims=True)   # (TILE_P, 1)
     nb = jnp.sum(bf * bf, axis=0, keepdims=True)   # (1, TILE_N)
     d2 = jnp.maximum(na + nb - 2.0 * cross, 0.0)
-    out_ref[:] = jnp.exp(-d2)
+    out_ref[:] = jnp.exp(-d2).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("dtype", "interpret"))
+@functools.partial(jax.jit, static_argnames=("dtype", "store_dtype",
+                                             "interpret"))
 def affinity_strip_pallas(feats_a: jnp.ndarray, feats_all: jnp.ndarray,
-                          dtype=jnp.float32, interpret: bool | None = None):
+                          dtype=jnp.float32, store_dtype=None,
+                          interpret: bool | None = None):
     """K strip (p, N) = exp(-|f_Ai - f_j|^2), fused tile emitter.
 
     Drop-in for ops.affinity.affinity_strip. ``dtype`` controls the GEMM
-    input precision (bf16 inputs -> native MXU passes, f32 accumulate).
+    input precision (bf16 inputs -> native MXU passes, f32 accumulate);
+    ``store_dtype`` narrows only the EMITTED tile (bfloat16_store policy).
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    import numpy as np
+    out_dtype = np.dtype(store_dtype if store_dtype is not None
+                         else jnp.float32)
     p, d = feats_a.shape
     n = feats_all.shape[0]
     if d > D_PAD:
@@ -88,11 +94,11 @@ def affinity_strip_pallas(feats_a: jnp.ndarray, feats_all: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((TILE_P, TILE_N), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((p_pad, n_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((p_pad, n_pad), out_dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * p_pad * n_pad * D_PAD,
             bytes_accessed=(p_pad * D_PAD + D_PAD * n_pad) * a.dtype.itemsize
-            + p_pad * n_pad * 4,
+            + p_pad * n_pad * out_dtype.itemsize,
             transcendentals=p_pad * n_pad,
         ),
         interpret=interpret,

@@ -113,7 +113,10 @@ def normalize_blocks(kaa, kab, normalization: str, iters: int, eig_tol: float,
         s_b = jnp.ones(kab.shape[1], dtype=kaa.dtype)
 
     waa = kaa * (s_a[:, None] * s_a[None, :])
-    wab = kab * (s_a[:, None] * s_b[None, :])
+    # preserve the strip's STORAGE dtype (bfloat16_store policy): the f32
+    # scaling outer product would otherwise silently re-materialize the
+    # (p, N) strip at f32, forfeiting the bandwidth the narrow store buys
+    wab = (kab * (s_a[:, None] * s_b[None, :])).astype(kab.dtype)
     return waa, wab, s_a, s_b
 
 

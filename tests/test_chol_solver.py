@@ -110,6 +110,20 @@ def test_oneshot_still_available(img96):
     assert abs(psnr(img, res.image) - psnr(img, orc)) <= 0.1
 
 
+def test_bf16_store_close(img96):
+    """bfloat16_store: f32 distance math (no GEMM-trick cancellation), bf16
+    strip STORAGE — must land far closer to f32 than full-bf16 does."""
+    img, noisy = img96
+    f32 = filter_image(noisy, CONFIG2)
+    store = filter_image(noisy, CONFIG2.replace(affinity_dtype="bfloat16_store"))
+    full = filter_image(noisy, CONFIG2.replace(affinity_dtype="bfloat16"))
+    d_store = abs(psnr(img, store.image) - psnr(img, f32.image))
+    d_full = abs(psnr(img, full.image) - psnr(img, f32.image))
+    assert d_store < 0.05
+    assert psnr(f32.image, store.image) > 50.0
+    assert d_store <= d_full + 1e-6
+
+
 def test_gram_dtype_bf16_close(img96):
     """bf16 on ONLY the one-shot cross GEMM (gram_dtype) stays near the f32
     result — the input rounding perturbs just the p x p spectrum."""
