@@ -59,6 +59,8 @@ def main():
         ("bf16_gc4", base.replace(affinity_dtype="bfloat16", gram_coarse=4)),
         ("bf16_sc16_gc4", base.replace(affinity_dtype="bfloat16",
                                        sinkhorn_coarse=16, gram_coarse=4)),
+        ("bf16_store_dense", base.replace(streaming=False,
+                                          affinity_dtype="bfloat16_store")),
     ]
     RESULTS.parent.mkdir(parents=True, exist_ok=True)
     recs = [{"recipe": "oracle_f64", "side": side, "p": plan.p,

@@ -122,6 +122,19 @@ def row4x():
             img, noisy)
 
 
+def row4p():
+    """8 MP COMPLIANT TURBO: both decimations + bf16 + Pallas + ONE
+    full-resolution Sinkhorn polish iteration — the polish contracts the
+    decimation bias back under the parity gate (0.012-0.053 dB vs the
+    f32-exact trajectory across seeds, cfg4_sweep.jsonl) at ~11.9 MP/s
+    single-chip. The <1 s BASELINE target (spec'd for a v4-8 slice) is met
+    on ONE chip by a gate-compliant recipe."""
+    name, cfg, img, noisy = row4()
+    return ("cfg4_8mp_compliant_turbo_p1",
+            cfg.replace(sinkhorn_coarse=64, gram_coarse=8, use_pallas=True,
+                        sinkhorn_polish=1), img, noisy)
+
+
 def row4m():
     """8 MP at the gate boundary: sc16+gc4 = 1.50 s, 0.0995 dB measured."""
     name, cfg, img, noisy = row4()
@@ -143,13 +156,14 @@ def row5s():
     cfg = gl.PipelineConfig(kernel="nlm", h=0.25, sample_rho=0.01,
                             sample_cap=4096, num_eigvecs=50,
                             sinkhorn_iters=10, sinkhorn_coarse=16,
+                            sinkhorn_polish=1, gram_coarse=8,
                             streaming=True, block_cols=129600,
                             affinity_dtype="bfloat16")
     return "cfg5_video_2x4k_streaming", cfg, frames, frames
 
 
 ROWS = {"1": row1, "2": row2, "3": row3, "4": row4, "4c": row4c,
-        "4g": row4g, "4m": row4m, "4x": row4x, "5": row5, "5s": row5s}
+        "4g": row4g, "4m": row4m, "4p": row4p, "4x": row4x, "5": row5, "5s": row5s}
 
 
 def _grad_energy(img: np.ndarray) -> float:
@@ -165,7 +179,8 @@ def _parity_cfg(cfg):
     (BASELINE.json metric: 'PSNR delta vs CPU reference' — transitively,
     vs the compliant path that IS oracle-gated in tests)."""
     exact = cfg.replace(affinity_dtype="float32", sinkhorn_coarse=1,
-                        gram_coarse=1, gram_dtype="auto", use_pallas=False)
+                        sinkhorn_polish=0, gram_coarse=1, gram_dtype="auto",
+                        use_pallas=False)
     return None if exact == cfg else exact
 
 

@@ -61,19 +61,19 @@ def main():
     mp = h * w / 1e6
 
     bf16 = base.replace(affinity_dtype="bfloat16")
+    turbo = bf16.replace(sinkhorn_coarse=64, gram_coarse=8, use_pallas=True)
     recipes = [
         ("f32_exact", base),
-        # round 2: gate-compliant candidates (gram_coarse perturbs only the
-        # p x p spectrum; 0.065 dB vs the f64 oracle at 384^2,
-        # parity_anchor.jsonl) and the Pallas fused-emitter stacks
-        ("bf16_gc2", bf16.replace(gram_coarse=2)),
-        ("bf16_gc4", bf16.replace(gram_coarse=4)),
-        ("bf16_gc8", bf16.replace(gram_coarse=8)),
-        ("bf16_gc4_pallas", bf16.replace(gram_coarse=4, use_pallas=True)),
-        ("bf16_sc16_gc4", bf16.replace(sinkhorn_coarse=16, gram_coarse=4)),
-        ("bf16_sc64_gc8_pallas", bf16.replace(sinkhorn_coarse=64,
-                                              gram_coarse=8,
-                                              use_pallas=True)),
+        # round 2c: coarse Sinkhorn + FULL-RES polish — each polish
+        # iteration contracts the decimation bias toward the exact fixed
+        # point at ~2 strip passes; hunting the compliant sub-second recipe
+        ("bf16_sc64_gc8_pallas_p1", turbo.replace(sinkhorn_polish=1)),
+        ("bf16_sc64_gc8_pallas_p2", turbo.replace(sinkhorn_polish=2)),
+        ("bf16_sc64_gc8_pallas_p3", turbo.replace(sinkhorn_polish=3)),
+        ("bf16_sc16_gc8_pallas_p2", bf16.replace(sinkhorn_coarse=16,
+                                                 gram_coarse=8,
+                                                 use_pallas=True,
+                                                 sinkhorn_polish=2)),
     ]
 
     ref_out = None

@@ -48,6 +48,16 @@ class PipelineConfig:
                                      # fixed point against every k-th column
                                      # (PAPERS.md scalable-Sinkhorn idea) +
                                      # one full-res extension pass
+    sinkhorn_polish: int = 0         # streaming + sinkhorn_coarse only:
+                                     # after the decimated fixed point,
+                                     # run this many FULL-resolution
+                                     # symmetric iterations — each one
+                                     # contracts the decimation bias toward
+                                     # the exact fixed point at ~2 strip
+                                     # passes apiece (coarse k=16 alone is
+                                     # ~0.1 dB off the exact trajectory at
+                                     # 8 MP; polish pulls it back under the
+                                     # gate at a fraction of full-res cost)
     gram_coarse: int = 1             # streaming only: >1 estimates the
                                      # O(Np^2) one-shot cross W_AB W_AB^T
                                      # (the single-chip cost king: 2.18 s of
@@ -130,6 +140,8 @@ class PipelineConfig:
             raise ValueError("sinkhorn_coarse must be >= 1")
         if self.gram_coarse < 1:
             raise ValueError("gram_coarse must be >= 1")
+        if self.sinkhorn_polish < 0:
+            raise ValueError("sinkhorn_polish must be >= 0")
         if self.lobpcg_iters < 1:
             raise ValueError("lobpcg_iters must be >= 1")
 

@@ -170,6 +170,13 @@ def _factor_streaming(img2d: jnp.ndarray, idx_a: jnp.ndarray,
         prod = jnp.maximum(kbt[:, 0] * kbt[:, 1], _EPS)
         s = (b_mask / jnp.sqrt(prod))
         s = s.at[idx_a].set(s_a_coarse)
+        if cfg.sinkhorn_polish > 0:
+            # full-resolution polish: contracts the decimation bias toward
+            # the exact fixed point (config.py sinkhorn_polish note)
+            def pbody(_, sp):
+                ks = jnp.maximum(ktilde_apply(sp), _EPS)
+                return jnp.sqrt(sp / ks) * valid
+            s = jax.lax.fori_loop(0, cfg.sinkhorn_polish, pbody, s * valid)
     elif cfg.normalization == "sinkhorn":
         def body(_, s):
             ks = jnp.maximum(ktilde_apply(s), _EPS)

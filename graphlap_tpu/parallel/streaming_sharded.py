@@ -387,6 +387,13 @@ def build_streaming_sharded_batch(mesh, cfg: PipelineConfig):
             s = jnp.where(b_mask[None, :] > 0,
                           b_mask[None, :] / jnp.sqrt(prod), 0.0)
             s = s.at[:, idx_a].set(s_a_coarse)
+            if cfg.sinkhorn_polish > 0:
+                # full-res polish of the decimated fixed point
+                def pbody(_, sp):
+                    ks = jnp.maximum(ktilde_apply(sp), _EPS)
+                    return jnp.sqrt(sp / ks) * valid[None, :]
+                s = jax.lax.fori_loop(0, cfg.sinkhorn_polish, pbody,
+                                      s * valid[None, :])
         elif cfg.normalization == "sinkhorn":
             def body(_, s):
                 ks = jnp.maximum(ktilde_apply(s), _EPS)
@@ -477,7 +484,14 @@ def build_streaming_sharded_batch(mesh, cfg: PipelineConfig):
 def filter_image_streaming_sharded(image: np.ndarray, cfg: PipelineConfig,
                                    plan, mesh):
     """Host entry: one grayscale image through the rows-sharded streaming
-    pipeline."""
+    pipeline. Coarse-Sinkhorn configs route through the batched builder
+    (B=1) — the single-frame builder implements only full-res Sinkhorn."""
+    if cfg.sinkhorn_coarse > 1:
+        run = build_streaming_sharded_batch(mesh, cfg)
+        z, vals = run(jnp.asarray(image, jnp.float32)[None],
+                      jnp.asarray(plan.idx_a))
+        z = jax.block_until_ready(z)
+        return np.asarray(z)[0], np.asarray(vals)[0]
     run = build_streaming_sharded(mesh, cfg)
     z, vals = run(jnp.asarray(image, jnp.float32), jnp.asarray(plan.idx_a))
     z = jax.block_until_ready(z)

@@ -48,6 +48,46 @@ def test_coarse_error_shrinks_with_finer_decimation(img96):
     assert d2 < d8  # coarser decimation -> larger deviation
 
 
+def test_polish_recovers_exactness(img96):
+    """Full-resolution polish iterations contract the decimation bias:
+    coarse+polish must land strictly closer to the exact-Sinkhorn result
+    than coarse alone, monotonically in the polish count."""
+    img, noisy = img96
+    full = filter_image(noisy, _cfg())
+    base = _cfg(sinkhorn_coarse=8)
+    d0 = np.abs(filter_image(noisy, base).image - full.image).max()
+    d2 = np.abs(filter_image(noisy, base.replace(sinkhorn_polish=2)).image
+                - full.image).max()
+    d4 = np.abs(filter_image(noisy, base.replace(sinkhorn_polish=4)).image
+                - full.image).max()
+    assert d2 < d0
+    assert d4 < d2
+    assert d4 < 0.2 * d0
+
+
+def test_polish_batched_matches_single():
+    from graphlap_tpu.models.pipeline import make_plan
+    from graphlap_tpu.models.video import filter_video
+    from graphlap_tpu.parallel.mesh import make_mesh
+    from graphlap_tpu import add_gaussian_noise, make_test_image
+
+    cfg = PipelineConfig(kernel="nlm", h=0.25, sample_rho=0.03,
+                         num_eigvecs=16, sinkhorn_iters=8, streaming=True,
+                         block_cols=128, sinkhorn_coarse=4,
+                         sinkhorn_polish=2)
+    frames = np.stack([
+        np.clip(add_gaussian_noise(make_test_image(32, 32, seed=s), 0.1,
+                                   seed=s), 0, 1)
+        for s in range(2)
+    ])
+    plan = make_plan(frames[0], cfg)
+    out, _ = filter_video(frames, cfg, mesh=make_mesh(n_rows=4, n_data=2),
+                          plan=plan, frames_per_step=2)
+    for i in range(2):
+        ref = filter_image(frames[i], cfg, plan=plan)
+        np.testing.assert_allclose(out[i], ref.image, atol=3e-4)
+
+
 def test_coarse_validation():
     with pytest.raises(ValueError):
         PipelineConfig(sinkhorn_coarse=0)
