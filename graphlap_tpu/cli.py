@@ -79,6 +79,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-sinkhorn_coarse", type=int, default=1,
                    help="streaming only: iterate Sinkhorn against every "
                         "k-th column (8 MP-scale accelerator)")
+    p.add_argument("-sinkhorn_polish", type=int, default=0,
+                   help="full-resolution polish iterations after coarse "
+                        "Sinkhorn (contracts decimation bias under the "
+                        "parity gate)")
     p.add_argument("-gram_coarse", type=int, default=1,
                    help="streaming only: estimate the O(Np^2) cross from "
                         "every k-th column (8 MP-scale accelerator)")
@@ -142,7 +146,8 @@ def main(argv=None) -> int:
         patch_size=args.patch, sample_rho=args.sample,
         sample_cap=args.sample_cap, num_eigvecs=args.eigvals,
         normalization=args.normalization, sinkhorn_iters=args.sinkhorn_iters,
-        sinkhorn_coarse=args.sinkhorn_coarse, gram_coarse=args.gram_coarse,
+        sinkhorn_coarse=args.sinkhorn_coarse,
+        sinkhorn_polish=args.sinkhorn_polish, gram_coarse=args.gram_coarse,
         filter_name=args.filter_name, filter_param=args.filter_param,
         affinity_dtype=("bfloat16" if args.bf16
                         else "bfloat16_store" if args.bf16_store
