@@ -62,18 +62,16 @@ def main():
 
     bf16 = base.replace(affinity_dtype="bfloat16")
     turbo = bf16.replace(sinkhorn_coarse=64, gram_coarse=8, use_pallas=True)
+    p1 = turbo.replace(sinkhorn_polish=1)
     recipes = [
         ("f32_exact", base),
-        # round 2c: coarse Sinkhorn + FULL-RES polish — each polish
-        # iteration contracts the decimation bias toward the exact fixed
-        # point at ~2 strip passes; hunting the compliant sub-second recipe
-        ("bf16_sc64_gc8_pallas_p1", turbo.replace(sinkhorn_polish=1)),
-        ("bf16_sc64_gc8_pallas_p2", turbo.replace(sinkhorn_polish=2)),
-        ("bf16_sc64_gc8_pallas_p3", turbo.replace(sinkhorn_polish=3)),
-        ("bf16_sc16_gc8_pallas_p2", bf16.replace(sinkhorn_coarse=16,
-                                                 gram_coarse=8,
-                                                 use_pallas=True,
-                                                 sinkhorn_polish=2)),
+        # round 2f: pass-A-only fusion (extension shares its kernel
+        # recompute with the first polish matvec); gram stays the separate
+        # pre-decimated Pallas pass (in-block strided slicing measured 2x
+        # slower)
+        ("p1_passA_iters4", p1.replace(sinkhorn_iters=4)),
+        ("p1_passA_iters6_blk64k", p1.replace(sinkhorn_iters=6,
+                                              block_cols=65536)),
     ]
 
     ref_out = None

@@ -172,7 +172,14 @@ def _factor_streaming(img2d: jnp.ndarray, idx_a: jnp.ndarray,
         s = s.at[idx_a].set(s_a_coarse)
         if cfg.sinkhorn_polish > 0:
             # full-resolution polish: contracts the decimation bias toward
-            # the exact fixed point (config.py sinkhorn_polish note)
+            # the exact fixed point (config.py sinkhorn_polish note).
+            # Deliberately UNFUSED: sharing one kernel recompute between
+            # the extension and the polish matvec gives the kb tile two
+            # consumers, which forces XLA to materialize it in HBM instead
+            # of fusing it into a single dot — measured 0.80 s vs 0.68 s
+            # at 8 MP (and a gram fused into the polish rmatvec via
+            # in-block strided slices was 1.44 s). Recompute-per-consumer
+            # is the winning schedule for these tile shapes.
             def pbody(_, sp):
                 ks = jnp.maximum(ktilde_apply(sp), _EPS)
                 return jnp.sqrt(sp / ks) * valid
