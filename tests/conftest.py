@@ -29,6 +29,27 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Self-sufficient on a fresh checkout: the native codec extension is built
+# from source (no committed binaries — ADVICE r1), so build it in-place once
+# if it is missing. tests/test_native.py asserts it imports afterwards.
+def _ensure_native_built():
+    import glob
+    import subprocess
+    import sys
+
+    # Decide from the filesystem, NOT by importing the package: a failed
+    # ``from . import _native`` leaves a stale ``_native = None`` attribute
+    # that a later reload would silently return instead of the fresh .so.
+    root = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+    if glob.glob(os.path.join(root, "graphlap_tpu", "native", "_native*.so")):
+        return
+    subprocess.run(
+        [sys.executable, "setup.py", "build_ext", "--inplace"],
+        cwd=root, check=False, capture_output=True, timeout=300)
+
+
+_ensure_native_built()
+
 
 @pytest.fixture(scope="session")
 def rng():

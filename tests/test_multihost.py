@@ -43,6 +43,9 @@ def test_two_process_launch_matches_single(tmp_path, streaming):
     env_base = {k: v for k, v in os.environ.items()
                 if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     env_base.setdefault("JAX_COMPILATION_CACHE_DIR", str(ROOT / ".jax_cache"))
+    # subprocesses must resolve graphlap_tpu from the checkout, installed or not
+    env_base["PYTHONPATH"] = str(ROOT) + (
+        os.pathsep + env_base["PYTHONPATH"] if env_base.get("PYTHONPATH") else "")
     for pid in range(2):
         out = tmp_path / f"out{pid}.npy"
         cmd = [sys.executable, str(ROOT / "scripts" / "multihost_launch.py"),
