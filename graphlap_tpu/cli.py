@@ -11,6 +11,10 @@ experiment mode with PSNR reporting, and ``-log_view`` stage timings.
 Like PETSc's ``~/.petscrc``, default options are read from ``~/.graphlaprc``
 (or the file named by ``-opts_file``): one ``-flag value`` pair per line,
 ``#`` comments allowed; command-line flags override file defaults.
+
+Flag-name caveat: argparse reserves ``-h`` for help, so the reference's
+kernel-bandwidth flag is spelled ``-h_param`` here — the one option name
+that cannot be mirrored exactly.
 """
 
 from __future__ import annotations
@@ -114,6 +118,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fused Pallas kernels for the affinity/matvec path")
     p.add_argument("-save_basis", default=None,
                    help="write the eigenbasis to this .npz for filter replay")
+    p.add_argument("-load_basis", default=None,
+                   help="replay -filter/-filter_param through a saved basis "
+                        "(skips sampling/affinity/Sinkhorn/eigensolve; "
+                        "O(N m) apply)")
     p.add_argument("-log_view", action="store_true",
                    help="print per-stage wall-clock timings (PETSc-style)")
     p.add_argument("-trace_dir", default=None,
@@ -161,6 +169,24 @@ def main(argv=None) -> int:
     image = clean
     if args.noise > 0:
         image = np.clip(gl.add_gaussian_noise(clean, args.noise, args.seed), 0, 1)
+
+    if args.load_basis:
+        from graphlap_tpu.utils.checkpoint import filter_with_basis, load_basis
+        import time as _time
+        basis = load_basis(args.load_basis)
+        t0 = _time.perf_counter()
+        out = filter_with_basis(image, basis, cfg.filter_name, cfg.filter_param)
+        wall = _time.perf_counter() - t0
+        print(f"replayed filter={cfg.filter_name}(param={cfg.filter_param}) "
+              f"through {args.load_basis} (basis config "
+              f"{basis.config_hash}) in {wall:.4f} s")
+        if args.noise > 0:
+            print(f"PSNR noisy {gl.psnr(clean, image):.3f} dB -> "
+                  f"filtered {gl.psnr(clean, out):.3f} dB")
+        if args.output:
+            gl.save_image(args.output, out)
+            print(f"wrote {args.output}")
+        return 0
 
     plan = make_plan(image, cfg)
     n = plan.n

@@ -60,6 +60,31 @@ def test_cli_bad_flag(img_file):
         cli_main(["-f", img_file, "-kernel", "nope"])
 
 
+def test_cli_save_then_load_basis(img_file, tmp_path, capsys):
+    """CLI -save_basis then -load_basis: replay skips the solve and matches
+    the direct pipeline output on the same filter."""
+    bpath = str(tmp_path / "basis.npz")
+    out1 = str(tmp_path / "direct.png")
+    common = ["-f", img_file, "-grayscale", "-cpu", "-kernel", "nlm",
+              "-sample", "0.03", "-eigvals", "16"]
+    assert cli_main(common + ["-o", out1, "-save_basis", bpath]) == 0
+    out2 = str(tmp_path / "replayed.png")
+    assert cli_main(common + ["-o", out2, "-load_basis", bpath]) == 0
+    assert "replayed filter=identity" in capsys.readouterr().out
+    from graphlap_tpu.io import load_image
+    a = load_image(out1, grayscale=True)
+    b = load_image(out2, grayscale=True)
+    assert a.shape == b.shape == (64, 64)
+    # same filter through the saved basis: identical up to png quantization
+    assert np.abs(a - b).max() <= 1.5 / 255.0
+    # a second filter replays through the same basis without re-solving
+    out3 = str(tmp_path / "sharp.png")
+    assert cli_main(common + ["-o", out3, "-load_basis", bpath,
+                              "-filter", "sharpen", "-filter_param", "0.8"]) == 0
+    c = load_image(out3, grayscale=True)
+    assert np.abs(c - b).max() > 2.0 / 255.0
+
+
 def test_basis_checkpoint_roundtrip(tmp_path):
     img = make_test_image(48, 48)
     cfg = PipelineConfig(kernel="nlm", h=0.25, sample_rho=0.03, num_eigvecs=20)
