@@ -189,6 +189,16 @@ def main(argv=None) -> int:
         return 0
 
     plan = make_plan(image, cfg)
+    if not cfg.streaming:
+        # end-user friendliness: past the single-chip strip bound, switch to
+        # the streaming path instead of surfacing the library's ValueError
+        from graphlap_tpu.models.pipeline import check_dense_feasible
+        try:
+            check_dense_feasible(cfg, plan)
+        except ValueError:
+            print(f"note: dense K strip (p={plan.p} x N={plan.n}) exceeds "
+                  f"single-chip memory — auto-enabling -streaming")
+            cfg = cfg.replace(streaming=True)
     n = plan.n
     print(f"image {image.shape}  N={n}  p={plan.p}  m={cfg.num_eigvecs}  "
           f"kernel={cfg.kernel}  filter={cfg.filter_name}  "

@@ -83,12 +83,35 @@ def make_plan(image: np.ndarray, cfg: PipelineConfig) -> SamplePlan:
     return uniform_grid_sample(h, w, cfg.num_samples(h * w))
 
 
+# Dense-path guard: past this the (p, N) strip cannot fit v5e-class HBM and
+# XLA dies with an opaque allocation error mid-compile. Raise an actionable
+# error instead (the CLI auto-switches to streaming at the same bound).
+DENSE_STRIP_BYTES_LIMIT = 8e9
+
+
+def check_dense_feasible(cfg: PipelineConfig, plan: SamplePlan) -> None:
+    """Raise if the dense (non-streaming) path would materialize a K strip
+    beyond DENSE_STRIP_BYTES_LIMIT. No-op for streaming configs."""
+    if cfg.streaming:
+        return
+    itemsize = 2 if cfg.affinity_dtype == "bfloat16_store" else 4
+    strip = plan.p * plan.n * itemsize
+    if strip > DENSE_STRIP_BYTES_LIMIT:
+        raise ValueError(
+            f"dense K strip would be {strip / 1e9:.1f} GB "
+            f"(p={plan.p}, N={plan.n}) — past the "
+            f"{DENSE_STRIP_BYTES_LIMIT / 1e9:.0f} GB single-chip bound. "
+            f"Use cfg.replace(streaming=True) (CLI: -streaming), which "
+            f"recomputes K tiles blockwise and needs only O(N*d) memory.")
+
+
 def filter_image(image: np.ndarray, cfg: PipelineConfig,
                  plan: SamplePlan | None = None) -> FilterResult:
     """Filter a (H, W) or (H, W, C) float [0,1] image. Fused jit path."""
     image = np.asarray(image)
     if plan is None:
         plan = make_plan(image, cfg)
+    check_dense_feasible(cfg, plan)
     idx_a = jnp.asarray(plan.idx_a)
     perm = jnp.asarray(plan.perm)
     inv_perm = jnp.asarray(plan.inv_perm)
@@ -166,6 +189,7 @@ def compute_basis(image: np.ndarray, cfg: PipelineConfig,
     image = np.asarray(image)
     if plan is None:
         plan = make_plan(image, cfg)
+    check_dense_feasible(cfg, plan)
     idx_a = jnp.asarray(plan.idx_a)
     perm = jnp.asarray(plan.perm)
 
@@ -204,6 +228,7 @@ def filter_image_staged(image: np.ndarray, cfg: PipelineConfig,
     image = np.asarray(image)
     if plan is None:
         plan = make_plan(image, cfg)
+    check_dense_feasible(cfg, plan)
 
     if cfg.streaming:
         # streaming fuses all stages into one scan-heavy program; per-stage

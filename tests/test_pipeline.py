@@ -141,3 +141,31 @@ def test_golden_regression(gate128):
     # enough for backend/XLA-version drift, tight enough to catch bugs
     assert abs(out_psnr - 20.30) < 0.2, out_psnr
     assert abs(float(res.eigvals[0]) - 1.0) < 5e-3
+
+
+def test_dense_strip_guard(monkeypatch, tmp_path, capsys):
+    """Past the strip bound: library raises an actionable error, CLI
+    auto-switches to streaming (models/pipeline.py check_dense_feasible)."""
+    import pytest
+    from graphlap_tpu.models import pipeline as pl
+
+    img = make_test_image(64, 64, seed=3)
+    cfg = PipelineConfig(kernel="nlm", h=0.25, sample_rho=0.05,
+                         num_eigvecs=12)
+    monkeypatch.setattr(pl, "DENSE_STRIP_BYTES_LIMIT", 1e3)
+    with pytest.raises(ValueError, match="streaming"):
+        filter_image(img, cfg)
+    # streaming configs are exempt (block smaller than N to keep scan live)
+    res = filter_image(img, cfg.replace(streaming=True, block_cols=1024))
+    assert np.isfinite(res.image).all()
+
+    # CLI: auto-enables -streaming instead of raising
+    from graphlap_tpu import save_image
+    from graphlap_tpu.cli import main as cli_main
+    fin = str(tmp_path / "in.png")
+    save_image(fin, img)
+    rc = cli_main(["-f", fin, "-o", str(tmp_path / "out.png"), "-grayscale",
+                   "-cpu", "-sample", "0.05", "-eigvals", "12",
+                   "-block_cols", "1024"])
+    assert rc == 0
+    assert "auto-enabling -streaming" in capsys.readouterr().out
