@@ -74,7 +74,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="number of eigenpairs m")
     p.add_argument("-filter", dest="filter_name", default="identity",
                    choices=["identity", "power", "lowpass", "sharpen",
-                            "exp_decay"])
+                            "exp_decay", "twicing"])
     p.add_argument("-filter_param", type=float, default=1.0,
                    help="k for power, beta for sharpen, tau for exp_decay")
     p.add_argument("-normalization", default="sinkhorn",

@@ -17,7 +17,7 @@ from dataclasses import dataclass
 
 KERNELS = ("gaussian", "nlm")
 NORMALIZATIONS = ("sinkhorn", "symmetric", "none")
-FILTERS = ("identity", "power", "lowpass", "sharpen", "exp_decay")
+FILTERS = ("identity", "power", "lowpass", "sharpen", "exp_decay", "twicing")
 SOLVERS = ("oneshot", "chol", "lobpcg")
 DTYPES = ("float32", "bfloat16")
 

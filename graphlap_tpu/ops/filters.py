@@ -57,12 +57,27 @@ def _exp_decay(lam, param):
     return mod.exp(-param * (1.0 - lam))
 
 
+def _twicing(lam, param):
+    # f(lambda) = 1 - (1 - lambda)^k: the twicing/boosting family from the
+    # GLIDE papers (Talebi & Milanfar 2014 §; Milanfar, "A Tour of Modern
+    # Image Filtering" 2013) — the spectral form of iterating
+    # z <- z + (y - W z): each round adds back the residual the filter
+    # removed, so k interpolates identity-filter output (k=1 on the basis
+    # subspace) toward the unfiltered input (k -> inf). Affine application:
+    # the out-of-basis residual must pass through untouched (that is the
+    # point of twicing), hence z = y - V (1-L)^k V^T y.
+    mod = jnp if isinstance(lam, jnp.ndarray) else np
+    r = 1.0 - lam                      # in [0, 2]; sign-safe for lam ~ 1+eps
+    return 1.0 - mod.sign(r) * mod.abs(r) ** param
+
+
 FILTER_REGISTRY: dict[str, SpectralFilter] = {
     "identity": SpectralFilter(_identity, False, "f(l)=l: one application of W (GLIDE denoise)"),
     "power": SpectralFilter(_power, False, "f(l)=l^k: k-step diffusion"),
     "lowpass": SpectralFilter(_lowpass, False, "f(l)=1: rank-m projection"),
     "sharpen": SpectralFilter(_sharpen, True, "f(l)=1+b(1-l): detail boost, f>1 on low l"),
     "exp_decay": SpectralFilter(_exp_decay, False, "f(l)=exp(-t(1-l)): heat kernel"),
+    "twicing": SpectralFilter(_twicing, True, "f(l)=1-(1-l)^k: residual add-back (boosting)"),
 }
 
 

@@ -22,9 +22,40 @@ def basis():
 
 def test_registry_complete():
     assert set(FILTER_REGISTRY) == {"identity", "power", "lowpass", "sharpen",
-                                    "exp_decay"}
+                                    "exp_decay", "twicing"}
     assert FILTER_REGISTRY["sharpen"].affine
+    assert FILTER_REGISTRY["twicing"].affine
     assert not FILTER_REGISTRY["identity"].affine
+
+
+def test_twicing_residual_addback(basis):
+    """z = y - V (1-L)^k V^T y: equals one residual-iteration of the
+    identity filter on the basis subspace at k=1, and converges to the
+    UNFILTERED input (residual included) as k grows — the defining
+    property of twicing/boosting (Milanfar 2013)."""
+    vals, q, y = basis
+    z1 = apply_spectral_filter_np(y, vals, q, "twicing", 1.0)
+    np.testing.assert_allclose(z1, y - q @ ((1.0 - vals) * (q.T @ y)),
+                               atol=1e-12)
+    # on the basis subspace, twicing k=1 == one application of W
+    np.testing.assert_allclose(
+        q.T @ z1, q.T @ apply_spectral_filter_np(y, vals, q, "identity", 0.0),
+        atol=1e-12)
+    # out-of-basis residual passes through at every k
+    resid = y - q @ (q.T @ y)
+    z5 = apply_spectral_filter_np(y, vals, q, "twicing", 5.0)
+    np.testing.assert_allclose(z5 - q @ (q.T @ z5), resid, atol=1e-12)
+    # monotone convergence toward y: higher k, smaller ||z - y||
+    gap = [np.linalg.norm(apply_spectral_filter_np(y, vals, q, "twicing", k) - y)
+           for k in (1.0, 3.0, 9.0, 27.0)]
+    assert gap[0] > gap[1] > gap[2] > gap[3]
+    # jnp path agrees with numpy
+    zj = apply_spectral_filter(jnp.asarray(y, jnp.float32),
+                               jnp.asarray(vals, jnp.float32),
+                               jnp.asarray(q, jnp.float32), "twicing", 3.0)
+    np.testing.assert_allclose(
+        np.asarray(zj),
+        apply_spectral_filter_np(y, vals, q, "twicing", 3.0), atol=1e-5)
 
 
 def test_identity_equals_weighted_projection(basis):
