@@ -130,8 +130,12 @@ def row4p():
     single-chip. The <1 s BASELINE target (spec'd for a v4-8 slice) is met
     on ONE chip by a gate-compliant recipe."""
     name, cfg, img, noisy = row4()
+    # tuned from cfg4_sweep.jsonl: once the full-res polish runs, coarse
+    # iterations barely matter (10 -> 6: 0.705 -> 0.669 s at 0.010 dB) and
+    # 64k column blocks edge out 128k
     return ("cfg4_8mp_compliant_turbo_p1",
-            cfg.replace(sinkhorn_coarse=64, gram_coarse=8, use_pallas=True,
+            cfg.replace(sinkhorn_iters=6, block_cols=65536,
+                        sinkhorn_coarse=64, gram_coarse=8, use_pallas=True,
                         sinkhorn_polish=1), img, noisy)
 
 

@@ -496,3 +496,50 @@ def filter_image_streaming_sharded(image: np.ndarray, cfg: PipelineConfig,
     z, vals = run(jnp.asarray(image, jnp.float32), jnp.asarray(plan.idx_a))
     z = jax.block_until_ready(z)
     return np.asarray(z), np.asarray(vals)
+
+
+def filter_image_multihost(image: np.ndarray, cfg: PipelineConfig,
+                           mesh, plan=None):
+    """Multi-process single-image entry: ONE image's pixel blocks sharded
+    over the ``rows`` axis of a mesh spanning ALL processes' devices — the
+    DCN-analogue of the reference running one big image across MPI ranks
+    (BASELINE config 4 "v4-8"; SURVEY.md §2.3 TP row).
+
+    Every process passes the SAME full (H, W) image (they all loaded the
+    same file); it is placed replicated on the global mesh, the rows-sharded
+    streaming jit runs once across all processes (GSPMD inserts the psums
+    over ICI/DCN), and the output is allgathered back to every process.
+    Requires ``jax.distributed.initialize()`` (scripts/multihost_launch.py)
+    and cfg.streaming=True (the only sensible mode at multi-host scale).
+    """
+    from jax.experimental import multihost_utils
+    from jax.sharding import NamedSharding
+
+    if not cfg.streaming:
+        raise ValueError("filter_image_multihost requires cfg.streaming=True "
+                         "(the dense strip cannot span hosts)")
+    image = np.asarray(image, np.float32)
+    if image.ndim != 2:
+        raise ValueError(f"expected one (H, W) channel, got {image.shape}")
+    if plan is None:
+        from ..models.pipeline import make_plan
+        plan = make_plan(image, cfg)
+
+    replicated = NamedSharding(mesh, P())
+    idx_a = jnp.asarray(plan.idx_a)
+    # NB: eager reshape/indexing on a non-fully-addressable global array is
+    # illegal in multi-controller JAX — build the batch axis host-side and
+    # strip it after the allgather instead.
+    batched = cfg.sinkhorn_coarse > 1
+    if batched:
+        gimg = jax.make_array_from_process_local_data(
+            replicated, image[None], (1, *image.shape))
+        run = build_streaming_sharded_batch(mesh, cfg)
+    else:
+        gimg = jax.make_array_from_process_local_data(replicated, image,
+                                                      image.shape)
+        run = build_streaming_sharded(mesh, cfg)
+    z, vals = run(gimg, idx_a)
+    z = np.asarray(multihost_utils.process_allgather(z, tiled=True))
+    vals = np.asarray(multihost_utils.process_allgather(vals, tiled=True))
+    return (z[0], vals[0]) if batched else (z, vals)

@@ -26,7 +26,13 @@ import numpy as np
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--frames", required=True, help=".npy of (B, H, W) frames")
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--frames", help=".npy of (B, H, W) frames "
+                                      "(config 5: frames over 'data')")
+    src.add_argument("--image", help=".npy of ONE (H, W) image — its pixel "
+                                     "blocks shard over 'rows' across ALL "
+                                     "processes (config 4: one big image "
+                                     "across the slice)")
     ap.add_argument("--out", required=True)
     ap.add_argument("--coordinator", default=None,
                     help="host:port of process 0 (auto-detected on TPU pods)")
@@ -71,6 +77,24 @@ def main(argv=None):
     import graphlap_tpu as gl
     from graphlap_tpu.models.video import filter_video_multihost
     from graphlap_tpu.parallel.mesh import make_mesh
+
+    if args.image:
+        # config-4 mode: ONE image, rows sharded across every device of
+        # every process (n_data=1); all processes load the same file
+        cfg = gl.PipelineConfig(kernel=args.kernel, sample_rho=args.sample,
+                                num_eigvecs=args.eigvals,
+                                sinkhorn_iters=args.sinkhorn_iters,
+                                affinity_dtype=args.dtype,
+                                streaming=True, block_cols=args.block_cols)
+        from graphlap_tpu.parallel.streaming_sharded import (
+            filter_image_multihost)
+        image = np.load(args.image)
+        mesh = make_mesh(n_data=1, n_rows=len(jax.devices()))
+        out, _ = filter_image_multihost(image, cfg, mesh)
+        if jax.process_index() == 0:
+            np.save(args.out, out)
+            print(f"wrote {args.out} {out.shape}")
+        return
 
     frames = np.load(args.frames)
     nproc = jax.process_count()

@@ -75,3 +75,49 @@ def test_two_process_launch_matches_single(tmp_path, streaming):
                            plan=plan, frames_per_step=4)
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=3e-4)
+
+
+def test_two_process_single_image_rows_sharded(tmp_path):
+    """Config-4 DCN analogue: ONE image's pixel blocks sharded over 'rows'
+    spanning two real jax.distributed processes; pixels must match the
+    single-process streaming filter."""
+    from graphlap_tpu import add_gaussian_noise, filter_image, make_test_image
+    from graphlap_tpu.config import PipelineConfig
+
+    img = np.clip(add_gaussian_noise(make_test_image(32, 32, seed=0), 0.1,
+                                     seed=0), 0, 1).astype(np.float32)
+    fpath = tmp_path / "img.npy"
+    np.save(fpath, img)
+
+    port = _free_port()
+    procs = []
+    env_base = {k: v for k, v in os.environ.items()
+                if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env_base.setdefault("JAX_COMPILATION_CACHE_DIR", str(ROOT / ".jax_cache"))
+    env_base["PYTHONPATH"] = str(ROOT) + (
+        os.pathsep + env_base["PYTHONPATH"] if env_base.get("PYTHONPATH") else "")
+    for pid in range(2):
+        cmd = [sys.executable, str(ROOT / "scripts" / "multihost_launch.py"),
+               "--image", str(fpath), "--out", str(tmp_path / f"out{pid}.npy"),
+               "--coordinator", f"127.0.0.1:{port}",
+               "--num_processes", "2", "--process_id", str(pid),
+               "--cpu_devices", "4", "--sample", "0.03", "--eigvals", "8",
+               "--sinkhorn_iters", "8", "--dtype", "float32",
+               "--block_cols", "128"]
+        procs.append(subprocess.Popen(cmd, cwd=str(ROOT), env=env_base,
+                                      stdout=subprocess.PIPE,
+                                      stderr=subprocess.STDOUT, text=True))
+    logs = []
+    for p in procs:
+        out_text, _ = p.communicate(timeout=600)
+        logs.append(out_text)
+    assert all(p.returncode == 0 for p in procs), \
+        "\n---\n".join(t[-3000:] for t in logs)
+
+    got = np.load(tmp_path / "out0.npy")
+    cfg = PipelineConfig(kernel="nlm", sample_rho=0.03, num_eigvecs=8,
+                         sinkhorn_iters=8, affinity_dtype="float32",
+                         streaming=True, block_cols=128)
+    want = filter_image(img, cfg).image
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=3e-4)
