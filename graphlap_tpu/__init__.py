@@ -29,6 +29,7 @@ from .models.pipeline import (
     make_plan,
 )
 from .models.video import filter_video, filter_video_multihost
+from .parallel.streaming_sharded import filter_image_multihost
 from .utils.checkpoint import filter_with_basis, load_basis, save_basis
 from .utils.sampling import SamplePlan, uniform_grid_sample
 
@@ -40,6 +41,7 @@ __all__ = [
     "psnr", "ssim",
     "FilterResult", "filter_image", "filter_image_staged", "make_plan",
     "compute_basis", "filter_video", "filter_video_multihost",
+    "filter_image_multihost",
     "save_basis", "load_basis", "filter_with_basis",
     "SamplePlan", "uniform_grid_sample",
 ]
