@@ -92,21 +92,60 @@ def device_only_wall(image2d, cfg) -> float:
     return min(walls)
 
 
+def reference_cpu_cfg():
+    """The baseline contract: the EXACT pipeline the reference
+    implementation runs — all-f32, converged 20-iteration Sinkhorn, plain
+    XLA ops. The TPU headline recipe matches this output to 0.0003 dB
+    (bench extra: dpsnr_vs_f32_db), so vs_baseline compares two
+    implementations of the same filter at parity, not two recipes."""
+    import graphlap_tpu as gl
+    return gl.CONFIG2.replace(use_pallas=False)
+
+
 def cpu_baseline_mps(force=False):
+    ref_cfg = reference_cpu_cfg()
     if BASELINE_CACHE.exists() and not force:
-        return json.loads(BASELINE_CACHE.read_text())["mp_per_s"]
+        cached = json.loads(BASELINE_CACHE.read_text())
+        if cached.get("config") == ref_cfg.to_dict():
+            return cached["mp_per_s"]
+        # stale cache (contract or config changed): fall through, re-measure
     import jax
     jax.config.update("jax_platforms", "cpu")       # env var is ignored here
-    gl, cfg, img, noisy = make_workload(pallas=False)
-    wall, res = timed_run(gl, cfg, noisy, n_runs=1)
+    import graphlap_tpu as gl
+    img = gl.make_test_image(H, W)
+    noisy = np.clip(gl.add_gaussian_noise(img, 0.1, seed=1), 0, 1)
+    wall, res = timed_run(gl, ref_cfg, noisy, n_runs=1)
     mps = MEGAPIXELS / wall
     BASELINE_CACHE.parent.mkdir(parents=True, exist_ok=True)
     BASELINE_CACHE.write_text(json.dumps({
-        "mp_per_s": mps, "wall_s": wall, "config": cfg.to_dict(),
+        "mp_per_s": mps, "wall_s": wall, "config": ref_cfg.to_dict(),
         "psnr_in": gl.psnr(img, noisy), "psnr_out": gl.psnr(img, res.image),
-        "note": "same pipeline on the single-core CPU backend (f32)",
+        "note": "reference pipeline (f32, converged Sinkhorn) on the "
+                "single-core CPU backend",
     }, indent=2))
     return mps
+
+
+def cpu_baseline_for_main():
+    """Baseline number for the headline's vs_baseline, SAFE to call before
+    the TPU run: a valid cache is read directly; a missing/stale cache is
+    re-measured in a SUBPROCESS (helper mode below), because an in-process
+    re-measure pins jax_platforms=cpu and would silently demote the whole
+    'TPU' benchmark to the single CPU core."""
+    ref_cfg = reference_cpu_cfg()
+    if BASELINE_CACHE.exists():
+        cached = json.loads(BASELINE_CACHE.read_text())
+        if cached.get("config") == ref_cfg.to_dict():
+            return cached["mp_per_s"]
+    import subprocess
+    import sys
+    proc = subprocess.run(
+        [sys.executable, __file__],
+        env={**os.environ, "BENCH_CPU_BASELINE": "1"},
+        capture_output=True, text=True, timeout=3600)
+    if proc.returncode != 0:
+        return None                                 # headline still valid
+    return json.loads(BASELINE_CACHE.read_text())["mp_per_s"]
 
 
 def main():
@@ -115,7 +154,7 @@ def main():
         print(json.dumps({"cpu_mp_per_s": mps}))
         return
 
-    cpu_mps = cpu_baseline_mps() if BASELINE_CACHE.exists() else None
+    cpu_mps = cpu_baseline_for_main()
 
     gl, cfg, img, noisy = make_workload(pallas=True)
     wall, res = timed_run(gl, cfg, noisy)

@@ -211,7 +211,12 @@ def _parity_cfg(cfg):
     vs the compliant path that IS oracle-gated in tests)."""
     exact = cfg.replace(affinity_dtype="float32", sinkhorn_coarse=1,
                         sinkhorn_polish=0, gram_coarse=1, gram_dtype="auto",
-                        use_pallas=False)
+                        use_pallas=False,
+                        # the twin must be CONVERGED full-res Sinkhorn even
+                        # when the fast recipe tunes its coarse loop short
+                        # (10 iters measured converged: 20 -> 10 moves the
+                        # output 0.0003 dB at cfg2)
+                        sinkhorn_iters=max(cfg.sinkhorn_iters, 10))
     return None if exact == cfg else exact
 
 

@@ -44,11 +44,18 @@ def _read_opts_file(path: str) -> list[str]:
 def _with_rc_defaults(argv: list[str]) -> list[str]:
     argv = list(argv)
     path = None
-    if "-opts_file" in argv:
-        i = argv.index("-opts_file")
-        path = argv[i + 1]
-        del argv[i:i + 2]
-    elif os.path.exists(RC_FILE):
+    for i, tok in enumerate(argv):
+        if tok == "-opts_file":
+            if i + 1 >= len(argv):
+                raise SystemExit("error: -opts_file expects a path argument")
+            path = argv[i + 1]
+            del argv[i:i + 2]
+            break
+        if tok.startswith("-opts_file="):
+            path = tok.split("=", 1)[1]
+            del argv[i]
+            break
+    if path is None and os.path.exists(RC_FILE):
         path = RC_FILE
     return (_read_opts_file(path) + argv) if path else argv
 

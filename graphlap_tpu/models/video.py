@@ -46,6 +46,21 @@ def filter_video(frames: np.ndarray, cfg: PipelineConfig,
         frames_per_step = max(n_data, 1)
     step = max((frames_per_step // n_data) * n_data, n_data)
 
+    if not cfg.streaming:
+        # same guard as the single-image entries (pipeline.py
+        # check_dense_feasible): a 4K frame's dense strip is ~136 GB f32,
+        # which dies in an opaque XLA allocation error mid-compile
+        from .pipeline import DENSE_STRIP_BYTES_LIMIT
+        itemsize = 2 if cfg.affinity_dtype == "bfloat16_store" else 4
+        per_device = (plan.p * plan.n * itemsize * step) / mesh.devices.size
+        if per_device > DENSE_STRIP_BYTES_LIMIT:
+            raise ValueError(
+                f"dense K strips would need {per_device / 1e9:.1f} GB per "
+                f"device (p={plan.p}, N={plan.n}, {step} frames/step over "
+                f"{mesh.devices.size} devices) — past the "
+                f"{DENSE_STRIP_BYTES_LIMIT / 1e9:.0f} GB bound. Use "
+                f"cfg.replace(streaming=True) or a smaller frames_per_step.")
+
     import jax.numpy as jnp
     idx_a = jnp.asarray(plan.idx_a)
     if cfg.streaming:

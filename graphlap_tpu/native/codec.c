@@ -55,6 +55,9 @@ static long parse_int(const unsigned char *buf, Py_ssize_t len,
         (*pos)++;
         any = 1;
     }
+    /* the pre-add check above only bounds v < 10*NETPBM_MAX_INT+9; enforce
+     * the documented cap exactly so every caller's "< 2^30" comment holds */
+    if (v >= NETPBM_MAX_INT) return -1;
     return any ? v : -1;
 }
 

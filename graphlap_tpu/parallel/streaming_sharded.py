@@ -26,6 +26,7 @@ from jax import shard_map
 
 from ..config import PipelineConfig
 from ..ops import streaming as st
+from ..models.streaming import _V_BYTES_CAP
 from ..ops.affinity import affinity_strip, extract_features
 from ..ops.filters import FILTER_REGISTRY
 from ..ops.linalg import psd_pinv_sqrt, trunc_inv_sqrt_vals
@@ -117,7 +118,7 @@ def build_streaming_sharded(mesh, cfg: PipelineConfig):
         # materialize V (n_pad/n_rows x m per device) when it fits HBM:
         # the filter apply becomes one skinny GEMM instead of a full
         # kernel-recompute pass (models/streaming.py _V_BYTES_CAP note)
-        mat_v = n_pad * cfg.num_eigvecs * 4 <= 6e9 * n_rows
+        mat_v = n_pad * cfg.num_eigvecs * 4 <= _V_BYTES_CAP * n_rows
         if mat_v:
             colstats = smap(partial(_colstats, block=block),
                             (rep2, pNd, rep2, pN, rep, pN), (rep, rep, pNd))
@@ -325,7 +326,7 @@ def build_streaming_sharded_batch(mesh, cfg: PipelineConfig):
         rmv = smap(partial(_rmv, block=block), (dB2, pBd, dB3), pB)
         gramf = smap(partial(_gram, block=block), (dB2, pBd, dB3, pB), dB2)
         # V materialization gate — see build_streaming_sharded
-        mat_v = bsz * n_pad * cfg.num_eigvecs * 4 <= 6e9 * n_rows
+        mat_v = bsz * n_pad * cfg.num_eigvecs * 4 <= _V_BYTES_CAP * n_rows
         if mat_v:
             colstats = smap(partial(_colstats, block=block),
                             (dB2, pBd, dB2, pB, dB3, pB), (dB3, dB3, pBd))

@@ -43,9 +43,15 @@ def _ensure_native_built():
     root = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
     if glob.glob(os.path.join(root, "graphlap_tpu", "native", "_native*.so")):
         return
-    subprocess.run(
+    proc = subprocess.run(
         [sys.executable, "setup.py", "build_ext", "--inplace"],
-        cwd=root, check=False, capture_output=True, timeout=300)
+        cwd=root, check=False, capture_output=True, text=True, timeout=300)
+    if proc.returncode != 0:
+        # don't abort the session (numpy fallbacks keep most tests valid),
+        # but leave the compiler error visible instead of a bare import
+        # assertion in test_native
+        sys.stderr.write("WARNING: native extension in-place build failed "
+                         f"(rc={proc.returncode}):\n{proc.stderr[-2000:]}\n")
 
 
 _ensure_native_built()

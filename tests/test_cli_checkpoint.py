@@ -54,6 +54,14 @@ def test_cli_opts_file(img_file, tmp_path, capsys):
     assert "m=16" in captured              # CLI override wins
     assert "PSNR noisy" in captured        # -noise from the rc file
 
+    # '=' form resolves the same file; trailing -opts_file is a clean error
+    rc = cli_main(["-f", img_file, "-grayscale", "-cpu",
+                   f"-opts_file={rc_path}", "-eigvals", "16"])
+    assert rc == 0
+    assert "kernel=nlm" in capsys.readouterr().out
+    with pytest.raises(SystemExit, match="opts_file"):
+        cli_main(["-f", img_file, "-opts_file"])
+
 
 def test_cli_bad_flag(img_file):
     with pytest.raises(SystemExit):

@@ -60,7 +60,9 @@ def test_rejects_adversarial_dims():
     """Overflow-bait headers must raise cleanly (no UB/crash): huge single
     dims, and dims whose PRODUCT overflows before the payload check."""
     for header in (b"P5\n99999999999999999999 1\n255\n",       # > long
+                   b"P5\n1073741824 1\n255\n",                  # == 2^30 cap
                    b"P5\n1073741825 1\n255\n",                  # > 2^30 cap
+                   b"P5\n2073741824 1\n255\n",                  # cap < v < 10*cap
                    b"P6\n1000000000 1000000000\n255\n",         # w*h*3 ovfl
                    b"P5\n1 1\n99999999999\n"):                  # maxval ovfl
         with pytest.raises(ValueError):
