@@ -18,7 +18,7 @@ import jax as _jax
 # with f32 MXU accumulation.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
-from .config import PipelineConfig, CONFIG1, CONFIG2, CONFIG3
+from .config import PipelineConfig, CONFIG1, CONFIG2, CONFIG3, tuned_config
 from .io import load_image, save_image, add_gaussian_noise, make_test_image
 from .metrics import psnr, ssim
 from .models.pipeline import (
@@ -36,7 +36,7 @@ from .utils.sampling import SamplePlan, uniform_grid_sample
 __version__ = "0.1.0"
 
 __all__ = [
-    "PipelineConfig", "CONFIG1", "CONFIG2", "CONFIG3",
+    "PipelineConfig", "CONFIG1", "CONFIG2", "CONFIG3", "tuned_config",
     "load_image", "save_image", "add_gaussian_noise", "make_test_image",
     "psnr", "ssim",
     "FilterResult", "filter_image", "filter_image_staged", "make_plan",

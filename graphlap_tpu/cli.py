@@ -97,6 +97,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-gram_coarse", type=int, default=1,
                    help="streaming only: estimate the O(Np^2) cross from "
                         "every k-th column (8 MP-scale accelerator)")
+    p.add_argument("-preset", default=None,
+                   choices=["exact", "fast", "turbo"],
+                   help="apply a measured-recipe preset (config.tuned_config)"
+                        ": 'exact' = all-f32 parity baseline; 'fast' = "
+                        "gate-compliant production recipe (bf16 storage/"
+                        "tiles + Pallas + calibrated decimations, <=0.01 dB "
+                        "measured); 'turbo' = max single-chip speed (~0.3 dB"
+                        " documented). Explicit precision/decimation flags "
+                        "override the preset")
     p.add_argument("-noise", type=float, default=0.0,
                    help="experiment mode: add Gaussian noise of this std "
                         "before filtering and report PSNR vs the clean input")
@@ -144,9 +153,30 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+# flag name -> PipelineConfig fields it pins; a preset never overrides a
+# field whose flag the user (or the rc file) spelled out
+_PRESET_GUARDED_FLAGS = {
+    "bf16": ("affinity_dtype",), "bf16_store": ("affinity_dtype",),
+    "gram_dtype": ("gram_dtype",), "pallas": ("use_pallas",),
+    "sinkhorn_iters": ("sinkhorn_iters",),
+    "sinkhorn_coarse": ("sinkhorn_coarse",),
+    "sinkhorn_polish": ("sinkhorn_polish",), "gram_coarse": ("gram_coarse",),
+}
+
+
+def _explicit_fields(argv: list[str]) -> frozenset:
+    fields = set()
+    for tok in argv:
+        if tok.startswith("-"):
+            name = tok.lstrip("-").split("=", 1)[0]
+            fields.update(_PRESET_GUARDED_FLAGS.get(name, ()))
+    return frozenset(fields)
+
+
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else list(argv)
-    args = build_parser().parse_args(_with_rc_defaults(argv))
+    argv = _with_rc_defaults(argv)
+    args = build_parser().parse_args(argv)
 
     if args.cpu:
         import jax
@@ -206,6 +236,14 @@ def main(argv=None) -> int:
             print(f"note: dense K strip (p={plan.p} x N={plan.n}) exceeds "
                   f"single-chip memory — auto-enabling -streaming")
             cfg = cfg.replace(streaming=True)
+    if args.preset:
+        from graphlap_tpu.config import tuned_config
+        cfg = tuned_config(cfg, plan.n, args.preset,
+                           keep=_explicit_fields(argv))
+        print(f"preset {args.preset}: dtype={cfg.affinity_dtype} "
+              f"pallas={cfg.use_pallas} sinkhorn={cfg.sinkhorn_iters}"
+              f"x{cfg.sinkhorn_coarse}+p{cfg.sinkhorn_polish} "
+              f"gram_coarse={cfg.gram_coarse}")
     n = plan.n
     print(f"image {image.shape}  N={n}  p={plan.p}  m={cfg.num_eigvecs}  "
           f"kernel={cfg.kernel}  filter={cfg.filter_name}  "

@@ -173,6 +173,88 @@ class PipelineConfig:
         return dataclasses.replace(self, **kw)
 
 
+def _pow2_at_most(x: int) -> int:
+    """Largest power of two <= x (1 if x < 1)."""
+    return 1 if x < 1 else 1 << (x.bit_length() - 1)
+
+
+def calibrated_gram_coarse(n_pixels: int, p: int, gate: bool = True) -> int:
+    """Largest seed-robust gram decimation factor for this problem size.
+
+    Cross-seed sweep rule (docs/ARCHITECTURE.md §5, cfg4_sweep.jsonl): the
+    p x p spectrum estimate needs N/k_g >= 256 p retained columns to hold the
+    0.1 dB parity gate across seeds (gc8 at 8 MP/p=4096 sits exactly on the
+    boundary at 0.007 dB; gc16 = 128 p swings to 0.096-0.107 dB). Turbo mode
+    (gate=False) relaxes to 128 p and caps at 16 — documented as over-gate.
+    """
+    floor_cols = 256 * p if gate else 128 * p
+    cap = 8 if gate else 16
+    return min(_pow2_at_most(n_pixels // floor_cols), cap)
+
+
+def calibrated_sinkhorn_coarse(n_pixels: int, p: int) -> int:
+    """Largest Sinkhorn decimation factor assuming one full-res polish.
+
+    The decimated fixed point needs ~32 columns per sample (headline recipe:
+    sc64 at 8 MP keeps N/k_s = 32 p) — the residual scaling bias is then
+    contracted under the gate by ONE full-resolution polish iteration
+    (cfg4_sweep.jsonl: 0.007-0.053 dB across seeds). Without polish the same
+    factor measures ~0.3 dB; callers must pair k_s > 1 with polish >= 1 for
+    parity-grade output.
+    """
+    return min(_pow2_at_most(n_pixels // (32 * p)), 64)
+
+
+def tuned_config(cfg: PipelineConfig, n_pixels: int, level: str = "fast",
+                 keep: frozenset | set = frozenset()) -> PipelineConfig:
+    """Apply a measured-recipe preset to ``cfg`` for an ``n_pixels`` image.
+
+    Encodes the benchmark-tuned recipes (BASELINE.md measured table) so
+    users get headline performance without hand-picking precision and
+    decimation knobs:
+
+    * ``"exact"`` — the all-f32 reference recipe (parity baseline): clears
+      every accelerator.
+    * ``"fast"`` — gate-compliant production recipe (<= ~0.01 dB measured
+      vs exact): dense path = bfloat16_store strip + Pallas + converged
+      10-iteration Sinkhorn (cfg2: 0.92 -> 0.31 s device); streaming path =
+      bf16 tiles + Pallas + calibrated decimations with one full-res polish
+      (cfg4: 17.0 -> 0.67 s device at 8 MP).
+    * ``"turbo"`` — max single-chip speed, documented ~0.3 dB from the
+      exact trajectory (streaming only differs from "fast": no polish,
+      relaxed gram decimation).
+
+    Decimation factors are auto-calibrated from (N, p) by the cross-seed
+    rules above, so small images degrade gracefully to no decimation
+    instead of inheriting 8 MP-tuned constants. Fields named in ``keep``
+    are left untouched (CLI: flags the user set explicitly).
+    """
+    if level not in ("exact", "fast", "turbo"):
+        raise ValueError(f"preset level must be exact|fast|turbo, got {level!r}")
+    p = cfg.num_samples(n_pixels)
+    if level == "exact":
+        chosen = dict(affinity_dtype="float32", gram_dtype="auto",
+                      use_pallas=False, sinkhorn_coarse=1, sinkhorn_polish=0,
+                      gram_coarse=1)
+    elif cfg.streaming:
+        chosen = dict(affinity_dtype="bfloat16", use_pallas=True,
+                      gram_coarse=calibrated_gram_coarse(
+                          n_pixels, p, gate=(level == "fast")))
+        k_s = calibrated_sinkhorn_coarse(n_pixels, p)
+        if k_s > 1:
+            chosen.update(sinkhorn_coarse=k_s, sinkhorn_iters=6,
+                          sinkhorn_polish=1 if level == "fast" else 0)
+        else:
+            chosen.update(sinkhorn_coarse=1, sinkhorn_polish=0,
+                          sinkhorn_iters=min(cfg.sinkhorn_iters, 10))
+    else:
+        # dense path: fast == turbo (bfloat16_store is already the measured
+        # optimum; decimations are streaming-only operators)
+        chosen = dict(affinity_dtype="bfloat16_store", use_pallas=True,
+                      sinkhorn_iters=min(cfg.sinkhorn_iters, 10))
+    return cfg.replace(**{k: v for k, v in chosen.items() if k not in keep})
+
+
 # The driver's graded configs (BASELINE.md table).
 CONFIG1 = PipelineConfig(
     kernel="gaussian", h=0.3, sample_rho=0.01, num_eigvecs=50,

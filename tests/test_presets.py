@@ -1,0 +1,113 @@
+"""Tests: measured-recipe presets + decimation auto-calibration.
+
+The preset layer (config.tuned_config, CLI -preset) encodes the
+benchmark-tuned recipes from BASELINE.md so the calibration rules in
+docs/ARCHITECTURE.md §5 are enforced by code, not by the user reading
+sweeps: N/k_g >= 256p for the gram decimation (gate), N/k_s >= 32p for
+the polished Sinkhorn decimation.
+"""
+
+import pytest
+
+from graphlap_tpu.cli import main as cli_main
+from graphlap_tpu.config import (
+    CONFIG2,
+    PipelineConfig,
+    calibrated_gram_coarse,
+    calibrated_sinkhorn_coarse,
+    tuned_config,
+)
+
+MP8 = 8_388_608            # the cfg4 benchmark shape (2048 x 4096)
+
+
+def test_gram_calibration_matches_sweep():
+    # cfg4: N/256p = 8 exactly -> gc8, the measured seed-robust boundary
+    assert calibrated_gram_coarse(MP8, 4096) == 8
+    # turbo relaxes to 128p and caps at 16 (the documented over-gate mode)
+    assert calibrated_gram_coarse(MP8, 4096, gate=False) == 16
+    assert calibrated_gram_coarse(64 * MP8, 4096, gate=False) == 16
+    # cfg2-scale problems have too few columns per sample: no decimation
+    assert calibrated_gram_coarse(262_144, 5243) == 1
+    # power-of-two floor, never rounding up past the rule
+    assert calibrated_gram_coarse(255 * 4096, 4096) == 1
+    assert calibrated_gram_coarse(513 * 4096, 4096) == 2
+
+
+def test_sinkhorn_calibration_matches_sweep():
+    assert calibrated_sinkhorn_coarse(MP8, 4096) == 64   # the headline sc64
+    assert calibrated_sinkhorn_coarse(262_144, 5243) == 1
+    assert calibrated_sinkhorn_coarse(64 * MP8, 4096) == 64  # capped
+
+
+def test_tuned_config_dense_fast():
+    cfg = tuned_config(CONFIG2, 512 * 512, "fast")
+    assert cfg.affinity_dtype == "bfloat16_store"
+    assert cfg.use_pallas and cfg.sinkhorn_iters == 10
+    assert cfg.sinkhorn_coarse == 1 and cfg.gram_coarse == 1
+    # dense fast == dense turbo (bfloat16_store is the measured optimum)
+    assert tuned_config(CONFIG2, 512 * 512, "turbo") == cfg
+
+
+def test_tuned_config_streaming_fast_is_the_headline_recipe():
+    base = PipelineConfig(kernel="nlm", h=0.25, sample_rho=0.01,
+                          sample_cap=4096, streaming=True)
+    cfg = tuned_config(base, MP8, "fast")
+    assert cfg.affinity_dtype == "bfloat16" and cfg.use_pallas
+    assert cfg.sinkhorn_coarse == 64 and cfg.sinkhorn_polish == 1
+    assert cfg.sinkhorn_iters == 6 and cfg.gram_coarse == 8
+
+
+def test_tuned_config_streaming_turbo_drops_polish():
+    base = PipelineConfig(streaming=True, sample_cap=4096)
+    cfg = tuned_config(base, MP8, "turbo")
+    assert cfg.sinkhorn_polish == 0 and cfg.gram_coarse == 16
+
+
+def test_tuned_config_small_streaming_degrades_to_no_decimation():
+    base = PipelineConfig(kernel="nlm", sample_rho=0.02, streaming=True)
+    cfg = tuned_config(base, 262_144, "fast")
+    assert cfg.sinkhorn_coarse == 1 and cfg.gram_coarse == 1
+    assert cfg.sinkhorn_polish == 0 and cfg.sinkhorn_iters == 10
+
+
+def test_tuned_config_exact_clears_accelerators():
+    fast = tuned_config(PipelineConfig(streaming=True, sample_cap=4096),
+                        MP8, "fast")
+    exact = tuned_config(fast, MP8, "exact")
+    assert exact.affinity_dtype == "float32" and not exact.use_pallas
+    assert exact.sinkhorn_coarse == 1 and exact.sinkhorn_polish == 0
+    assert exact.gram_coarse == 1
+
+
+def test_tuned_config_keep_respects_user_fields():
+    cfg = tuned_config(CONFIG2, 512 * 512, "fast",
+                       keep={"affinity_dtype", "sinkhorn_iters"})
+    assert cfg.affinity_dtype == "float32"        # untouched
+    assert cfg.sinkhorn_iters == CONFIG2.sinkhorn_iters
+    assert cfg.use_pallas                          # still applied
+
+
+def test_tuned_config_bad_level():
+    with pytest.raises(ValueError, match="preset"):
+        tuned_config(CONFIG2, 512 * 512, "warp")
+
+
+def test_cli_preset_fast(tmp_path, capsys):
+    from graphlap_tpu import make_test_image, save_image
+    path = str(tmp_path / "in.png")
+    save_image(path, make_test_image(64, 64))
+    rc = cli_main(["-f", path, "-grayscale", "-cpu", "-kernel", "nlm",
+                   "-sample", "0.03", "-eigvals", "16",
+                   "-preset", "fast", "-noise", "0.1"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "preset fast: dtype=bfloat16_store" in out
+    assert "PSNR noisy" in out
+
+    # an explicit flag wins over the preset
+    rc = cli_main(["-f", path, "-grayscale", "-cpu", "-kernel", "nlm",
+                   "-sample", "0.03", "-eigvals", "16",
+                   "-preset", "fast", "-sinkhorn_iters", "4"])
+    assert rc == 0
+    assert "sinkhorn=4x1" in capsys.readouterr().out
