@@ -31,7 +31,7 @@ from .models.pipeline import (
 from .models.video import filter_video, filter_video_multihost
 from .parallel.streaming_sharded import filter_image_multihost
 from .utils.checkpoint import filter_with_basis, load_basis, save_basis
-from .utils.sampling import SamplePlan, uniform_grid_sample
+from .utils.sampling import SamplePlan, random_sample, uniform_grid_sample
 
 __version__ = "0.1.0"
 
@@ -43,5 +43,5 @@ __all__ = [
     "compute_basis", "filter_video", "filter_video_multihost",
     "filter_image_multihost",
     "save_basis", "load_basis", "filter_with_basis",
-    "SamplePlan", "uniform_grid_sample",
+    "SamplePlan", "uniform_grid_sample", "random_sample",
 ]

@@ -77,6 +77,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Nystrom sample fraction of pixels")
     p.add_argument("-sample_cap", type=int, default=8192,
                    help="hard cap on sample count p")
+    p.add_argument("-sample_mode", choices=["grid", "random"], default="grid",
+                   help="'grid' = reference-style spatially uniform; "
+                        "'random' = seeded uniform random subset (GLIDE)")
+    p.add_argument("-sample_seed", type=int, default=0,
+                   help="seed for -sample_mode random")
     p.add_argument("-eigvals", type=int, default=50,
                    help="number of eigenpairs m")
     p.add_argument("-filter", dest="filter_name", default="identity",
@@ -84,6 +89,12 @@ def build_parser() -> argparse.ArgumentParser:
                             "exp_decay", "twicing"])
     p.add_argument("-filter_param", type=float, default=1.0,
                    help="k for power, beta for sharpen, tau for exp_decay")
+    p.add_argument("-rgb_mode", choices=["per_channel", "luma_basis"],
+                   default="per_channel",
+                   help="'per_channel' = C independent pipelines (reference "
+                        "behavior); 'luma_basis' = one eigenbasis from the "
+                        "BT.601 luminance graph applied to every channel "
+                        "(~C x cheaper guided filtering)")
     p.add_argument("-normalization", default="sinkhorn",
                    choices=["sinkhorn", "symmetric", "none"])
     p.add_argument("-sinkhorn_iters", type=int, default=20)
@@ -189,11 +200,13 @@ def main(argv=None) -> int:
     cfg = gl.PipelineConfig(
         kernel=args.kernel, h=args.h_param, spatial_h=args.spatial_h,
         patch_size=args.patch, sample_rho=args.sample,
-        sample_cap=args.sample_cap, num_eigvecs=args.eigvals,
+        sample_cap=args.sample_cap, sample_mode=args.sample_mode,
+        sample_seed=args.sample_seed, num_eigvecs=args.eigvals,
         normalization=args.normalization, sinkhorn_iters=args.sinkhorn_iters,
         sinkhorn_coarse=args.sinkhorn_coarse,
         sinkhorn_polish=args.sinkhorn_polish, gram_coarse=args.gram_coarse,
         filter_name=args.filter_name, filter_param=args.filter_param,
+        rgb_mode=args.rgb_mode,
         affinity_dtype=("bfloat16" if args.bf16
                         else "bfloat16_store" if args.bf16_store
                         else "float32"),

@@ -40,6 +40,11 @@ class PipelineConfig:
     # --- Nystrom sampling ---
     sample_rho: float = 0.01       # target sample fraction of N
     sample_cap: int = 8192         # hard cap on p (SURVEY.md §1.3 scaling note)
+    sample_mode: str = "grid"      # "grid" (reference's spatially uniform
+                                   # every-k-th-pixel strategy) | "random"
+                                   # (uniform random subset, the GLIDE
+                                   # papers' variant; seeded, host-side)
+    sample_seed: int = 0           # RNG seed for sample_mode="random"
 
     # --- normalization ---
     normalization: str = "sinkhorn"  # "sinkhorn" | "symmetric" | "none"
@@ -86,6 +91,17 @@ class PipelineConfig:
     # --- spectral filter ---
     filter_name: str = "identity"  # see ops/filters.py registry
     filter_param: float = 1.0      # k for power, beta for sharpen, tau for exp
+
+    # --- color handling ---
+    rgb_mode: str = "per_channel"  # "per_channel" (reference behavior:
+                                   # C independent pipelines) |
+                                   # "luma_basis" (guided-filter variant:
+                                   # ONE eigenbasis from the BT.601
+                                   # luminance graph applied to every
+                                   # channel — ~C x cheaper, since the
+                                   # affinity/Sinkhorn/eigensolve stages
+                                   # run once and the per-channel work is
+                                   # just the O(N m) filter apply)
 
     # --- precision policy ---
     affinity_dtype: str = "float32"  # K-strip precision:
@@ -136,6 +152,12 @@ class PipelineConfig:
             raise ValueError("patch_size must be odd")
         if not (0.0 < self.sample_rho <= 1.0):
             raise ValueError("sample_rho must be in (0, 1]")
+        if self.sample_mode not in ("grid", "random"):
+            raise ValueError(f"sample_mode must be 'grid' or 'random', "
+                             f"got {self.sample_mode!r}")
+        if self.rgb_mode not in ("per_channel", "luma_basis"):
+            raise ValueError(f"rgb_mode must be 'per_channel' or "
+                             f"'luma_basis', got {self.rgb_mode!r}")
         if self.sinkhorn_coarse < 1:
             raise ValueError("sinkhorn_coarse must be >= 1")
         if self.gram_coarse < 1:

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import PipelineConfig
-from ..utils.sampling import SamplePlan, uniform_grid_sample
+from ..utils.sampling import SamplePlan, random_sample, uniform_grid_sample
 from ..ops.affinity import affinity_blocks
 from ..ops.sinkhorn import normalize_blocks
 from ..ops.nystrom import nystrom_eigh, nystrom_eigh_chol
@@ -78,9 +78,64 @@ def _filter_channels(img_chw: jnp.ndarray, idx_a, perm, inv_perm,
     )(img_chw)
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def _filter_channels_luma(y2d: jnp.ndarray, img_chw: jnp.ndarray, idx_a,
+                          perm, inv_perm, cfg: PipelineConfig):
+    """rgb_mode='luma_basis': ONE eigenbasis from the luminance graph, the
+    spectral filter applied to every channel through it (guided global
+    filtering — the affinity/Sinkhorn/eigensolve stages run once instead of
+    C times; per-channel cost drops to the O(N m) apply)."""
+    if cfg.streaming:
+        from .streaming import basis_channel_streaming
+        vals, vecs = basis_channel_streaming(y2d, idx_a, cfg)   # natural order
+
+        def apply(ch):
+            z = apply_spectral_filter(ch.astype(jnp.float32).ravel(), vals,
+                                      vecs, cfg.filter_name, cfg.filter_param)
+            return jnp.clip(z.reshape(ch.shape), 0.0, 1.0)
+    else:
+        kaa, kab = affinity_blocks(y2d, idx_a, perm, cfg)
+        waa, wab, _, _ = normalize_blocks(
+            kaa, kab, cfg.normalization, cfg.sinkhorn_iters, cfg.eig_tol,
+            cfg.solver)
+        if cfg.solver in ("chol", "lobpcg"):
+            method = "lobpcg" if cfg.solver == "lobpcg" else "eigh"
+            gdt = (jnp.bfloat16 if cfg.gram_gemm_dtype() == "bfloat16"
+                   else jnp.float32)
+            basis = nystrom_eigh_chol(waa, wab, cfg.num_eigvecs, cfg.eig_tol,
+                                      method, gdt, cfg.lobpcg_iters)
+        else:
+            basis = nystrom_eigh(waa, wab, cfg.num_eigvecs, cfg.eig_tol)
+        vals, vecs = basis.vals, basis.vecs                      # [A; B] order
+
+        def apply(ch):
+            y_perm = jnp.take(ch.astype(jnp.float32).ravel(), perm)
+            z_perm = apply_spectral_filter(y_perm, vals, vecs,
+                                           cfg.filter_name, cfg.filter_param)
+            return jnp.clip(jnp.take(z_perm, inv_perm).reshape(ch.shape),
+                            0.0, 1.0)
+
+    return jax.vmap(apply)(img_chw), vals
+
+
+# BT.601 luminance weights for 3-channel input (the luma_basis guide signal)
+_LUMA_601 = np.array([0.299, 0.587, 0.114], np.float32)
+
+
+def _luma(image: np.ndarray) -> np.ndarray:
+    """(H, W, C) -> (H, W) guide channel: BT.601 luma for RGB, channel mean
+    otherwise."""
+    if image.shape[-1] == 3:
+        return np.tensordot(image, _LUMA_601, axes=([-1], [0]))
+    return image.mean(axis=-1)
+
+
 def make_plan(image: np.ndarray, cfg: PipelineConfig) -> SamplePlan:
     h, w = image.shape[:2]
-    return uniform_grid_sample(h, w, cfg.num_samples(h * w))
+    p = cfg.num_samples(h * w)
+    if cfg.sample_mode == "random":
+        return random_sample(h, w, p, seed=cfg.sample_seed)
+    return uniform_grid_sample(h, w, p)
 
 
 # Dense-path guard: past this the (p, N) strip cannot fit v5e-class HBM and
@@ -122,10 +177,19 @@ def filter_image(image: np.ndarray, cfg: PipelineConfig,
         out = np.asarray(jax.block_until_ready(z))
         return FilterResult(image=out, eigvals=np.asarray(vals), timings={})
 
+    channels = image.shape[-1]
+    if cfg.rgb_mode == "luma_basis":
+        # one strip/basis total (not per channel) — the dense guard above
+        # already covers it
+        chw = jnp.asarray(np.moveaxis(image, -1, 0), jnp.float32)
+        y2d = jnp.asarray(_luma(image), jnp.float32)
+        z, vals = _filter_channels_luma(y2d, chw, idx_a, perm, inv_perm, cfg)
+        out = np.moveaxis(np.asarray(jax.block_until_ready(z)), 0, -1)
+        return FilterResult(image=out, eigvals=np.asarray(vals), timings={})
+
     # Channels vmap in parallel only while the per-channel strip fits:
     # C strips of p x N floats must stay under ~a third of HBM. Past that,
     # loop channels sequentially (same compiled executable each time).
-    channels = image.shape[-1]
     bytes_per_strip = 0 if cfg.streaming else plan.p * plan.n * 4
     if channels * bytes_per_strip <= 4e9:
         chw = jnp.asarray(np.moveaxis(image, -1, 0), jnp.float32)

@@ -81,7 +81,28 @@ def uniform_grid_sample(height: int, width: int, p_target: int) -> SamplePlan:
                                           p_target - idx.size)).astype(np.int64)]
         idx = np.sort(np.concatenate([idx, extra]))
 
-    idx_a = np.sort(idx).astype(np.int32)
+    return _plan_from_idx(idx, height, width)
+
+
+def random_sample(height: int, width: int, p_target: int,
+                  seed: int = 0) -> SamplePlan:
+    """Uniform random sample of exactly p_target distinct pixels.
+
+    The GLIDE papers' sampling variant (Talebi & Milanfar 2014 use random
+    pixel subsets; the reference's grid is the spatially-stratified cousin).
+    Deterministic per seed — the plan stays a compile-time constant, so
+    changing the seed recompiles (by design: index sets are static shapes).
+    """
+    n = height * width
+    p_target = int(min(max(p_target, 1), n))
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(n, size=p_target, replace=False)
+    return _plan_from_idx(idx, height, width)
+
+
+def _plan_from_idx(idx: np.ndarray, height: int, width: int) -> SamplePlan:
+    n = height * width
+    idx_a = np.sort(np.asarray(idx)).astype(np.int32)
     mask = np.ones(n, dtype=bool)
     mask[idx_a] = False
     idx_b = np.flatnonzero(mask).astype(np.int32)

@@ -3,7 +3,7 @@
 import numpy as np
 import pytest
 
-from graphlap_tpu.utils.sampling import uniform_grid_sample
+from graphlap_tpu.utils.sampling import random_sample, uniform_grid_sample
 
 
 @pytest.mark.parametrize("h,w,p", [(128, 128, 164), (96, 64, 61), (32, 32, 1024),
@@ -42,3 +42,49 @@ def test_spatial_uniformity():
 def test_oversample_clamps_to_n():
     plan = uniform_grid_sample(8, 8, 1000)
     assert plan.p == 64
+
+
+@pytest.mark.parametrize("h,w,p", [(64, 64, 123), (17, 31, 7), (8, 8, 64)])
+def test_random_sample_exact_count_and_roundtrip(h, w, p):
+    plan = random_sample(h, w, p, seed=3)
+    n = h * w
+    assert plan.p == p
+    assert np.array_equal(np.sort(plan.perm), np.arange(n))
+    assert np.array_equal(plan.perm[:p], plan.idx_a)
+    assert np.all(np.diff(plan.idx_a) > 0)        # sorted, distinct
+    x = np.random.default_rng(0).standard_normal(n)
+    assert np.array_equal(x[plan.perm][plan.inv_perm], x)
+
+
+def test_random_sample_seeded_and_distinct_across_seeds():
+    a = random_sample(64, 64, 100, seed=1)
+    b = random_sample(64, 64, 100, seed=1)
+    c = random_sample(64, 64, 100, seed=2)
+    assert np.array_equal(a.idx_a, b.idx_a)
+    assert not np.array_equal(a.idx_a, c.idx_a)
+
+
+def test_random_mode_pipeline_matches_oracle_and_grid_quality():
+    """End-to-end with sample_mode='random': same plan feeds both the JAX
+    pipeline and the float64 oracle, so the 0.1 dB gate applies unchanged;
+    and random sampling lands within a fraction of a dB of the grid plan
+    (at 48^2 this config smooths more than it denoises for BOTH modes —
+    the quality claim here is mode-equivalence, not absolute PSNR)."""
+    import graphlap_tpu as gl
+    from graphlap_tpu.models.pipeline import make_plan
+
+    from .oracle import oracle_filter_image
+
+    img = gl.make_test_image(48, 48)
+    noisy = np.clip(gl.add_gaussian_noise(img, 0.1, seed=1), 0, 1)
+    cfg = gl.PipelineConfig(kernel="nlm", h=0.25, sample_rho=0.05,
+                            num_eigvecs=16, sample_mode="random",
+                            sample_seed=7)
+    plan = make_plan(noisy, cfg)
+    res = gl.filter_image(noisy, cfg, plan=plan)
+    p_out = gl.psnr(img, res.image)
+    oz, _ = oracle_filter_image(noisy, cfg, plan=plan)
+    assert abs(gl.psnr(img, np.clip(oz, 0, 1)) - p_out) <= 0.1
+    gcfg = cfg.replace(sample_mode="grid")
+    grid = gl.filter_image(noisy, gcfg, plan=make_plan(noisy, gcfg))
+    assert abs(gl.psnr(img, grid.image) - p_out) < 0.5
