@@ -64,6 +64,16 @@ def row3():
     return "cfg3_1024_rgb_sharpen", cfg, img, noisy
 
 
+def row3l():
+    """cfg3 with the shared-luma-basis guided mode (rgb_mode='luma_basis'):
+    one eigenbasis from the BT.601 luminance graph, three O(N m) filter
+    applies — affinity/Sinkhorn/eigensolve run once instead of three
+    times."""
+    name, cfg, img, noisy = row3()
+    return ("cfg3_1024_rgb_luma", cfg.replace(rgb_mode="luma_basis"),
+            img, noisy)
+
+
 def row4():
     """8 MP (4096x2048) gray, streaming recompute path, bf16 strip."""
     import graphlap_tpu as gl
@@ -188,7 +198,7 @@ def row5x():
     return "cfg5_video_16x4k_streaming", cfg, frames, frames
 
 
-ROWS = {"1": row1, "2": row2, "3": row3, "4": row4, "4c": row4c,
+ROWS = {"1": row1, "2": row2, "3": row3, "3l": row3l, "4": row4, "4c": row4c,
         "4g": row4g, "4m": row4m, "4p": row4p, "4x": row4x, "5": row5,
         "5s": row5s, "5x": row5x}
 # per-video-row harness options: chunk size + timed passes (16x4K moves

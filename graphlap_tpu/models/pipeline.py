@@ -277,6 +277,11 @@ def compute_basis(image: np.ndarray, cfg: PipelineConfig,
 
     if image.ndim == 2:
         return one(image)
+    if cfg.rgb_mode == "luma_basis":
+        # shared basis from the luminance guide: ((m,), (N, m)) — matches
+        # what filter_image applies, and filter_with_basis replays it on
+        # every channel
+        return one(_luma(image).astype(np.float32))
     vals, vecs = zip(*(one(image[..., c]) for c in range(image.shape[-1])))
     return np.stack(vals), np.stack(vecs)
 

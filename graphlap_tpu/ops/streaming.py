@@ -47,6 +47,15 @@ def _blocks(feats_pad: jnp.ndarray, block: int):
     return feats_pad.reshape(n_pad // block, block, d)
 
 
+def _acc(shape, vary):
+    """f32 zero accumulator for a scan carry. Under shard_map with
+    check_vma=True the carry must be marked varying over the mesh axes the
+    scanned tiles vary over (the sharded callers pass vary=('rows',) etc.);
+    plain single-device callers leave vary=() and get an ordinary zeros."""
+    z = jnp.zeros(shape, jnp.float32)
+    return jax.lax.pcast(z, vary, to="varying") if vary else z
+
+
 def _kernel_blk(feats_a, fb, dtype):
     """(p, block) kernel tile; in bf16 mode the exp itself runs in bf16."""
     k = affinity_strip(feats_a, fb, dtype)
@@ -60,7 +69,8 @@ def _dot(a, b, dtype):
                    preferred_element_type=jnp.float32, precision=prec)
 
 
-def matvec(feats_a, feats_pad, v, row_scale, col_scale, block, dtype):
+def matvec(feats_a, feats_pad, v, row_scale, col_scale, block, dtype,
+           vary=()):
     """(D_r C D_c) v, scanning column blocks."""
     fb = _blocks(feats_pad, block)
     vb = (v * col_scale).reshape(fb.shape[0], block)
@@ -70,8 +80,7 @@ def matvec(feats_a, feats_pad, v, row_scale, col_scale, block, dtype):
         kb = _kernel_blk(feats_a, f, dtype)
         return acc + _dot(kb, w, dtype), None
 
-    acc0 = jnp.zeros(feats_a.shape[0], jnp.float32)
-    acc, _ = jax.lax.scan(body, acc0, (fb, vb))
+    acc, _ = jax.lax.scan(body, _acc(feats_a.shape[0], vary), (fb, vb))
     return acc * row_scale
 
 
@@ -88,7 +97,7 @@ def rmatvec(feats_a, feats_pad, t, row_scale, col_scale, block, dtype):
     return out.reshape(-1) * col_scale
 
 
-def gram(feats_a, feats_pad, row_scale, col_scale, block, dtype):
+def gram(feats_a, feats_pad, row_scale, col_scale, block, dtype, vary=()):
     """(D_r C D_c)(D_r C D_c)^T -> (p, p): the O(N p^2) one-shot cross."""
     fb = _blocks(feats_pad, block)
     cs = col_scale.astype(dtype).reshape(fb.shape[0], block)
@@ -99,12 +108,12 @@ def gram(feats_a, feats_pad, row_scale, col_scale, block, dtype):
         return acc + _dot(kb, kb.T, dtype), None
 
     p = feats_a.shape[0]
-    acc, _ = jax.lax.scan(body, jnp.zeros((p, p), jnp.float32), (fb, cs))
+    acc, _ = jax.lax.scan(body, _acc((p, p), vary), (fb, cs))
     return acc * (row_scale[:, None] * row_scale[None, :])
 
 
 def rmatmat_colstats(feats_a, feats_pad, g, y, row_scale, col_scale, block,
-                     dtype):
+                     dtype, vary=()):
     """One pass over V_blk = (D_c C^T D_r) G (n_pad, m), returning
     (column sq-norms (m,), V^T y (m,)) without materializing V."""
     fb = _blocks(feats_pad, block)
@@ -121,13 +130,13 @@ def rmatmat_colstats(feats_a, feats_pad, g, y, row_scale, col_scale, block,
                 coeffs + vb.T @ yv), None
 
     m = g.shape[1]
-    carry0 = (jnp.zeros(m, jnp.float32), jnp.zeros(m, jnp.float32))
+    carry0 = (_acc(m, vary), _acc(m, vary))
     (norms, coeffs), _ = jax.lax.scan(body, carry0, (fb, cs, yb))
     return norms, coeffs
 
 
 def rmatmat_colstats_v(feats_a, feats_pad, g, y, row_scale, col_scale,
-                       block, dtype):
+                       block, dtype, vary=()):
     """rmatmat_colstats that ALSO emits V (n_pad, m) f32 — the pass
     already computes every V block, so writing it out costs one O(Nm)
     store, and the later filter apply becomes a single skinny GEMM on V
@@ -147,7 +156,7 @@ def rmatmat_colstats_v(feats_a, feats_pad, g, y, row_scale, col_scale,
                 coeffs + vb.T @ yv), vb
 
     m = g.shape[1]
-    carry0 = (jnp.zeros(m, jnp.float32), jnp.zeros(m, jnp.float32))
+    carry0 = (_acc(m, vary), _acc(m, vary))
     (norms, coeffs), v = jax.lax.scan(body, carry0, (fb, cs, yb))
     return norms, coeffs, v.reshape(-1, m)
 
@@ -172,7 +181,8 @@ def rmatmat(feats_a, feats_pad, g, row_scale, col_scale, block, dtype):
     return out.reshape(-1, g.shape[1])
 
 
-def sinkhorn_coarse_step(feats_a, feats_c, t, mask_c, ratio, block, dtype):
+def sinkhorn_coarse_step(feats_a, feats_c, t, mask_c, ratio, block, dtype,
+                         vary=()):
     """One coarse Sinkhorn contraction: u = ratio * K_c @ (mask_c / (K_c^T t)).
 
     The Sinkhorn fixed point only touches the B columns through the p-vector
@@ -193,8 +203,7 @@ def sinkhorn_coarse_step(feats_a, feats_c, t, mask_c, ratio, block, dtype):
         r = mk / jnp.maximum(y, 1e-30)                    # coarse s_B
         return acc + _dot(kb, r, dtype), None
 
-    acc0 = jnp.zeros(feats_a.shape[0], jnp.float32)
-    acc, _ = jax.lax.scan(body, acc0, (fb, mb))
+    acc, _ = jax.lax.scan(body, _acc(feats_a.shape[0], vary), (fb, mb))
     return acc * ratio
 
 

@@ -53,17 +53,20 @@ def build_streaming_sharded(mesh, cfg: PipelineConfig):
                           if name == "rows"]))
 
     def smap(fn, in_specs, out_specs):
-        # check_vma off: scan carries inside the body mix rows-varying
-        # kernel tiles with replicated accumulators, which the varying-axis
-        # type checker rejects; the psum placement is validated by the
-        # sharded-vs-single-device equivalence tests instead
+        # check_vma ON: shard_map's varying-axis type checker actively
+        # validates every psum placement (a missing/extra psum is a compile
+        # error, not silently-wrong pixels). The streaming operators take
+        # vary=("rows",) so their scan-carry accumulators are typed as
+        # rows-varying like the kernel tiles they accumulate.
         return shard_map(fn, mesh=mesh, in_specs=in_specs,
-                         out_specs=out_specs, check_vma=False)
+                         out_specs=out_specs, check_vma=True)
+
+    VARY = ("rows",)
 
     # --- sharded primitives over local row-slices -------------------------
     def _mv(fa, f_loc, v_loc, block):
         u = st.matvec(fa, f_loc, v_loc, jnp.ones(fa.shape[0], jnp.float32),
-                      jnp.ones_like(v_loc), block, dtype)
+                      jnp.ones_like(v_loc), block, dtype, vary=VARY)
         return jax.lax.psum(u, "rows")
 
     def _rmv(fa, f_loc, t, block):
@@ -71,18 +74,19 @@ def build_streaming_sharded(mesh, cfg: PipelineConfig):
                           jnp.ones_like(f_loc[:, 0]), block, dtype)
 
     def _gram(fa, f_loc, s_a, cols_loc, block):
-        g = st.gram(fa, f_loc, s_a, cols_loc, block, dtype)
+        g = st.gram(fa, f_loc, s_a, cols_loc, block, dtype, vary=VARY)
         return jax.lax.psum(g, "rows")
 
     def _colstats(fa, f_loc, basis, y_loc, s_a, cols_loc, block):
         norms, coeffs, v_loc = st.rmatmat_colstats_v(
-            fa, f_loc, basis, y_loc, s_a, cols_loc, block, dtype)
+            fa, f_loc, basis, y_loc, s_a, cols_loc, block, dtype, vary=VARY)
         return (jax.lax.psum(norms, "rows"), jax.lax.psum(coeffs, "rows"),
                 v_loc)
 
     def _colstats_nov(fa, f_loc, basis, y_loc, s_a, cols_loc, block):
         norms, coeffs = st.rmatmat_colstats(fa, f_loc, basis, y_loc, s_a,
-                                            cols_loc, block, dtype)
+                                            cols_loc, block, dtype,
+                                            vary=VARY)
         return jax.lax.psum(norms, "rows"), jax.lax.psum(coeffs, "rows")
 
     def _apply(fa, f_loc, basis, w, s_a, cols_loc, block):
@@ -234,16 +238,19 @@ def build_streaming_sharded_batch(mesh, cfg: PipelineConfig):
                           if name == "rows"]))
 
     def smap(fn, in_specs, out_specs):
-        # check_vma off, same reason as the single-frame wrapper above; the
-        # batched path is guarded by the same cross-mesh equivalence tests
+        # check_vma ON — see the single-frame wrapper; here the kernel
+        # tiles vary over BOTH mesh axes (frames on 'data', blocks on
+        # 'rows'), so the scan carries are typed ("data", "rows")-varying
         return shard_map(fn, mesh=mesh, in_specs=in_specs,
-                         out_specs=out_specs, check_vma=False)
+                         out_specs=out_specs, check_vma=True)
+
+    VARY = ("data", "rows")
 
     ones_p = lambda fa: jnp.ones(fa.shape[0], jnp.float32)
 
     def _mv(fa, f_loc, v_loc, block):
         u = jax.vmap(lambda a, f, v: st.matvec(
-            a, f, v, ones_p(a), jnp.ones_like(v), block, dtype)
+            a, f, v, ones_p(a), jnp.ones_like(v), block, dtype, vary=VARY)
         )(fa, f_loc, v_loc)
         return jax.lax.psum(u, "rows")
 
@@ -253,14 +260,15 @@ def build_streaming_sharded_batch(mesh, cfg: PipelineConfig):
         )(fa, f_loc, t)
 
     def _gram(fa, f_loc, s_a, cols_loc, block):
-        g = jax.vmap(lambda a, f, sa, c: st.gram(a, f, sa, c, block, dtype)
+        g = jax.vmap(lambda a, f, sa, c: st.gram(a, f, sa, c, block, dtype,
+                                                 vary=VARY)
                      )(fa, f_loc, s_a, cols_loc)
         return jax.lax.psum(g, "rows")
 
     def _colstats(fa, f_loc, basis, y_loc, s_a, cols_loc, block):
         norms, coeffs, v_loc = jax.vmap(
             lambda a, f, g, y, sa, c: st.rmatmat_colstats_v(
-                a, f, g, y, sa, c, block, dtype)
+                a, f, g, y, sa, c, block, dtype, vary=VARY)
         )(fa, f_loc, basis, y_loc, s_a, cols_loc)
         return (jax.lax.psum(norms, "rows"), jax.lax.psum(coeffs, "rows"),
                 v_loc)
@@ -268,7 +276,7 @@ def build_streaming_sharded_batch(mesh, cfg: PipelineConfig):
     def _colstats_nov(fa, f_loc, basis, y_loc, s_a, cols_loc, block):
         norms, coeffs = jax.vmap(
             lambda a, f, g, y, sa, c: st.rmatmat_colstats(
-                a, f, g, y, sa, c, block, dtype)
+                a, f, g, y, sa, c, block, dtype, vary=VARY)
         )(fa, f_loc, basis, y_loc, s_a, cols_loc)
         return jax.lax.psum(norms, "rows"), jax.lax.psum(coeffs, "rows")
 
@@ -279,7 +287,8 @@ def build_streaming_sharded_batch(mesh, cfg: PipelineConfig):
 
     def _coarse(fa, fc_loc, t, mc_loc, block):
         u = jax.vmap(lambda a, f, tt, mk: st.sinkhorn_coarse_step(
-            a, f, tt, mk, 1.0, block, dtype))(fa, fc_loc, t, mc_loc)
+            a, f, tt, mk, 1.0, block, dtype, vary=VARY))(fa, fc_loc, t,
+                                                         mc_loc)
         return jax.lax.psum(u, "rows")
 
     def _rmv2(fa, f_loc, t2, block):

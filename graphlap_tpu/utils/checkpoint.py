@@ -60,6 +60,12 @@ def filter_with_basis(image: np.ndarray, basis: SavedBasis,
 
     if image.ndim == 2:
         return one(image, basis.vals, basis.vecs)
-    chans = [one(image[..., c], basis.vals[c], basis.vecs[c])
-             for c in range(image.shape[-1])]
+    if basis.vals.ndim == 1:
+        # shared basis (rgb_mode='luma_basis'): one spectrum, every channel
+        # replayed through it
+        chans = [one(image[..., c], basis.vals, basis.vecs)
+                 for c in range(image.shape[-1])]
+    else:
+        chans = [one(image[..., c], basis.vals[c], basis.vecs[c])
+                 for c in range(image.shape[-1])]
     return np.stack(chans, axis=-1)

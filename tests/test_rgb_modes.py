@@ -68,3 +68,19 @@ def test_luma_basis_sharpen_runs():
 def test_rgb_mode_validation():
     with pytest.raises(ValueError, match="rgb_mode"):
         gl.PipelineConfig(rgb_mode="yuv")
+
+
+def test_luma_basis_checkpoint_roundtrip(tmp_path):
+    """-save_basis under luma mode stores ONE shared basis; replaying it on
+    the RGB image matches the direct luma pipeline."""
+    img = _rgb_image(48, 48, seed=2)
+    cfg = gl.PipelineConfig(kernel="nlm", h=0.25, sample_rho=0.05,
+                            num_eigvecs=16, rgb_mode="luma_basis")
+    plan = gl.make_plan(img, cfg)
+    vals, vecs = gl.compute_basis(img, cfg, plan)
+    assert vals.shape == (16,) and vecs.shape == (img.size // 3, 16)
+    path = tmp_path / "luma_basis.npz"
+    gl.save_basis(path, vals, vecs, plan, cfg)
+    replay = gl.filter_with_basis(img, gl.load_basis(path), "identity", 0.0)
+    direct = gl.filter_image(img, cfg, plan=plan)
+    np.testing.assert_allclose(replay, direct.image, atol=1e-5)
