@@ -33,6 +33,22 @@ def filter_video(frames: np.ndarray, cfg: PipelineConfig,
     one sharded jit step; same compiled executable reused across chunks).
     """
     frames = np.asarray(frames, np.float32)
+    if frames.ndim == 4:
+        # (B, H, W, C) color video: channels are independent pipelines that
+        # share the sampling plan (same geometry), so fold them into the
+        # batch axis (B*C gray frames) and unfold after — pure DP, every
+        # existing chunking/sharding path reused unchanged
+        if cfg.rgb_mode != "per_channel":
+            raise ValueError(
+                "filter_video supports rgb_mode='per_channel' only (each "
+                "channel is an independent frame in the batch); use "
+                "filter_image for luma_basis on single images")
+        b, h, w, c = frames.shape
+        flat = np.moveaxis(frames, -1, 1).reshape(b * c, h, w)
+        z, vals = filter_video(flat, cfg, mesh=mesh, plan=plan,
+                               frames_per_step=frames_per_step)
+        return (np.moveaxis(z.reshape(b, c, h, w), 1, -1),
+                vals.reshape(b, c, *vals.shape[1:]))
     if frames.ndim != 3:
         raise ValueError(f"expected (B, H, W) frames, got {frames.shape}")
     b = frames.shape[0]
@@ -110,6 +126,17 @@ def filter_video_multihost(local_frames: np.ndarray, cfg: PipelineConfig,
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     local_frames = np.asarray(local_frames, np.float32)
+    if local_frames.ndim == 4:
+        # color video: fold channels into the local batch (see filter_video)
+        if cfg.rgb_mode != "per_channel":
+            raise ValueError("filter_video_multihost supports "
+                             "rgb_mode='per_channel' only")
+        b, h, w, c = local_frames.shape
+        flat = np.moveaxis(local_frames, -1, 1).reshape(b * c, h, w)
+        z, vals = filter_video_multihost(flat, cfg, mesh, plan=plan)
+        bg = z.shape[0] // c
+        return (np.moveaxis(z.reshape(bg, c, h, w), 1, -1),
+                vals.reshape(bg, c, *vals.shape[1:]))
     if local_frames.ndim != 3:
         raise ValueError(f"expected (B_local, H, W), got {local_frames.shape}")
     nproc = jax.process_count()

@@ -66,3 +66,26 @@ def test_bench_contract_keys():
     # workload builds without device work
     gl, cfg, img, noisy = bench.make_workload(pallas=True)
     assert cfg.use_pallas and img.shape == (bench.H, bench.W)
+
+
+def test_bench_cpu_baseline_cache_is_fresh():
+    """The checked-in CPU baseline cache must validate against the pinned
+    reference contract, and the driver path must read it WITHOUT spawning
+    the ~9-minute re-measure subprocess (a schema-stale cache at driver
+    time would silently eat the bench budget)."""
+    import json
+    import subprocess
+    from unittest import mock
+
+    import bench
+
+    assert bench.BASELINE_CACHE.exists(), "cpu_baseline.json missing"
+    cached = json.loads(bench.BASELINE_CACHE.read_text())
+    assert cached["config"] == bench.reference_cpu_cfg().to_dict(), (
+        "cpu_baseline.json config is stale vs reference_cpu_cfg() — "
+        "re-measure with BENCH_CPU_BASELINE=1 python bench.py (new "
+        "PipelineConfig fields must be added to the cache with their "
+        "defaults if the measured workload is unchanged)")
+    with mock.patch.object(subprocess, "run",
+                           side_effect=AssertionError("subprocess spawned")):
+        assert bench.cpu_baseline_for_main() == cached["mp_per_s"]

@@ -34,6 +34,30 @@ def test_video_rejects_bad_shape():
         filter_video(np.zeros((8, 8)), CFG)
 
 
+def test_video_rgb_frames_fold_into_batch():
+    """(B, H, W, C) color video == each channel filtered as its own frame
+    (channels share the plan, so folding them into the batch axis is
+    exact)."""
+    rng = np.random.default_rng(0)
+    frames = np.clip(np.stack([
+        make_test_image(32, 32, seed=s)[..., None]
+        + 0.1 * rng.standard_normal((1, 1, 3))
+        for s in range(2)
+    ]), 0, 1).astype(np.float32)                   # (2, 32, 32, 3)
+    plan = make_plan(frames[0, ..., 0], CFG)
+    mesh = make_mesh(n_rows=4, n_data=2)
+    out, vals = filter_video(frames, CFG, mesh=mesh, plan=plan)
+    assert out.shape == frames.shape
+    assert vals.shape == (2, 3, CFG.num_eigvecs)
+    for b in range(2):
+        for c in range(3):
+            ref = filter_image(frames[b, ..., c], CFG, plan=plan)
+            np.testing.assert_allclose(out[b, ..., c], ref.image, atol=2e-4)
+    with pytest.raises(ValueError, match="per_channel"):
+        filter_video(frames, CFG.replace(rgb_mode="luma_basis"), mesh=mesh,
+                     plan=plan)
+
+
 def test_video_streaming_batch_matches_per_frame():
     """Config 5's real path: frames on 'data', pixel blocks on 'rows',
     strip-free. Must equal the single-image streaming path per frame."""
