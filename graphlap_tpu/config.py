@@ -203,15 +203,23 @@ def _pow2_at_most(x: int) -> int:
 def calibrated_gram_coarse(n_pixels: int, p: int, gate: bool = True) -> int:
     """Largest seed-robust gram decimation factor for this problem size.
 
-    Cross-seed sweep rule (docs/ARCHITECTURE.md §5, cfg4_sweep.jsonl): the
-    p x p spectrum estimate needs N/k_g >= 256 p retained columns to hold the
-    0.1 dB parity gate across seeds (gc8 at 8 MP/p=4096 sits exactly on the
-    boundary at 0.007 dB; gc16 = 128 p swings to 0.096-0.107 dB). Turbo mode
-    (gate=False) relaxes to 128 p and caps at 16 — documented as over-gate.
+    Two measured regimes (docs/ARCHITECTURE.md §5, cfg4_sweep.jsonl):
+    JITTERED sampling (models/streaming.gram_sample_idx, k >= 16) holds a
+    flat <=0.066 dB cross-seed parity down to N/k_g >= 32 p retained
+    columns (gc64 at 8 MP/p=4096 = the 32 p boundary: 0.031-0.054 dB
+    across seeds; gc32: 0.046-0.064); STRIDED sampling (k <= 8) is
+    alias-limited and needs N/k_g >= 256 p (gc8 at the 256 p boundary:
+    0.007-0.053 dB). The gate path tries the deep jittered regime first
+    and falls back to the shallow strided rule when the problem is too
+    small to reach it. Turbo (gate=False) relaxes the jittered floor to
+    16 p; both cap at the measured k = 64.
     """
-    floor_cols = 256 * p if gate else 128 * p
-    cap = 8 if gate else 16
-    return min(_pow2_at_most(n_pixels // floor_cols), cap)
+    if not gate:
+        return min(_pow2_at_most(n_pixels // (16 * p)), 64)
+    k = min(_pow2_at_most(n_pixels // (32 * p)), 64)
+    if k >= 16:
+        return k
+    return min(_pow2_at_most(n_pixels // (256 * p)), 8)
 
 
 def calibrated_sinkhorn_coarse(n_pixels: int, p: int) -> int:

@@ -43,6 +43,37 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+# strided decimation is alias-limited but measured BEST at shallow k
+# (0.007-0.053 dB at gc8, 8 MP, seed-swept); jitter has a flat ~0.05-0.065
+# dB noise floor independent of k, so it loses at k<=8 and wins decisively
+# past the alias collapse (strided gc16: 0.096-0.107 dB; jittered gc16/32:
+# <=0.066 dB). Crossover at 16.
+GRAM_JITTER_MIN = 16
+
+
+def gram_sample_idx(n_pad: int, k: int) -> np.ndarray:
+    """Static column-sample indices for the coarse gram (one per k-slot).
+
+    k < 16: plain stride (best measured parity at shallow decimation).
+    k >= 16: JITTERED — slot i picks one uniform column in [i*k, (i+1)*k).
+    A stride aliases with the raster (when the image width divides k, it
+    samples only the vertical stripes x ≡ 0 mod k and misses everything
+    between them — measured ~10x worse top-m eigenvalue error at k=16,
+    max relerr 0.30 vs 0.026 at 512², seed-swept) while the jittered
+    sample's error stays flat through k=32 on the real 8 MP benchmark
+    (cfg4_sweep.jsonl jit_* rows). Offsets are a fixed seeded draw so the
+    plan is deterministic and compile-time static; indices land in the
+    zero padding at worst, where the column scales are zero too (exact
+    no-op). Low-discrepancy and antithetic offset schemes measured
+    indistinguishable from plain random.
+    """
+    slots = np.arange(0, n_pad, k)[: n_pad // k]
+    if k < GRAM_JITTER_MIN:
+        return slots.astype(np.int32)
+    off = np.random.default_rng(0).integers(0, k, n_pad // k)
+    return (slots + off).astype(np.int32)
+
+
 class StreamFactor(NamedTuple):
     """Everything the streaming eigensolve produces, pre-filter: the p-sized
     factor (V = [scaled extension] @ basis0), column scales, and the V^T y
@@ -201,17 +232,18 @@ def _factor_streaming(img2d: jnp.ndarray, idx_a: jnp.ndarray,
     # --- Nystrom eigensolve (streaming cross) ---
     waa = kaa * (s_a[:, None] * s_a[None, :])
 
-    def stream_gram(cols, blk, decim):
-        """sum_j (c_j k_j)(c_j k_j)^T over every ``decim``-th column, with
-        the fused Pallas emitter when its tiling fits (kb / f32-distance
-        tiles never round-trip HBM), else the XLA scan."""
+    def stream_gram(cols, blk, jidx):
+        """sum_j (c_j k_j)(c_j k_j)^T over the columns in ``jidx`` (None =
+        all), with the fused Pallas emitter when its tiling fits (kb /
+        f32-distance tiles never round-trip HBM), else the XLA scan."""
         if cfg.use_pallas:
             from ..ops import pallas_streaming as pst
             if n_pad == f_t.shape[1] and blk % pst.EMIT_TN == 0:
-                ft = f_t[:, ::decim] if decim > 1 else f_t
+                ft = jnp.take(f_t, jidx, axis=1) if jidx is not None else f_t
                 g = pst.gram_pallas(fa_pad, ft, cols, blk)[:p, :p]
                 return g * (s_a[:, None] * s_a[None, :])
-        fp = feats_pad[::decim] if decim > 1 else feats_pad
+        fp = (jnp.take(feats_pad, jidx, axis=0) if jidx is not None
+              else feats_pad)
         return st.gram(feats_a, fp, s_a, cols, blk, dtype)
 
     if cfg.gram_coarse > 1:
@@ -224,12 +256,13 @@ def _factor_streaming(img2d: jnp.ndarray, idx_a: jnp.ndarray,
         kg = cfg.gram_coarse
         if block % kg != 0:
             raise ValueError("gram_coarse must divide block_cols")
-        cols_g = s_b_cols[::kg]
+        jidx = jnp.asarray(gram_sample_idx(n_pad, kg))
+        cols_g = jnp.take(s_b_cols, jidx)
         ratio_g = (jnp.sum(s_b_cols * s_b_cols)
                    / jnp.maximum(jnp.sum(cols_g * cols_g), _EPS))
-        cross = ratio_g * stream_gram(cols_g, block // kg, kg)
+        cross = ratio_g * stream_gram(cols_g, block // kg, jidx)
     else:
-        cross = stream_gram(s_b_cols, block, 1)
+        cross = stream_gram(s_b_cols, block, None)
     m = cfg.num_eigvecs
     if cfg.solver in ("chol", "lobpcg"):
         method = "lobpcg" if cfg.solver == "lobpcg" else "eigh"

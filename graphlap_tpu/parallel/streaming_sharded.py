@@ -26,7 +26,7 @@ from jax import shard_map
 
 from ..config import PipelineConfig
 from ..ops import streaming as st
-from ..models.streaming import _V_BYTES_CAP
+from ..models.streaming import _V_BYTES_CAP, gram_sample_idx
 from ..ops.affinity import affinity_strip, extract_features
 from ..ops.filters import FILTER_REGISTRY
 from ..ops.linalg import psd_pinv_sqrt, trunc_inv_sqrt_vals
@@ -155,12 +155,15 @@ def build_streaming_sharded(mesh, cfg: PipelineConfig):
 
         waa = kaa * (s_a[:, None] * s_a[None, :])
         if cfg.gram_coarse > 1:
-            # decimated cross estimate (models/streaming.py gram_coarse)
+            # jittered decimated cross estimate (models/streaming.py
+            # gram_coarse + gram_sample_idx anti-aliasing note)
             kg = cfg.gram_coarse
             if block % kg != 0:
                 raise ValueError("gram_coarse must divide block_cols")
-            feats_g = shard(feats_pad[::kg], mesh, "rows", None)
-            cols_g = s_b_cols[::kg]
+            jidx = jnp.asarray(gram_sample_idx(n_pad, kg))
+            feats_g = shard(jnp.take(feats_pad, jidx, axis=0), mesh,
+                            "rows", None)
+            cols_g = jnp.take(s_b_cols, jidx)
             ratio_g = (jnp.sum(s_b_cols * s_b_cols)
                        / jnp.maximum(jnp.sum(cols_g * cols_g), _EPS))
             gramg = smap(partial(_gram, block=block // kg),
@@ -422,12 +425,15 @@ def build_streaming_sharded_batch(mesh, cfg: PipelineConfig):
 
         waa = kaa * (s_a[:, :, None] * s_a[:, None, :])
         if cfg.gram_coarse > 1:
-            # decimated cross estimate (models/streaming.py gram_coarse)
+            # jittered decimated cross estimate (models/streaming.py
+            # gram_coarse + gram_sample_idx anti-aliasing note)
             kg = cfg.gram_coarse
             if block % kg != 0:
                 raise ValueError("gram_coarse must divide block_cols")
-            feats_g = shard(feats_pad[:, ::kg], mesh, "data", "rows", None)
-            cols_g = s_b_cols[:, ::kg]
+            jidx = jnp.asarray(gram_sample_idx(n_pad, kg))
+            feats_g = shard(jnp.take(feats_pad, jidx, axis=1), mesh,
+                            "data", "rows", None)
+            cols_g = jnp.take(s_b_cols, jidx, axis=1)
             ratio_g = (jnp.sum(s_b_cols * s_b_cols, axis=1)
                        / jnp.maximum(jnp.sum(cols_g * cols_g, axis=1), _EPS))
             gramg = smap(partial(_gram, block=block // kg),

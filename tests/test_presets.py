@@ -22,16 +22,20 @@ MP8 = 8_388_608            # the cfg4 benchmark shape (2048 x 4096)
 
 
 def test_gram_calibration_matches_sweep():
-    # cfg4: N/256p = 8 exactly -> gc8, the measured seed-robust boundary
-    assert calibrated_gram_coarse(MP8, 4096) == 8
-    # turbo relaxes to 128p and caps at 16 (the documented over-gate mode)
-    assert calibrated_gram_coarse(MP8, 4096, gate=False) == 16
-    assert calibrated_gram_coarse(64 * MP8, 4096, gate=False) == 16
+    # cfg4: jittered regime, N/32p = 64 -> gc64 (0.031-0.054 dB seed-swept)
+    assert calibrated_gram_coarse(MP8, 4096) == 64
+    # turbo relaxes the jittered floor to 16p; same measured cap of 64
+    assert calibrated_gram_coarse(MP8, 4096, gate=False) == 64
+    assert calibrated_gram_coarse(64 * MP8, 4096, gate=False) == 64
     # cfg2-scale problems have too few columns per sample: no decimation
     assert calibrated_gram_coarse(262_144, 5243) == 1
-    # power-of-two floor, never rounding up past the rule
+    # mid-size problems that cannot reach the k>=16 jittered regime fall
+    # back to the shallow strided rule (N/k >= 256p)
     assert calibrated_gram_coarse(255 * 4096, 4096) == 1
-    assert calibrated_gram_coarse(513 * 4096, 4096) == 2
+    assert calibrated_gram_coarse(513 * 4096, 4096) == 16    # jittered edge
+    # below the jittered regime the strided 256p rule is conservative: the
+    # window [256p, 512p) floors to k=1 (no decimation)
+    assert calibrated_gram_coarse(300 * 4096, 4096) == 1
 
 
 def test_sinkhorn_calibration_matches_sweep():
@@ -55,13 +59,13 @@ def test_tuned_config_streaming_fast_is_the_headline_recipe():
     cfg = tuned_config(base, MP8, "fast")
     assert cfg.affinity_dtype == "bfloat16" and cfg.use_pallas
     assert cfg.sinkhorn_coarse == 64 and cfg.sinkhorn_polish == 1
-    assert cfg.sinkhorn_iters == 6 and cfg.gram_coarse == 8
+    assert cfg.sinkhorn_iters == 6 and cfg.gram_coarse == 64
 
 
 def test_tuned_config_streaming_turbo_drops_polish():
     base = PipelineConfig(streaming=True, sample_cap=4096)
     cfg = tuned_config(base, MP8, "turbo")
-    assert cfg.sinkhorn_polish == 0 and cfg.gram_coarse == 16
+    assert cfg.sinkhorn_polish == 0 and cfg.gram_coarse == 64
 
 
 def test_tuned_config_small_streaming_degrades_to_no_decimation():
