@@ -42,8 +42,10 @@ def main():
                          sinkhorn_coarse=64, sinkhorn_polish=1,
                          sinkhorn_iters=6, block_cols=65536)
     recipes = [
-        ("jit_p1_gc64", tuned.replace(gram_coarse=64)),
-        ("jit_turbo_gc64", tuned.replace(gram_coarse=64, sinkhorn_polish=0)),
+        # jitsc_* rows: the SINKHORN decimation sample is now jittered too
+        ("jitsc_p1_gc64", tuned.replace(gram_coarse=64)),
+        ("jitsc_turbo_gc64", tuned.replace(gram_coarse=64,
+                                           sinkhorn_polish=0)),
     ]
 
     RESULTS.parent.mkdir(parents=True, exist_ok=True)

@@ -171,6 +171,12 @@ def _factor_streaming(img2d: jnp.ndarray, idx_a: jnp.ndarray,
         k = cfg.sinkhorn_coarse
         if block % k != 0:
             raise ValueError("sinkhorn_coarse must divide block_cols")
+        # deliberately STRIDED (unlike the gram): a jittered sample was
+        # measured 0.021-0.037 dB on 4 image instances but 0.104 dB on a
+        # 5th (cfg4_sweep.jsonl jitsc_* vs the matrix row) — the coarse
+        # fixed point is sensitive to sample clumping in a way the
+        # energy-rescaled gram is not, so stride's worst case (0.031-0.054
+        # with one polish) is the safer contract
         feats_c = feats_pad[::k]
         mask_c = b_mask[::k]
         block_c = block // k

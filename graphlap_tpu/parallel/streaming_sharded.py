@@ -363,6 +363,7 @@ def build_streaming_sharded_batch(mesh, cfg: PipelineConfig):
             k = cfg.sinkhorn_coarse
             if block % k != 0:
                 raise ValueError("sinkhorn_coarse must divide block_cols")
+            # deliberately strided — see models/streaming.py sinkhorn note
             feats_c = shard(feats_pad[:, ::k], mesh, "data", "rows", None)
             mask_c = b_mask[::k]
             block_c = block // k
