@@ -160,6 +160,17 @@ def row4m():
             cfg.replace(sinkhorn_coarse=16, gram_coarse=4), img, noisy)
 
 
+def _cfg5_recipe():
+    """Config 5's per-4K-frame recipe, derived by the PRESET layer: the
+    (N, p)-calibrated decimations land at sc32 + jittered gc32 + one polish
+    for a 2160x3840 frame (config.tuned_config 'fast')."""
+    import graphlap_tpu as gl
+    base = gl.PipelineConfig(kernel="nlm", h=0.25, sample_rho=0.01,
+                             sample_cap=4096, num_eigvecs=50,
+                             streaming=True, block_cols=129600)
+    return gl.tuned_config(base, 2160 * 3840, "fast")
+
+
 def row5s():
     """Config 5 at its REAL per-frame scale on one chip: 4K frames
     (2160x3840 = 8.3 MP each) through the batched STREAMING path
@@ -171,13 +182,7 @@ def row5s():
                                       0.1, seed=s), 0, 1)
         for s in range(2)
     ])
-    cfg = gl.PipelineConfig(kernel="nlm", h=0.25, sample_rho=0.01,
-                            sample_cap=4096, num_eigvecs=50,
-                            sinkhorn_iters=10, sinkhorn_coarse=16,
-                            sinkhorn_polish=1, gram_coarse=8,
-                            streaming=True, block_cols=129600,
-                            affinity_dtype="bfloat16")
-    return "cfg5_video_2x4k_streaming", cfg, frames, frames
+    return "cfg5_video_2x4k_streaming", _cfg5_recipe(), frames, frames
 
 
 def row5x():
@@ -193,13 +198,7 @@ def row5x():
                                       0.1, seed=s), 0, 1)
         for s in range(16)
     ])
-    cfg = gl.PipelineConfig(kernel="nlm", h=0.25, sample_rho=0.01,
-                            sample_cap=4096, num_eigvecs=50,
-                            sinkhorn_iters=10, sinkhorn_coarse=16,
-                            sinkhorn_polish=1, gram_coarse=8,
-                            streaming=True, block_cols=129600,
-                            affinity_dtype="bfloat16")
-    return "cfg5_video_16x4k_streaming", cfg, frames, frames
+    return "cfg5_video_16x4k_streaming", _cfg5_recipe(), frames, frames
 
 
 ROWS = {"1": row1, "2": row2, "3": row3, "3l": row3l, "4": row4, "4c": row4c,

@@ -88,3 +88,21 @@ def test_coarse_gram_validation():
     img = make_test_image(32, 32)
     with pytest.raises(ValueError):
         filter_image(img, cfg)
+
+
+def test_gram_sample_idx_regimes():
+    """Sampler contract: strided below the k=16 jitter crossover, jittered
+    at/above it; one in-slot index per k columns; deterministic."""
+    from graphlap_tpu.models.streaming import GRAM_JITTER_MIN, gram_sample_idx
+
+    n_pad = 4096
+    idx8 = gram_sample_idx(n_pad, 8)
+    assert np.array_equal(idx8, np.arange(0, n_pad, 8))     # plain stride
+    for k in (16, 32, 64):
+        idx = gram_sample_idx(n_pad, k)
+        assert idx.shape == (n_pad // k,)
+        slots = np.arange(0, n_pad, k)
+        assert np.all(idx >= slots) and np.all(idx < slots + k)  # in-slot
+        assert not np.array_equal(idx, slots)               # actually jittered
+        assert np.array_equal(idx, gram_sample_idx(n_pad, k))  # deterministic
+    assert GRAM_JITTER_MIN == 16
