@@ -92,17 +92,21 @@ def filter_video(frames: np.ndarray, cfg: PipelineConfig,
         inv_perm = jnp.asarray(plan.inv_perm)
         run = lambda ch: drun(ch, idx_a, perm, inv_perm)
 
-    outs, vals = [], []
+    # dispatch ALL chunks before materializing any output: JAX dispatch is
+    # async, so chunk i+1's host prep + upload overlaps chunk i's device
+    # compute instead of serializing upload -> compute -> download per
+    # chunk (the 16x4K wall on this box is tunnel-transfer-bound)
+    pending = []
     for lo in range(0, b, step):
         chunk = frames[lo:lo + step]
-        pad = (-len(chunk)) % step
+        keep = len(chunk)
+        pad = (-keep) % step
         if pad:                      # keep the compiled shape static
             chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
         z, v = run(jnp.asarray(chunk))
-        z = np.asarray(z)[: len(chunk) - pad if pad else len(chunk)]
-        v = np.asarray(v)[: z.shape[0]]
-        outs.append(z)
-        vals.append(v)
+        pending.append((z, v, keep))
+    outs = [np.asarray(z)[:keep] for z, _, keep in pending]
+    vals = [np.asarray(v)[:keep] for _, v, keep in pending]
     return np.concatenate(outs), np.concatenate(vals)
 
 

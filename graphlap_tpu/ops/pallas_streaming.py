@@ -187,9 +187,14 @@ def gram_pallas(feats_a_pad, f_t, cols, block: int,
     return acc
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def matvec_pallas(feats_a_pad, feats_t, v, interpret: bool | None = None):
-    """K @ v: ((p_pad, D), (D, n_pad), (n_pad,)) -> (p_pad,) f32."""
+@functools.partial(jax.jit, static_argnames=("interpret", "vma"))
+def matvec_pallas(feats_a_pad, feats_t, v, interpret: bool | None = None,
+                  vma: tuple | None = None):
+    """K @ v: ((p_pad, D), (D, n_pad), (n_pad,)) -> (p_pad,) f32.
+
+    ``vma``: mesh axes the output varies over — required when called
+    inside a ``shard_map`` with ``check_vma=True`` (pallas_call cannot
+    infer it)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     p_pad = feats_a_pad.shape[0]
@@ -198,6 +203,8 @@ def matvec_pallas(feats_a_pad, feats_t, v, interpret: bool | None = None):
     tp = _tile_p_of(p_pad)
     tn = _tile_n(dtype)
     grid = (p_pad // tp, n_pad // tn)
+    out_shape = (jax.ShapeDtypeStruct((p_pad, 1), jnp.float32, vma=frozenset(vma))
+                 if vma else jax.ShapeDtypeStruct((p_pad, 1), jnp.float32))
     out = pl.pallas_call(
         _matvec_kernel,
         grid=grid,
@@ -211,7 +218,7 @@ def matvec_pallas(feats_a_pad, feats_t, v, interpret: bool | None = None):
         ],
         out_specs=pl.BlockSpec((tp, 1), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((p_pad, 1), jnp.float32),
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=2 * p_pad * n_pad * (D_PAD + 1),
             bytes_accessed=(p_pad + n_pad) * D_PAD * dtype.itemsize
@@ -223,9 +230,12 @@ def matvec_pallas(feats_a_pad, feats_t, v, interpret: bool | None = None):
     return out[:, 0]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def rmatvec_pallas(feats_a_pad, feats_t, t, interpret: bool | None = None):
-    """K^T @ t: ((p_pad, D), (D, n_pad), (p_pad,)) -> (n_pad,) f32."""
+@functools.partial(jax.jit, static_argnames=("interpret", "vma"))
+def rmatvec_pallas(feats_a_pad, feats_t, t, interpret: bool | None = None,
+                   vma: tuple | None = None):
+    """K^T @ t: ((p_pad, D), (D, n_pad), (p_pad,)) -> (n_pad,) f32.
+
+    ``vma``: see matvec_pallas."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     p_pad = feats_a_pad.shape[0]
@@ -234,6 +244,8 @@ def rmatvec_pallas(feats_a_pad, feats_t, t, interpret: bool | None = None):
     tp = _tile_p_of(p_pad)
     tn = _tile_n(dtype)
     grid = (n_pad // tn, p_pad // tp)
+    out_shape = (jax.ShapeDtypeStruct((1, n_pad), jnp.float32, vma=frozenset(vma))
+                 if vma else jax.ShapeDtypeStruct((1, n_pad), jnp.float32))
     out = pl.pallas_call(
         _rmatvec_kernel,
         grid=grid,
@@ -247,7 +259,7 @@ def rmatvec_pallas(feats_a_pad, feats_t, t, interpret: bool | None = None):
         ],
         out_specs=pl.BlockSpec((1, tn), lambda j, i: (0, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=2 * p_pad * n_pad * (D_PAD + 1),
             bytes_accessed=(p_pad + n_pad) * D_PAD * dtype.itemsize

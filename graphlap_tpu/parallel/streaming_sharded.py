@@ -57,19 +57,49 @@ def build_streaming_sharded(mesh, cfg: PipelineConfig):
         # validates every psum placement (a missing/extra psum is a compile
         # error, not silently-wrong pixels). The streaming operators take
         # vary=("rows",) so their scan-carry accumulators are typed as
-        # rows-varying like the kernel tiles they accumulate.
+        # rows-varying like the kernel tiles they accumulate. Pallas mode
+        # must run unchecked (see the batched builder's note); the psum
+        # placement is identical and the equivalence tests pin the outputs.
         return shard_map(fn, mesh=mesh, in_specs=in_specs,
-                         out_specs=out_specs, check_vma=True)
+                         out_specs=out_specs, check_vma=not cfg.use_pallas)
 
     VARY = ("rows",)
 
+    # fused Pallas matvecs for the local row-slice (same kernels as the
+    # single-device path; see the batched builder for the layout notes)
+    if cfg.use_pallas:
+        from ..ops import pallas_streaming as pst
+
+        def _pst_pads(a, f):
+            a = jax.lax.pcast(a, "rows", to="varying")  # fa is replicated
+            p = a.shape[0]
+            nl, d = f.shape
+            _, p_pad = pst.p_tiling(p)
+            tn = 1024 if dtype == jnp.bfloat16 else 512
+            nl_pad = _cdiv(nl, tn) * tn
+            fa_pad = jnp.zeros((p_pad, pst.D_PAD), dtype).at[:p, :d].set(
+                a.astype(dtype))
+            f_t = jnp.zeros((pst.D_PAD, nl_pad), dtype).at[:d, :nl].set(
+                f.astype(dtype).T)
+            return fa_pad, f_t, p, nl, nl_pad
+
     # --- sharded primitives over local row-slices -------------------------
     def _mv(fa, f_loc, v_loc, block):
-        u = st.matvec(fa, f_loc, v_loc, jnp.ones(fa.shape[0], jnp.float32),
-                      jnp.ones_like(v_loc), block, dtype, vary=VARY)
+        if cfg.use_pallas:
+            fa_pad, f_t, p, nl, nl_pad = _pst_pads(fa, f_loc)
+            vv = jnp.zeros(nl_pad, jnp.float32).at[:nl].set(v_loc)
+            u = pst.matvec_pallas(fa_pad, f_t, vv, vma=VARY)[:p]
+        else:
+            u = st.matvec(fa, f_loc, v_loc,
+                          jnp.ones(fa.shape[0], jnp.float32),
+                          jnp.ones_like(v_loc), block, dtype, vary=VARY)
         return jax.lax.psum(u, "rows")
 
     def _rmv(fa, f_loc, t, block):
+        if cfg.use_pallas:
+            fa_pad, f_t, p, nl, _ = _pst_pads(fa, f_loc)
+            tt = jnp.zeros(fa_pad.shape[0], jnp.float32).at[:p].set(t)
+            return pst.rmatvec_pallas(fa_pad, f_t, tt, vma=VARY)[:nl]
         return st.rmatvec(fa, f_loc, t, jnp.ones(fa.shape[0], jnp.float32),
                           jnp.ones_like(f_loc[:, 0]), block, dtype)
 
@@ -243,21 +273,65 @@ def build_streaming_sharded_batch(mesh, cfg: PipelineConfig):
     def smap(fn, in_specs, out_specs):
         # check_vma ON — see the single-frame wrapper; here the kernel
         # tiles vary over BOTH mesh axes (frames on 'data', blocks on
-        # 'rows'), so the scan carries are typed ("data", "rows")-varying
+        # 'rows'), so the scan carries are typed ("data", "rows")-varying.
+        # Exception: the Pallas variant must run unchecked — interpret-mode
+        # pallas_call bodies create constants with empty vma that the
+        # checker rejects against varying operands (a JAX limitation its
+        # own error message acknowledges); the psum placement is identical
+        # to the checked XLA variant, and the pallas==xla equivalence test
+        # (tests/test_sharded.py) pins the outputs equal
         return shard_map(fn, mesh=mesh, in_specs=in_specs,
-                         out_specs=out_specs, check_vma=True)
+                         out_specs=out_specs, check_vma=not cfg.use_pallas)
 
     VARY = ("data", "rows")
 
     ones_p = lambda fa: jnp.ones(fa.shape[0], jnp.float32)
 
+    # Fused Pallas matvecs per frame (same kernels as the single-image
+    # path, vmapped over the local frame batch): K tiles live only in
+    # VMEM. The padded (D_PAD, n_local) transposed features are rebuilt
+    # per call — a ~ms-scale bandwidth op vs the strip pass it feeds.
+    if cfg.use_pallas:
+        from ..ops import pallas_streaming as pst
+
+        def _pst_pads(a, f):
+            # fa is data-varying only; the kernel dots it against the
+            # (data, rows)-varying feature tiles, and the vma checker
+            # requires the operands to match
+            a = jax.lax.pcast(a, "rows", to="varying")
+            p = a.shape[0]
+            nl, d = f.shape
+            _, p_pad = pst.p_tiling(p)
+            tn = 1024 if dtype == jnp.bfloat16 else 512
+            nl_pad = _cdiv(nl, tn) * tn
+            fa_pad = jnp.zeros((p_pad, pst.D_PAD), dtype).at[:p, :d].set(
+                a.astype(dtype))
+            f_t = jnp.zeros((pst.D_PAD, nl_pad), dtype).at[:d, :nl].set(
+                f.astype(dtype).T)
+            return fa_pad, f_t, p, nl, nl_pad
+
+        def _one_mv(a, f, v):
+            fa_pad, f_t, p, nl, nl_pad = _pst_pads(a, f)
+            vv = jnp.zeros(nl_pad, jnp.float32).at[:nl].set(v)
+            return pst.matvec_pallas(fa_pad, f_t, vv, vma=VARY)[:p]
+
+        def _one_rmv(a, f, t):
+            fa_pad, f_t, p, nl, _ = _pst_pads(a, f)
+            tt = jnp.zeros(fa_pad.shape[0], jnp.float32).at[:p].set(t)
+            return pst.rmatvec_pallas(fa_pad, f_t, tt, vma=VARY)[:nl]
+
     def _mv(fa, f_loc, v_loc, block):
-        u = jax.vmap(lambda a, f, v: st.matvec(
-            a, f, v, ones_p(a), jnp.ones_like(v), block, dtype, vary=VARY)
-        )(fa, f_loc, v_loc)
+        if cfg.use_pallas:
+            u = jax.vmap(_one_mv)(fa, f_loc, v_loc)   # block-independent
+        else:
+            u = jax.vmap(lambda a, f, v: st.matvec(
+                a, f, v, ones_p(a), jnp.ones_like(v), block, dtype,
+                vary=VARY))(fa, f_loc, v_loc)
         return jax.lax.psum(u, "rows")
 
     def _rmv(fa, f_loc, t, block):
+        if cfg.use_pallas:
+            return jax.vmap(_one_rmv)(fa, f_loc, t)
         return jax.vmap(lambda a, f, tt: st.rmatvec(
             a, f, tt, ones_p(a), jnp.ones_like(f[:, 0]), block, dtype)
         )(fa, f_loc, t)

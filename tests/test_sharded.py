@@ -69,3 +69,39 @@ def test_streaming_sharded_matches_single(frames):
         z, vals = filter_image_streaming_sharded(frames[0], cfg, plan, mesh)
         np.testing.assert_allclose(z, ref.image, atol=2e-4)
         np.testing.assert_allclose(vals, ref.eigvals, atol=2e-4)
+
+
+def test_streaming_batch_pallas_matches_xla(frames):
+    """use_pallas=True routes the batched builder's strip matvecs through
+    the vmapped Pallas kernels (interpret mode on CPU) — must match the
+    XLA-scan variant and the single-image path."""
+    from graphlap_tpu.parallel.streaming_sharded import (
+        build_streaming_sharded_batch,
+    )
+    import jax.numpy as jnp
+
+    scfg = CFG.replace(streaming=True, block_cols=256, sinkhorn_iters=6,
+                       sinkhorn_coarse=2, sinkhorn_polish=1)
+    plan = make_plan(frames[0], scfg)
+    mesh = make_mesh(n_rows=4, n_data=2)
+    idx_a = jnp.asarray(plan.idx_a)
+    z_x, _ = build_streaming_sharded_batch(mesh, scfg)(
+        jnp.asarray(frames), idx_a)
+    z_p, _ = build_streaming_sharded_batch(
+        mesh, scfg.replace(use_pallas=True))(jnp.asarray(frames), idx_a)
+    np.testing.assert_allclose(np.asarray(z_p), np.asarray(z_x), atol=2e-4)
+
+
+def test_streaming_sharded_pallas_matches_xla(frames):
+    """Single-frame rows-sharded builder: Pallas matvecs == XLA scan."""
+    from graphlap_tpu.parallel.streaming_sharded import (
+        filter_image_streaming_sharded,
+    )
+
+    scfg = CFG.replace(streaming=True, block_cols=256)
+    plan = make_plan(frames[0], scfg)
+    mesh = make_mesh(n_rows=4, n_data=2)
+    z_x, _ = filter_image_streaming_sharded(frames[0], scfg, plan, mesh)
+    z_p, _ = filter_image_streaming_sharded(
+        frames[0], scfg.replace(use_pallas=True), plan, mesh)
+    np.testing.assert_allclose(z_p, z_x, atol=2e-4)
