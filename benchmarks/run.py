@@ -358,6 +358,29 @@ def run_video_row(name, cfg, frames, frames_per_step=None, n_runs=3,
         gl.filter_image(frames[s], cfg, plan=plan)
     single_wall = (time.perf_counter() - t0) * (b / nb)
 
+    # device-only wall for ONE chunk (inputs pre-staged, scalar-readback
+    # sync): the deployment number — the e2e wall on this box includes
+    # tunnel transfers (~0.5 GB per 4K chunk) that local-attached chips
+    # don't pay, and at the 16x4K shape those dominate
+    dev_mps = None
+    if cfg.streaming:
+        import jax.numpy as jnp
+        from graphlap_tpu.parallel.streaming_sharded import (
+            build_streaming_sharded_batch,
+        )
+        run1 = build_streaming_sharded_batch(mesh, cfg)
+        chunk_dev = jax.device_put(jnp.asarray(frames[:fps], jnp.float32))
+        idx_dev = jax.device_put(jnp.asarray(plan.idx_a))
+        sync = jax.jit(jnp.sum)
+        float(sync(run1(chunk_dev, idx_dev)[0]))            # warm
+        dwalls = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            z1, _ = run1(chunk_dev, idx_dev)
+            float(sync(z1))
+            dwalls.append(time.perf_counter() - t0)
+        dev_mps = round((fps * frames[0].size / 1e6) / min(dwalls), 4)
+
     h, w = frames.shape[1:]
     clean = [gl.make_test_image(h, w, seed=s) for s in range(b)]
     rec = {
@@ -365,6 +388,7 @@ def run_video_row(name, cfg, frames, frames_per_step=None, n_runs=3,
         "device": str(jax.devices()[0]), "shape": list(frames.shape),
         "p": plan.p, "m": cfg.num_eigvecs, "config_hash": cfg.config_hash(),
         "wall_s": round(wall, 4), "mp_per_s": round(mp / wall, 4),
+        "device_mp_per_s": dev_mps,
         "frames_per_step": fps, "single_bar_frames": nb,
         "single_image_path_mp_per_s": round(mp / single_wall, 4),
         "batch_speedup_vs_single": round(single_wall / wall, 3),
