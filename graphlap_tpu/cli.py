@@ -53,6 +53,8 @@ def _with_rc_defaults(argv: list[str]) -> list[str]:
             break
         if tok.startswith("-opts_file="):
             path = tok.split("=", 1)[1]
+            if not path:
+                raise SystemExit("error: -opts_file expects a path argument")
             del argv[i]
             break
     if path is None and os.path.exists(RC_FILE):
@@ -176,11 +178,21 @@ _PRESET_GUARDED_FLAGS = {
 
 
 def _explicit_fields(argv: list[str]) -> frozenset:
+    """Config fields pinned by flags the user actually typed, so a preset
+    never overrides an explicit choice. Matches argparse's prefix
+    abbreviations too (``-sinkhorn_pol 0`` pins sinkhorn_polish): any
+    guarded flag the token is a prefix of counts — over-approximating on
+    an ambiguous prefix only makes the preset defer MORE to the user
+    (and argparse itself errors on truly ambiguous abbreviations)."""
     fields = set()
     for tok in argv:
         if tok.startswith("-"):
             name = tok.lstrip("-").split("=", 1)[0]
-            fields.update(_PRESET_GUARDED_FLAGS.get(name, ()))
+            if not name:
+                continue
+            for flag, flds in _PRESET_GUARDED_FLAGS.items():
+                if flag.startswith(name):
+                    fields.update(flds)
     return frozenset(fields)
 
 

@@ -208,18 +208,15 @@ def calibrated_gram_coarse(n_pixels: int, p: int, gate: bool = True) -> int:
     flat <=0.066 dB cross-seed parity down to N/k_g >= 32 p retained
     columns (gc64 at 8 MP/p=4096 = the 32 p boundary: 0.031-0.054 dB
     across seeds; gc32: 0.046-0.064); STRIDED sampling (k <= 8) is
-    alias-limited and needs N/k_g >= 256 p (gc8 at the 256 p boundary:
-    0.007-0.053 dB). The gate path tries the deep jittered regime first
-    and falls back to the shallow strided rule when the problem is too
-    small to reach it. Turbo (gate=False) relaxes the jittered floor to
-    16 p; both cap at the measured k = 64.
+    alias-limited and needs N/k_g >= 256 p. Below the jittered regime
+    (N < 512 p) the strided rule can never clear k = 2 (N/256p < 2), so
+    the gate path simply disables decimation there. Turbo (gate=False)
+    relaxes the jittered floor to 16 p; both cap at the measured k = 64.
     """
     if not gate:
         return min(_pow2_at_most(n_pixels // (16 * p)), 64)
     k = min(_pow2_at_most(n_pixels // (32 * p)), 64)
-    if k >= 16:
-        return k
-    return min(_pow2_at_most(n_pixels // (256 * p)), 8)
+    return k if k >= 16 else 1
 
 
 def calibrated_sinkhorn_coarse(n_pixels: int, p: int) -> int:
@@ -245,11 +242,16 @@ def tuned_config(cfg: PipelineConfig, n_pixels: int, level: str = "fast",
 
     * ``"exact"`` — the all-f32 reference recipe (parity baseline): clears
       every accelerator.
-    * ``"fast"`` — gate-compliant production recipe (<= ~0.01 dB measured
-      vs exact): dense path = bfloat16_store strip + Pallas + converged
-      10-iteration Sinkhorn (cfg2: 0.92 -> 0.31 s device); streaming path =
-      bf16 tiles + Pallas + calibrated decimations with one full-res polish
-      (cfg4: 17.0 -> 0.67 s device at 8 MP).
+    * ``"fast"`` — gate-compliant production recipe: dense path =
+      bfloat16_store strip + Pallas + converged 10-iteration Sinkhorn
+      (cfg2: 0.92 -> 0.31 s device at 0.0003 dB); streaming path = bf16
+      tiles + Pallas + calibrated decimations with one full-res polish
+      (cfg4: 17.0 -> 0.47 s device at 8 MP, 0.031-0.054 dB seed-swept).
+      NB the dense path deliberately avoids plain "bfloat16" (its
+      GEMM-trick cancellation measured 0.135 dB at cfg2); STREAMING bf16
+      tiles are a different numeric path and measure 0.0014 dB at the
+      384^2 oracle anchor and 0.0025 dB at 8 MP
+      (benchmarks/results/parity_anchor.jsonl, cfg4_sweep.jsonl).
     * ``"turbo"`` — max single-chip speed, documented ~0.3 dB from the
       exact trajectory (streaming only differs from "fast": no polish,
       relaxed gram decimation).
@@ -263,9 +265,14 @@ def tuned_config(cfg: PipelineConfig, n_pixels: int, level: str = "fast",
         raise ValueError(f"preset level must be exact|fast|turbo, got {level!r}")
     p = cfg.num_samples(n_pixels)
     if level == "exact":
+        # restore a CONVERGED full-res Sinkhorn too (10 iters measured
+        # converged, benchmarks/run.py _parity_cfg) — a fast config carries
+        # iters=6 tuned for its coarse loop, which would leave "exact"
+        # under-converged vs the parity contract
         chosen = dict(affinity_dtype="float32", gram_dtype="auto",
                       use_pallas=False, sinkhorn_coarse=1, sinkhorn_polish=0,
-                      gram_coarse=1)
+                      gram_coarse=1,
+                      sinkhorn_iters=max(cfg.sinkhorn_iters, 10))
     elif cfg.streaming:
         chosen = dict(affinity_dtype="bfloat16", use_pallas=True,
                       gram_coarse=calibrated_gram_coarse(

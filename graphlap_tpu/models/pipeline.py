@@ -43,6 +43,19 @@ class FilterResult(NamedTuple):
 # fused single-jit path
 # ---------------------------------------------------------------------------
 
+def _solve_basis(waa, wab, cfg: PipelineConfig):
+    """Nystrom eigensolve on the scaled blocks — the ONE place the solver
+    selection / gram-dtype policy lives (fused, luma, and staged paths all
+    route here so a stability-rule change cannot diverge them)."""
+    if cfg.solver in ("chol", "lobpcg"):
+        method = "lobpcg" if cfg.solver == "lobpcg" else "eigh"
+        gdt = (jnp.bfloat16 if cfg.gram_gemm_dtype() == "bfloat16"
+               else jnp.float32)
+        return nystrom_eigh_chol(waa, wab, cfg.num_eigvecs, cfg.eig_tol,
+                                 method, gdt, cfg.lobpcg_iters)
+    return nystrom_eigh(waa, wab, cfg.num_eigvecs, cfg.eig_tol)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def _filter_channel(img2d: jnp.ndarray, idx_a: jnp.ndarray, perm: jnp.ndarray,
                     inv_perm: jnp.ndarray, cfg: PipelineConfig):
@@ -54,14 +67,7 @@ def _filter_channel(img2d: jnp.ndarray, idx_a: jnp.ndarray, perm: jnp.ndarray,
     waa, wab, _, _ = normalize_blocks(
         kaa, kab, cfg.normalization, cfg.sinkhorn_iters, cfg.eig_tol,
         cfg.solver)
-    if cfg.solver in ("chol", "lobpcg"):
-        method = "lobpcg" if cfg.solver == "lobpcg" else "eigh"
-        gdt = (jnp.bfloat16 if cfg.gram_gemm_dtype() == "bfloat16"
-               else jnp.float32)
-        basis = nystrom_eigh_chol(waa, wab, cfg.num_eigvecs, cfg.eig_tol,
-                                  method, gdt, cfg.lobpcg_iters)
-    else:
-        basis = nystrom_eigh(waa, wab, cfg.num_eigvecs, cfg.eig_tol)
+    basis = _solve_basis(waa, wab, cfg)
     y_perm = jnp.take(img2d.astype(jnp.float32).ravel(), perm)
     z_perm = apply_spectral_filter(
         y_perm, basis.vals, basis.vecs, cfg.filter_name, cfg.filter_param)
@@ -98,14 +104,7 @@ def _filter_channels_luma(y2d: jnp.ndarray, img_chw: jnp.ndarray, idx_a,
         waa, wab, _, _ = normalize_blocks(
             kaa, kab, cfg.normalization, cfg.sinkhorn_iters, cfg.eig_tol,
             cfg.solver)
-        if cfg.solver in ("chol", "lobpcg"):
-            method = "lobpcg" if cfg.solver == "lobpcg" else "eigh"
-            gdt = (jnp.bfloat16 if cfg.gram_gemm_dtype() == "bfloat16"
-                   else jnp.float32)
-            basis = nystrom_eigh_chol(waa, wab, cfg.num_eigvecs, cfg.eig_tol,
-                                      method, gdt, cfg.lobpcg_iters)
-        else:
-            basis = nystrom_eigh(waa, wab, cfg.num_eigvecs, cfg.eig_tol)
+        basis = _solve_basis(waa, wab, cfg)
         vals, vecs = basis.vals, basis.vecs                      # [A; B] order
 
         def apply(ch):
@@ -226,13 +225,7 @@ def _stage_normalize(kaa, kab, cfg: PipelineConfig):
 
 @partial(jax.jit, static_argnames=("cfg",))
 def _stage_eigh(waa, wab, cfg: PipelineConfig):
-    if cfg.solver in ("chol", "lobpcg"):
-        method = "lobpcg" if cfg.solver == "lobpcg" else "eigh"
-        gdt = (jnp.bfloat16 if cfg.gram_gemm_dtype() == "bfloat16"
-               else jnp.float32)
-        return nystrom_eigh_chol(waa, wab, cfg.num_eigvecs, cfg.eig_tol,
-                                 method, gdt, cfg.lobpcg_iters)
-    return nystrom_eigh(waa, wab, cfg.num_eigvecs, cfg.eig_tol)
+    return _solve_basis(waa, wab, cfg)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -311,10 +304,35 @@ def filter_image_staged(image: np.ndarray, cfg: PipelineConfig,
     idx_a = jnp.asarray(plan.idx_a)
     perm = jnp.asarray(plan.perm)
     inv_perm = jnp.asarray(plan.inv_perm)
+    timings = {k: 0.0 for k in ("affinity", "normalize", "eigensolve", "filter")}
+
+    if image.ndim == 3 and cfg.rgb_mode == "luma_basis":
+        # mirror _filter_channels_luma: stages 1-3 run ONCE on the
+        # luminance guide, the filter applies per channel through the
+        # shared basis (same output as filter_image, just stage-timed)
+        y2d = jnp.asarray(_luma(image), jnp.float32)
+        t0 = time.perf_counter()
+        kaa, kab = jax.block_until_ready(
+            _stage_affinity(y2d, idx_a, perm, cfg))
+        t1 = time.perf_counter()
+        waa, wab = jax.block_until_ready(_stage_normalize(kaa, kab, cfg))
+        t2 = time.perf_counter()
+        basis = jax.block_until_ready(_stage_eigh(waa, wab, cfg))
+        t3 = time.perf_counter()
+        outs = []
+        for c in range(image.shape[-1]):
+            img2d = jnp.asarray(image[..., c], jnp.float32)
+            z = jax.block_until_ready(_stage_filter(
+                img2d, basis.vals, basis.vecs, perm, inv_perm, cfg))
+            outs.append(np.asarray(z))
+        t4 = time.perf_counter()
+        timings.update(affinity=t1 - t0, normalize=t2 - t1,
+                       eigensolve=t3 - t2, filter=t4 - t3)
+        return FilterResult(image=np.stack(outs, axis=-1),
+                            eigvals=np.asarray(basis.vals), timings=timings)
 
     channels = [image] if image.ndim == 2 else [
         image[..., c] for c in range(image.shape[-1])]
-    timings = {k: 0.0 for k in ("affinity", "normalize", "eigensolve", "filter")}
     outs, all_vals = [], []
 
     for ch in channels:

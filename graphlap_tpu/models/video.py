@@ -67,8 +67,12 @@ def filter_video(frames: np.ndarray, cfg: PipelineConfig,
         # check_dense_feasible): a 4K frame's dense strip is ~136 GB f32,
         # which dies in an opaque XLA allocation error mid-compile
         from .pipeline import DENSE_STRIP_BYTES_LIMIT
-        itemsize = 2 if cfg.affinity_dtype == "bfloat16_store" else 4
-        per_device = (plan.p * plan.n * itemsize * step) / mesh.devices.size
+        # the sharded dense builder materializes its strip in f32 always
+        # (parallel/sharded.py doesn't thread a storage dtype), so count 4
+        # bytes regardless of affinity_dtype — undercounting here brings
+        # back the opaque mid-compile XLA allocation death this guard
+        # exists to prevent
+        per_device = (plan.p * plan.n * 4 * step) / mesh.devices.size
         if per_device > DENSE_STRIP_BYTES_LIMIT:
             raise ValueError(
                 f"dense K strips would need {per_device / 1e9:.1f} GB per "
@@ -92,11 +96,22 @@ def filter_video(frames: np.ndarray, cfg: PipelineConfig,
         inv_perm = jnp.asarray(plan.inv_perm)
         run = lambda ch: drun(ch, idx_a, perm, inv_perm)
 
-    # dispatch ALL chunks before materializing any output: JAX dispatch is
-    # async, so chunk i+1's host prep + upload overlaps chunk i's device
-    # compute instead of serializing upload -> compute -> download per
-    # chunk (the 16x4K wall on this box is tunnel-transfer-bound)
-    pending = []
+    # Pipelined chunks: JAX dispatch is async, so keeping a small window
+    # of chunks in flight lets chunk i+1's host prep + upload overlap
+    # chunk i's device compute instead of serializing
+    # upload -> compute -> download per chunk (measured 59 -> 37 s on the
+    # 16x4K shape — the e2e wall on this box is tunnel-transfer-bound).
+    # The window is BOUNDED so peak device memory stays O(window x chunk),
+    # not O(total video): each chunk holds its padded input + output live
+    # until materialized.
+    window = 4
+    pending, outs, vals = [], [], []
+
+    def _drain(slot):
+        z, v, keep = slot
+        outs.append(np.asarray(z)[:keep])
+        vals.append(np.asarray(v)[:keep])
+
     for lo in range(0, b, step):
         chunk = frames[lo:lo + step]
         keep = len(chunk)
@@ -105,8 +120,10 @@ def filter_video(frames: np.ndarray, cfg: PipelineConfig,
             chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
         z, v = run(jnp.asarray(chunk))
         pending.append((z, v, keep))
-    outs = [np.asarray(z)[:keep] for z, _, keep in pending]
-    vals = [np.asarray(v)[:keep] for _, v, keep in pending]
+        if len(pending) >= window:
+            _drain(pending.pop(0))
+    for slot in pending:
+        _drain(slot)
     return np.concatenate(outs), np.concatenate(vals)
 
 

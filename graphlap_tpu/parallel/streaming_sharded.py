@@ -41,6 +41,28 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def _pallas_pads(a, f, dtype):
+    """Padded (fa (p_pad, D), f_t (D, nl_pad)) layouts for the fused
+    Pallas matvec kernels, shared by both sharded builders. Tile widths
+    come from the kernels' own _tile_n so a VMEM retune cannot
+    desynchronize the padding from the kernel grid. ``a`` is pcast
+    rows-varying: it arrives replicated (single-frame builder) or
+    data-varying (batched), and the kernel dots it against rows-sharded
+    feature tiles, which the vma checker requires to match."""
+    from ..ops import pallas_streaming as pst
+
+    a = jax.lax.pcast(a, "rows", to="varying")
+    p = a.shape[0]
+    nl, d = f.shape
+    _, p_pad = pst.p_tiling(p)
+    nl_pad = _cdiv(nl, pst._tile_n(dtype)) * pst._tile_n(dtype)
+    fa_pad = jnp.zeros((p_pad, pst.D_PAD), dtype).at[:p, :d].set(
+        a.astype(dtype))
+    f_t = jnp.zeros((pst.D_PAD, nl_pad), dtype).at[:d, :nl].set(
+        f.astype(dtype).T)
+    return fa_pad, f_t, p, nl, nl_pad
+
+
 @lru_cache(maxsize=None)
 def build_streaming_sharded(mesh, cfg: PipelineConfig):
     """Returns a jitted fn (img2d (H,W) f32, idx_a (p,)) -> (z2d, vals)
@@ -66,27 +88,14 @@ def build_streaming_sharded(mesh, cfg: PipelineConfig):
     VARY = ("rows",)
 
     # fused Pallas matvecs for the local row-slice (same kernels as the
-    # single-device path; see the batched builder for the layout notes)
+    # single-device path; _pallas_pads for the layout notes)
     if cfg.use_pallas:
         from ..ops import pallas_streaming as pst
-
-        def _pst_pads(a, f):
-            a = jax.lax.pcast(a, "rows", to="varying")  # fa is replicated
-            p = a.shape[0]
-            nl, d = f.shape
-            _, p_pad = pst.p_tiling(p)
-            tn = 1024 if dtype == jnp.bfloat16 else 512
-            nl_pad = _cdiv(nl, tn) * tn
-            fa_pad = jnp.zeros((p_pad, pst.D_PAD), dtype).at[:p, :d].set(
-                a.astype(dtype))
-            f_t = jnp.zeros((pst.D_PAD, nl_pad), dtype).at[:d, :nl].set(
-                f.astype(dtype).T)
-            return fa_pad, f_t, p, nl, nl_pad
 
     # --- sharded primitives over local row-slices -------------------------
     def _mv(fa, f_loc, v_loc, block):
         if cfg.use_pallas:
-            fa_pad, f_t, p, nl, nl_pad = _pst_pads(fa, f_loc)
+            fa_pad, f_t, p, nl, nl_pad = _pallas_pads(fa, f_loc, dtype)
             vv = jnp.zeros(nl_pad, jnp.float32).at[:nl].set(v_loc)
             u = pst.matvec_pallas(fa_pad, f_t, vv, vma=VARY)[:p]
         else:
@@ -97,7 +106,7 @@ def build_streaming_sharded(mesh, cfg: PipelineConfig):
 
     def _rmv(fa, f_loc, t, block):
         if cfg.use_pallas:
-            fa_pad, f_t, p, nl, _ = _pst_pads(fa, f_loc)
+            fa_pad, f_t, p, nl, _ = _pallas_pads(fa, f_loc, dtype)
             tt = jnp.zeros(fa_pad.shape[0], jnp.float32).at[:p].set(t)
             return pst.rmatvec_pallas(fa_pad, f_t, tt, vma=VARY)[:nl]
         return st.rmatvec(fa, f_loc, t, jnp.ones(fa.shape[0], jnp.float32),
@@ -294,29 +303,13 @@ def build_streaming_sharded_batch(mesh, cfg: PipelineConfig):
     if cfg.use_pallas:
         from ..ops import pallas_streaming as pst
 
-        def _pst_pads(a, f):
-            # fa is data-varying only; the kernel dots it against the
-            # (data, rows)-varying feature tiles, and the vma checker
-            # requires the operands to match
-            a = jax.lax.pcast(a, "rows", to="varying")
-            p = a.shape[0]
-            nl, d = f.shape
-            _, p_pad = pst.p_tiling(p)
-            tn = 1024 if dtype == jnp.bfloat16 else 512
-            nl_pad = _cdiv(nl, tn) * tn
-            fa_pad = jnp.zeros((p_pad, pst.D_PAD), dtype).at[:p, :d].set(
-                a.astype(dtype))
-            f_t = jnp.zeros((pst.D_PAD, nl_pad), dtype).at[:d, :nl].set(
-                f.astype(dtype).T)
-            return fa_pad, f_t, p, nl, nl_pad
-
         def _one_mv(a, f, v):
-            fa_pad, f_t, p, nl, nl_pad = _pst_pads(a, f)
+            fa_pad, f_t, p, nl, nl_pad = _pallas_pads(a, f, dtype)
             vv = jnp.zeros(nl_pad, jnp.float32).at[:nl].set(v)
             return pst.matvec_pallas(fa_pad, f_t, vv, vma=VARY)[:p]
 
         def _one_rmv(a, f, t):
-            fa_pad, f_t, p, nl, _ = _pst_pads(a, f)
+            fa_pad, f_t, p, nl, _ = _pallas_pads(a, f, dtype)
             tt = jnp.zeros(fa_pad.shape[0], jnp.float32).at[:p].set(t)
             return pst.rmatvec_pallas(fa_pad, f_t, tt, vma=VARY)[:nl]
 

@@ -61,6 +61,8 @@ def test_cli_opts_file(img_file, tmp_path, capsys):
     assert "kernel=nlm" in capsys.readouterr().out
     with pytest.raises(SystemExit, match="opts_file"):
         cli_main(["-f", img_file, "-opts_file"])
+    with pytest.raises(SystemExit, match="opts_file"):
+        cli_main(["-f", img_file, "-opts_file="])
 
 
 def test_cli_bad_flag(img_file):

@@ -109,9 +109,19 @@ def test_cli_preset_fast(tmp_path, capsys):
     assert "preset fast: dtype=bfloat16_store" in out
     assert "PSNR noisy" in out
 
-    # an explicit flag wins over the preset
+    # an explicit flag wins over the preset — including argparse prefix
+    # abbreviations (regression: '-sinkhorn_it' used to be invisible to
+    # the preset's explicit-flag detection)
     rc = cli_main(["-f", path, "-grayscale", "-cpu", "-kernel", "nlm",
                    "-sample", "0.03", "-eigvals", "16",
-                   "-preset", "fast", "-sinkhorn_iters", "4"])
+                   "-preset", "fast", "-sinkhorn_it", "4"])
     assert rc == 0
     assert "sinkhorn=4x1" in capsys.readouterr().out
+
+
+def test_tuned_config_exact_restores_converged_sinkhorn():
+    fast = tuned_config(PipelineConfig(streaming=True, sample_cap=4096),
+                        MP8, "fast")
+    assert fast.sinkhorn_iters == 6               # tuned for the coarse loop
+    exact = tuned_config(fast, MP8, "exact")
+    assert exact.sinkhorn_iters >= 10             # converged full-res

@@ -70,6 +70,21 @@ def test_rgb_mode_validation():
         gl.PipelineConfig(rgb_mode="yuv")
 
 
+def test_luma_basis_staged_matches_fused():
+    """The staged (CLI) path must honor luma mode like the fused path: one
+    shared spectrum, same pixels (regression: it silently ran per_channel
+    while -save_basis stored a luma basis)."""
+    img = _rgb_image(48, 48, seed=4)
+    cfg = gl.PipelineConfig(kernel="nlm", h=0.25, sample_rho=0.05,
+                            num_eigvecs=16, rgb_mode="luma_basis")
+    plan = gl.make_plan(img, cfg)
+    staged = gl.filter_image_staged(img, cfg, plan=plan)
+    fused = gl.filter_image(img, cfg, plan=plan)
+    assert staged.eigvals.shape == (16,)          # ONE shared spectrum
+    np.testing.assert_allclose(staged.image, fused.image, atol=2e-5)
+    assert staged.timings["eigensolve"] >= 0.0
+
+
 def test_luma_basis_checkpoint_roundtrip(tmp_path):
     """-save_basis under luma mode stores ONE shared basis; replaying it on
     the RGB image matches the direct luma pipeline."""
