@@ -111,3 +111,17 @@ def test_streaming_rgb(noisy):
     res = filter_image(img, cfg)
     dense = filter_image(img, cfg.replace(streaming=False))
     np.testing.assert_allclose(res.image, dense.image, atol=3e-4)
+
+
+def test_streaming_pallas_odd_size():
+    """Odd, non-tile-aligned image (37x53) through streaming + Pallas:
+    padding must be exact (zero-column no-ops), matching the XLA path."""
+    img = make_test_image(37, 53, seed=5)
+    noisy37 = np.clip(add_gaussian_noise(img, 0.1, seed=5), 0, 1)
+    cfg = PipelineConfig(kernel="nlm", h=0.25, sample_rho=0.05,
+                         num_eigvecs=16, streaming=True, block_cols=512)
+    plan = make_plan(noisy37, cfg)
+    xla = filter_image(noisy37, cfg, plan=plan)
+    pal = filter_image(noisy37, cfg.replace(use_pallas=True), plan=plan)
+    assert pal.image.shape == (37, 53)
+    np.testing.assert_allclose(pal.image, xla.image, atol=5e-4)
