@@ -60,7 +60,8 @@ def row3():
     img = gl.make_test_image(1024, 1024, channels=3)
     noisy = np.clip(gl.add_gaussian_noise(img, 0.03, seed=3), 0, 1)
     cfg = gl.CONFIG3.replace(streaming=True, block_cols=131072,
-                             affinity_dtype="bfloat16", gram_coarse=4)
+                             affinity_dtype="bfloat16", gram_coarse=4,
+                             use_pallas=True)
     return "cfg3_1024_rgb_sharpen", cfg, img, noisy
 
 
