@@ -169,3 +169,17 @@ def test_dense_strip_guard(monkeypatch, tmp_path, capsys):
                    "-block_cols", "1024"])
     assert rc == 0
     assert "auto-enabling -streaming" in capsys.readouterr().out
+
+
+@pytest.mark.parametrize("streaming", [False, True])
+def test_constant_image_degenerate_kernel(streaming):
+    """All-equal pixels -> rank-1 kernel matrix (every K entry 1): the
+    pseudo-inverse truncation and Sinkhorn must stay finite, and a
+    doubly-stochastic identity filter must approximately preserve the
+    constant (measured ~1.5e-3 from the soft spectral gates)."""
+    flat = np.full((32, 32), 0.5, np.float32)
+    cfg = PipelineConfig(kernel="nlm", h=0.25, sample_rho=0.05,
+                         num_eigvecs=8, streaming=streaming, block_cols=256)
+    res = filter_image(flat, cfg)
+    assert np.isfinite(res.image).all()
+    assert np.abs(res.image - flat).max() < 0.01
