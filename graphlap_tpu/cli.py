@@ -251,6 +251,20 @@ def main(argv=None) -> int:
         return 0
 
     plan = make_plan(image, cfg)
+    base_cfg = cfg
+
+    def _tuned(c):
+        if not args.preset:
+            return c
+        from graphlap_tpu.config import tuned_config
+        return tuned_config(c, plan.n, args.preset, keep=_explicit_fields(argv))
+
+    # apply the preset BEFORE the dense-feasibility check, so the check
+    # sizes the strip with the dtype the run will actually materialize
+    # (e.g. '-preset fast' selects a bfloat16_store strip at HALF the f32
+    # footprint — an image that only fits in bf16 must not be pushed onto
+    # the slower streaming path by a stale f32 estimate)
+    cfg = _tuned(cfg)
     if not cfg.streaming:
         # end-user friendliness: past the single-chip strip bound, switch to
         # the streaming path instead of surfacing the library's ValueError
@@ -260,11 +274,10 @@ def main(argv=None) -> int:
         except ValueError:
             print(f"note: dense K strip (p={plan.p} x N={plan.n}) exceeds "
                   f"single-chip memory — auto-enabling -streaming")
-            cfg = cfg.replace(streaming=True)
+            # re-derive the preset for the streaming path: its recipe
+            # (bf16 tiles + calibrated decimations) differs from the dense one
+            cfg = _tuned(base_cfg.replace(streaming=True))
     if args.preset:
-        from graphlap_tpu.config import tuned_config
-        cfg = tuned_config(cfg, plan.n, args.preset,
-                           keep=_explicit_fields(argv))
         print(f"preset {args.preset}: dtype={cfg.affinity_dtype} "
               f"pallas={cfg.use_pallas} sinkhorn={cfg.sinkhorn_iters}"
               f"x{cfg.sinkhorn_coarse}+p{cfg.sinkhorn_polish} "

@@ -200,7 +200,13 @@ def _pow2_at_most(x: int) -> int:
     return 1 if x < 1 else 1 << (x.bit_length() - 1)
 
 
-def calibrated_gram_coarse(n_pixels: int, p: int, gate: bool = True) -> int:
+def _pow2_divisor(x: int) -> int:
+    """Largest power of two DIVIDING x (x >= 1)."""
+    return x & -x
+
+
+def calibrated_gram_coarse(n_pixels: int, p: int, gate: bool = True,
+                           max_k: int = 64) -> int:
     """Largest seed-robust gram decimation factor for this problem size.
 
     Two measured regimes (docs/ARCHITECTURE.md §5, cfg4_sweep.jsonl):
@@ -212,14 +218,26 @@ def calibrated_gram_coarse(n_pixels: int, p: int, gate: bool = True) -> int:
     (N < 512 p) the strided rule can never clear k = 2 (N/256p < 2), so
     the gate path simply disables decimation there. Turbo (gate=False)
     relaxes the jittered floor to 16 p; both cap at the measured k = 64.
+
+    ``max_k`` caps the factor (presets pass the largest power of two
+    dividing block_cols so the result always satisfies the streaming
+    path's divisibility requirement). When the cap forces the gate path
+    below the jittered floor of 16, it falls back to the alias-limited
+    STRIDED rule (needs 256 columns per retained sample) instead of the
+    jittered one, preserving the measured parity contract.
     """
+    cap = min(64, _pow2_at_most(max_k))
     if not gate:
-        return min(_pow2_at_most(n_pixels // (16 * p)), 64)
-    k = min(_pow2_at_most(n_pixels // (32 * p)), 64)
-    return k if k >= 16 else 1
+        return max(1, min(_pow2_at_most(n_pixels // (16 * p)), cap))
+    k = min(_pow2_at_most(n_pixels // (32 * p)), cap)
+    if k >= 16:
+        return k
+    # jittered regime unreachable (small N, or a block_cols cap below 16):
+    # the strided estimator is safe only at >=256 columns per sample
+    return max(1, min(_pow2_at_most(n_pixels // (256 * p)), cap))
 
 
-def calibrated_sinkhorn_coarse(n_pixels: int, p: int) -> int:
+def calibrated_sinkhorn_coarse(n_pixels: int, p: int, max_k: int = 64) -> int:
     """Largest Sinkhorn decimation factor assuming one full-res polish.
 
     The decimated fixed point needs ~32 columns per sample (headline recipe:
@@ -227,9 +245,11 @@ def calibrated_sinkhorn_coarse(n_pixels: int, p: int) -> int:
     contracted under the gate by ONE full-resolution polish iteration
     (cfg4_sweep.jsonl: 0.007-0.053 dB across seeds). Without polish the same
     factor measures ~0.3 dB; callers must pair k_s > 1 with polish >= 1 for
-    parity-grade output.
+    parity-grade output. ``max_k`` caps the factor (presets pass the
+    largest power of two dividing block_cols — divisibility contract).
     """
-    return min(_pow2_at_most(n_pixels // (32 * p)), 64)
+    cap = min(64, _pow2_at_most(max_k))
+    return max(1, min(_pow2_at_most(n_pixels // (32 * p)), cap))
 
 
 def tuned_config(cfg: PipelineConfig, n_pixels: int, level: str = "fast",
@@ -274,10 +294,14 @@ def tuned_config(cfg: PipelineConfig, n_pixels: int, level: str = "fast",
                       gram_coarse=1,
                       sinkhorn_iters=max(cfg.sinkhorn_iters, 10))
     elif cfg.streaming:
+        # decimation factors must divide the active column-block width —
+        # cap them at block_cols' largest power-of-two divisor so a preset
+        # can never produce a config the streaming path rejects
+        kb = _pow2_divisor(cfg.block_cols)
         chosen = dict(affinity_dtype="bfloat16", use_pallas=True,
                       gram_coarse=calibrated_gram_coarse(
-                          n_pixels, p, gate=(level == "fast")))
-        k_s = calibrated_sinkhorn_coarse(n_pixels, p)
+                          n_pixels, p, gate=(level == "fast"), max_k=kb))
+        k_s = calibrated_sinkhorn_coarse(n_pixels, p, max_k=kb)
         if k_s > 1:
             chosen.update(sinkhorn_coarse=k_s, sinkhorn_iters=6,
                           sinkhorn_polish=1 if level == "fast" else 0)

@@ -119,6 +119,56 @@ def test_cli_preset_fast(tmp_path, capsys):
     assert "sinkhorn=4x1" in capsys.readouterr().out
 
 
+def test_tuned_config_clamps_decimation_to_block_cols():
+    # regression (ADVICE r2): a valid non-power-of-two block width used to
+    # inherit 8 MP-calibrated factors (sc64/gc64) that fail the streaming
+    # path's divisibility check. 100000 = 2^5 * 3125 -> factors cap at 32.
+    base = PipelineConfig(kernel="nlm", sample_cap=4096, streaming=True,
+                          block_cols=100_000)
+    cfg = tuned_config(base, MP8, "fast")
+    assert cfg.block_cols % cfg.sinkhorn_coarse == 0
+    assert cfg.block_cols % cfg.gram_coarse == 0
+    assert cfg.sinkhorn_coarse == 32 and cfg.gram_coarse == 32
+    # turbo takes the same cap
+    cfg = tuned_config(base, MP8, "turbo")
+    assert cfg.block_cols % cfg.gram_coarse == 0
+
+    # a cap below the jittered floor (pow2 divisor 8) falls back to the
+    # strided estimator, which IS measured-safe at gc8 (the old headline)
+    cfg = tuned_config(base.replace(block_cols=131_064), MP8, "fast")
+    assert cfg.gram_coarse == 8 and cfg.sinkhorn_coarse == 8
+
+    # an odd block width disables decimation entirely rather than erroring
+    cfg = tuned_config(base.replace(block_cols=99_999), MP8, "fast")
+    assert cfg.sinkhorn_coarse == 1 and cfg.gram_coarse == 1
+
+
+def test_cli_feasibility_uses_preset_dtype(tmp_path, capsys, monkeypatch):
+    # regression (ADVICE r2): the dense-feasibility auto-switch used to run
+    # BEFORE the preset, sizing the strip at f32 — an image that fits only
+    # in the preset's bfloat16_store strip was forced onto streaming.
+    from graphlap_tpu import make_test_image, save_image
+    from graphlap_tpu.models import pipeline as pl
+    path = str(tmp_path / "in.png")
+    save_image(path, make_test_image(64, 64))
+    # p=123, N=4096: f32 strip 2.0 MB, bf16_store strip 1.0 MB — pin the
+    # limit between the two so only the preset's dtype fits
+    monkeypatch.setattr(pl, "DENSE_STRIP_BYTES_LIMIT", 1.5e6)
+    rc = cli_main(["-f", path, "-grayscale", "-cpu", "-kernel", "nlm",
+                   "-sample", "0.03", "-eigvals", "16",
+                   "-preset", "fast", "-noise", "0.1"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "auto-enabling -streaming" not in out
+    assert "preset fast: dtype=bfloat16_store" in out
+
+    # without a preset the f32 strip is over the limit -> streaming switch
+    rc = cli_main(["-f", path, "-grayscale", "-cpu", "-kernel", "nlm",
+                   "-sample", "0.03", "-eigvals", "16", "-noise", "0.1"])
+    assert rc == 0
+    assert "auto-enabling -streaming" in capsys.readouterr().out
+
+
 def test_tuned_config_exact_restores_converged_sinkhorn():
     fast = tuned_config(PipelineConfig(streaming=True, sample_cap=4096),
                         MP8, "fast")
