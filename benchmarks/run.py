@@ -17,8 +17,14 @@ import os
 import time
 from pathlib import Path
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      str(Path(__file__).parent.parent / ".jax_cache"))
+# jax is pre-imported at interpreter startup on this box (a .pth
+# hook), so JAX_* env mutations here are no-ops — only the config
+# API takes effect (same trap as JAX_PLATFORMS; CLAUDE.md)
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  str(Path(__file__).parent.parent / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
 import numpy as np
 
@@ -280,7 +286,14 @@ def run_row(name, cfg, clean, image):
     mp = n * channels / 1e6
 
     staged_timings = None
-    if not cfg.streaming and max(image.shape[:2]) <= 1024 and image.ndim == 2:
+    want_staged = (
+        (cfg.streaming and (image.ndim == 2 or cfg.rgb_mode == "per_channel"))
+        or (not cfg.streaming and image.ndim == 2
+            and max(image.shape[:2]) <= 1024))
+    if want_staged:
+        # streaming rows report normalize/eigensolve/filter walls from the
+        # staged jits (graded eigensolve metric); dense rows the 4-stage
+        # split. Two runs: the first pays stage compiles.
         s = gl.filter_image_staged(image, cfg, plan=plan)
         s = gl.filter_image_staged(image, cfg, plan=plan)
         staged_timings = {k: round(v, 4) for k, v in s.timings.items()}
@@ -382,6 +395,14 @@ def run_video_row(name, cfg, frames, frames_per_step=None, n_runs=3,
             dwalls.append(time.perf_counter() - t0)
         dev_mps = round((fps * frames[0].size / 1e6) / min(dwalls), 4)
 
+    # graded eigensolve wall, attributed on ONE frame through the staged
+    # single-image jits (the batched step fuses everything)
+    staged = None
+    if cfg.streaming:
+        st_res = gl.filter_image_staged(frames[0], cfg, plan=plan)
+        st_res = gl.filter_image_staged(frames[0], cfg, plan=plan)
+        staged = {k: round(v, 4) for k, v in st_res.timings.items()}
+
     h, w = frames.shape[1:]
     clean = [gl.make_test_image(h, w, seed=s) for s in range(b)]
     rec = {
@@ -390,6 +411,7 @@ def run_video_row(name, cfg, frames, frames_per_step=None, n_runs=3,
         "p": plan.p, "m": cfg.num_eigvecs, "config_hash": cfg.config_hash(),
         "wall_s": round(wall, 4), "mp_per_s": round(mp / wall, 4),
         "device_mp_per_s": dev_mps,
+        "staged_timings_per_frame_s": staged,
         "frames_per_step": fps, "single_bar_frames": nb,
         "single_image_path_mp_per_s": round(mp / single_wall, 4),
         "batch_speedup_vs_single": round(single_wall / wall, 3),

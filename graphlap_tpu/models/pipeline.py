@@ -56,10 +56,14 @@ def _solve_basis(waa, wab, cfg: PipelineConfig):
     return nystrom_eigh(waa, wab, cfg.num_eigvecs, cfg.eig_tol)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def _filter_channel(img2d: jnp.ndarray, idx_a: jnp.ndarray, perm: jnp.ndarray,
-                    inv_perm: jnp.ndarray, cfg: PipelineConfig):
-    """One grayscale channel through the full pipeline. Returns (z2d, vals)."""
+def _filter_channel_impl(img2d: jnp.ndarray, idx_a: jnp.ndarray,
+                         perm: jnp.ndarray, inv_perm: jnp.ndarray,
+                         cfg: PipelineConfig):
+    """One grayscale channel through the full pipeline. Returns (z2d, vals).
+
+    Unjitted — the library calls the jitted ``_filter_channel`` below;
+    ``__graft_entry__.entry`` closes over this impl so the driver can jit
+    the flagship graph itself."""
     if cfg.streaming:
         from .streaming import filter_channel_streaming
         return filter_channel_streaming(img2d, idx_a, perm, inv_perm, cfg)
@@ -73,6 +77,10 @@ def _filter_channel(img2d: jnp.ndarray, idx_a: jnp.ndarray, perm: jnp.ndarray,
         y_perm, basis.vals, basis.vecs, cfg.filter_name, cfg.filter_param)
     z = jnp.take(z_perm, inv_perm).reshape(img2d.shape)
     return jnp.clip(z, 0.0, 1.0), basis.vals
+
+
+_filter_channel = partial(jax.jit, static_argnames=("cfg",))(
+    _filter_channel_impl)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -279,6 +287,45 @@ def compute_basis(image: np.ndarray, cfg: PipelineConfig,
     return np.stack(vals), np.stack(vecs)
 
 
+def _filter_streaming_staged(image: np.ndarray, cfg: PipelineConfig,
+                             plan: SamplePlan) -> FilterResult:
+    """Streaming path with per-stage walls (the graded eigensolve wall for
+    cfg3/4/5-class rows). Three jits per channel: normalization scales
+    ("normalize" — the Sinkhorn wall, affinity tiles recomputed inside),
+    Nystrom factor ("eigensolve" — gram + p x p solve + colstats), and the
+    O(N m) apply ("filter"). The staged split rebuilds the strip context
+    per stage, so the FUSED filter_image wall stays the headline; these
+    walls are for attribution."""
+    from .streaming import (stage_apply_streaming, stage_factor_streaming,
+                            stage_scales_streaming)
+
+    idx_a = jnp.asarray(plan.idx_a)
+    h, w = image.shape[:2]
+    timings = {k: 0.0 for k in ("normalize", "eigensolve", "filter")}
+    channels = [image] if image.ndim == 2 else [
+        image[..., c] for c in range(image.shape[-1])]
+    outs, all_vals = [], []
+    for ch in channels:
+        img2d = jnp.asarray(ch, jnp.float32)
+        t0 = time.perf_counter()
+        s = jax.block_until_ready(stage_scales_streaming(img2d, idx_a, cfg))
+        t1 = time.perf_counter()
+        fac = jax.block_until_ready(
+            stage_factor_streaming(img2d, idx_a, s, cfg))
+        t2 = time.perf_counter()
+        z, vals = jax.block_until_ready(
+            stage_apply_streaming(fac, idx_a, cfg, h, w))
+        t3 = time.perf_counter()
+        timings["normalize"] += t1 - t0
+        timings["eigensolve"] += t2 - t1
+        timings["filter"] += t3 - t2
+        outs.append(np.asarray(z))
+        all_vals.append(np.asarray(vals))
+    out = outs[0] if image.ndim == 2 else np.stack(outs, axis=-1)
+    vals = all_vals[0] if image.ndim == 2 else np.stack(all_vals)
+    return FilterResult(image=out, eigvals=vals, timings=timings)
+
+
 def filter_image_staged(image: np.ndarray, cfg: PipelineConfig,
                         plan: SamplePlan | None = None) -> FilterResult:
     """Like filter_image but per-stage timed (one channel at a time).
@@ -293,8 +340,10 @@ def filter_image_staged(image: np.ndarray, cfg: PipelineConfig,
     check_dense_feasible(cfg, plan)
 
     if cfg.streaming:
-        # streaming fuses all stages into one scan-heavy program; per-stage
-        # walls don't exist — report the end-to-end wall as one entry
+        if image.ndim == 2 or cfg.rgb_mode == "per_channel":
+            return _filter_streaming_staged(image, cfg, plan)
+        # luma_basis fuses the shared-basis + per-channel applies into one
+        # program; report the end-to-end wall as one entry
         t0 = time.perf_counter()
         res = filter_image(image, cfg, plan=plan)
         wall = time.perf_counter() - t0

@@ -21,7 +21,7 @@ the p-sized results back — everything N-sized is a contiguous mask.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import NamedTuple
 
 import jax
@@ -51,7 +51,7 @@ def _cdiv(a: int, b: int) -> int:
 GRAM_JITTER_MIN = 16
 
 
-def gram_sample_idx(n_pad: int, k: int) -> np.ndarray:
+def gram_sample_idx(n_pad: int, k: int, seed: int = 0) -> np.ndarray:
     """Static column-sample indices for the coarse gram (one per k-slot).
 
     k < 16: plain stride (best measured parity at shallow decimation).
@@ -61,16 +61,18 @@ def gram_sample_idx(n_pad: int, k: int) -> np.ndarray:
     between them — measured ~10x worse top-m eigenvalue error at k=16,
     max relerr 0.30 vs 0.026 at 512², seed-swept) while the jittered
     sample's error stays flat through k=32 on the real 8 MP benchmark
-    (cfg4_sweep.jsonl jit_* rows). Offsets are a fixed seeded draw so the
-    plan is deterministic and compile-time static; indices land in the
-    zero padding at worst, where the column scales are zero too (exact
-    no-op). Low-discrepancy and antithetic offset schemes measured
-    indistinguishable from plain random.
+    (cfg4_sweep.jsonl jit_* rows). Offsets are a seeded draw
+    (cfg.gram_jitter_seed, default 0) so the plan is deterministic and
+    compile-time static; indices land in the zero padding at worst, where
+    the column scales are zero too (exact no-op). Low-discrepancy and
+    antithetic offset schemes measured indistinguishable from plain
+    random; cross-JITTER-SEED robustness at 8 MP is recorded in
+    cfg4_sweep.jsonl (jseed_* rows).
     """
     slots = np.arange(0, n_pad, k)[: n_pad // k]
     if k < GRAM_JITTER_MIN:
         return slots.astype(np.int32)
-    off = np.random.default_rng(0).integers(0, k, n_pad // k)
+    off = np.random.default_rng(seed).integers(0, k, n_pad // k)
     return (slots + off).astype(np.int32)
 
 
@@ -102,9 +104,37 @@ class StreamFactor(NamedTuple):
 _V_BYTES_CAP = 6e9
 
 
-def _factor_streaming(img2d: jnp.ndarray, idx_a: jnp.ndarray,
-                      cfg: PipelineConfig) -> StreamFactor:
-    """Affinity -> normalization -> Nystrom eigensolve, strip-free."""
+class _StripCtx(NamedTuple):
+    """Trace-time context shared by the normalization and eigensolve halves
+    of the streaming factor: features, masks, the exact (p, p) block, and
+    the strip-product closures (Pallas or XLA-scan). Built by _strip_ctx at
+    Python level — cheap to rebuild per jit (the setup ops are O(Nd) pads
+    the compiler fuses), which is what lets the staged benchmarking path
+    wall-clock normalize/eigensolve separately without duplicating any of
+    the factor logic."""
+
+    n: int
+    p: int
+    n_pad: int
+    block: int
+    dtype: object
+    idx_a: jnp.ndarray
+    feats_a: jnp.ndarray
+    feats_pad: jnp.ndarray
+    valid: jnp.ndarray
+    b_mask: jnp.ndarray
+    ones_p: jnp.ndarray
+    kaa: jnp.ndarray
+    kaa_solve: object
+    strip_matvec: object
+    strip_rmatvec: object
+    ktilde_apply: object
+    fa_pad: jnp.ndarray | None     # Pallas-tiled A features (else None)
+    f_t: jnp.ndarray | None        # Pallas-tiled transposed features
+
+
+def _strip_ctx(img2d: jnp.ndarray, idx_a: jnp.ndarray,
+               cfg: PipelineConfig) -> _StripCtx:
     h, w = img2d.shape
     n = h * w
     p = idx_a.shape[0]
@@ -126,6 +156,7 @@ def _factor_streaming(img2d: jnp.ndarray, idx_a: jnp.ndarray,
     kaa = affinity_strip(feats_a, feats_a, dtype)     # exact (p, p)
     kaa_solve = _make_kaa_solve(kaa, cfg.eig_tol, cfg.solver)
 
+    fa_pad = f_t = None
     if cfg.use_pallas:
         # fused Pallas matvecs: K tiles live only in VMEM; the transposed
         # feature matrix is built once and reused across every pass
@@ -163,7 +194,23 @@ def _factor_streaming(img2d: jnp.ndarray, idx_a: jnp.ndarray,
         bottom = strip_rmatvec(t) * b_mask
         return bottom.at[idx_a].set(top)              # p scatter
 
-    # --- normalization (streaming Sinkhorn / symmetric) ---
+    return _StripCtx(n=n, p=p, n_pad=n_pad, block=block, dtype=dtype,
+                     idx_a=idx_a, feats_a=feats_a, feats_pad=feats_pad,
+                     valid=valid, b_mask=b_mask, ones_p=ones_p, kaa=kaa,
+                     kaa_solve=kaa_solve, strip_matvec=strip_matvec,
+                     strip_rmatvec=strip_rmatvec, ktilde_apply=ktilde_apply,
+                     fa_pad=fa_pad, f_t=f_t)
+
+
+def _normalize_streaming(ctx: _StripCtx, cfg: PipelineConfig) -> jnp.ndarray:
+    """Streaming Sinkhorn / symmetric normalization -> column scales s
+    (n_pad,), zero on padding."""
+    idx_a, feats_a, feats_pad = ctx.idx_a, ctx.feats_a, ctx.feats_pad
+    p, block, dtype = ctx.p, ctx.block, ctx.dtype
+    valid, b_mask, ones_p = ctx.valid, ctx.b_mask, ctx.ones_p
+    kaa, kaa_solve, ktilde_apply = ctx.kaa, ctx.kaa_solve, ctx.ktilde_apply
+    n_pad = ctx.n_pad
+
     if cfg.normalization == "sinkhorn" and cfg.sinkhorn_coarse > 1:
         # Alternating Sinkhorn iterated entirely through p-sized state
         # against a decimated column subset (ops/streaming.py
@@ -232,10 +279,19 @@ def _factor_streaming(img2d: jnp.ndarray, idx_a: jnp.ndarray,
         s = jax.lax.rsqrt(ks) * valid
     else:
         s = valid
+    return s
+
+
+def _eigensolve_streaming(img2d: jnp.ndarray, ctx: _StripCtx, s: jnp.ndarray,
+                          cfg: PipelineConfig) -> StreamFactor:
+    """Nystrom eigensolve (streaming cross) + colstats from the scales."""
+    idx_a, feats_a, feats_pad = ctx.idx_a, ctx.feats_a, ctx.feats_pad
+    n, p, n_pad, block, dtype = ctx.n, ctx.p, ctx.n_pad, ctx.block, ctx.dtype
+    b_mask, kaa, fa_pad, f_t = ctx.b_mask, ctx.kaa, ctx.fa_pad, ctx.f_t
+
     s_a = jnp.take(s, idx_a)
     s_b_cols = s * b_mask                             # 0 on A columns + pads
 
-    # --- Nystrom eigensolve (streaming cross) ---
     waa = kaa * (s_a[:, None] * s_a[None, :])
 
     def stream_gram(cols, blk, jidx):
@@ -262,7 +318,7 @@ def _factor_streaming(img2d: jnp.ndarray, idx_a: jnp.ndarray,
         kg = cfg.gram_coarse
         if block % kg != 0:
             raise ValueError("gram_coarse must divide block_cols")
-        jidx = jnp.asarray(gram_sample_idx(n_pad, kg))
+        jidx = jnp.asarray(gram_sample_idx(n_pad, kg, cfg.gram_jitter_seed))
         cols_g = jnp.take(s_b_cols, jidx)
         ratio_g = (jnp.sum(s_b_cols * s_b_cols)
                    / jnp.maximum(jnp.sum(cols_g * cols_g), _EPS))
@@ -306,6 +362,37 @@ def _factor_streaming(img2d: jnp.ndarray, idx_a: jnp.ndarray,
                         v_b=v_b, n=n, block=block)
 
 
+def _factor_streaming(img2d: jnp.ndarray, idx_a: jnp.ndarray,
+                      cfg: PipelineConfig) -> StreamFactor:
+    """Affinity -> normalization -> Nystrom eigensolve, strip-free."""
+    ctx = _strip_ctx(img2d, idx_a, cfg)
+    s = _normalize_streaming(ctx, cfg)
+    return _eigensolve_streaming(img2d, ctx, s, cfg)
+
+
+def _apply_factor(fac: StreamFactor, idx_a: jnp.ndarray,
+                  cfg: PipelineConfig, h: int, w: int):
+    """Spectral filter applied through the factor (no N x m array unless
+    the colstats pass already materialized fac.v_b). Returns (z2d, vals)."""
+    dtype = jnp.bfloat16 if cfg.affinity_dtype == "bfloat16" else jnp.float32
+    filt = FILTER_REGISTRY[cfg.filter_name]
+    fvals = filt.fn(fac.vals, cfg.filter_param)
+    g = (fvals - 1.0) if filt.affine else fvals
+    wvec = fac.scale * g * fac.coeffs                 # (m,)
+
+    z_a = fac.v_a @ wvec
+    if fac.v_b is not None:
+        z_full = fac.v_b @ wvec                       # one skinny GEMM
+    else:
+        z_full = st.rmat_apply(fac.feats_a, fac.feats_pad, fac.basis0, wvec,
+                               fac.s_a, fac.s_b_cols, fac.block, dtype)
+    z_full = z_full.at[idx_a].set(z_a)                # p scatter
+    if filt.affine:
+        z_full = z_full + fac.y_pad
+    z = z_full[:fac.n].reshape(h, w)                  # natural order: no
+    return jnp.clip(z, 0.0, 1.0), fac.vals            # un-permute gather
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def filter_channel_streaming(img2d: jnp.ndarray, idx_a: jnp.ndarray,
                              perm: jnp.ndarray, inv_perm: jnp.ndarray,
@@ -313,27 +400,51 @@ def filter_channel_streaming(img2d: jnp.ndarray, idx_a: jnp.ndarray,
     """One grayscale channel, strip-free. Returns (z2d, vals)."""
     h, w = img2d.shape
     fac = _factor_streaming(img2d, idx_a, cfg)
-    vals_m, basis0, v_a, scale, coeffs = (
-        fac.vals, fac.basis0, fac.v_a, fac.scale, fac.coeffs)
-    dtype = jnp.bfloat16 if cfg.affinity_dtype == "bfloat16" else jnp.float32
+    return _apply_factor(fac, idx_a, cfg, h, w)
 
-    # --- spectral filter, applied through the factor (no N x m array) ---
-    filt = FILTER_REGISTRY[cfg.filter_name]
-    fvals = filt.fn(vals_m, cfg.filter_param)
-    g = (fvals - 1.0) if filt.affine else fvals
-    wvec = scale * g * coeffs                         # (m,)
 
-    z_a = v_a @ wvec
-    if fac.v_b is not None:
-        z_full = fac.v_b @ wvec                       # one skinny GEMM
-    else:
-        z_full = st.rmat_apply(fac.feats_a, fac.feats_pad, basis0, wvec,
-                               fac.s_a, fac.s_b_cols, fac.block, dtype)
-    z_full = z_full.at[idx_a].set(z_a)                # p scatter
-    if filt.affine:
-        z_full = z_full + fac.y_pad
-    z = z_full[:fac.n].reshape(h, w)                  # natural order: no
-    return jnp.clip(z, 0.0, 1.0), vals_m              # un-permute gather
+# ---------------------------------------------------------------------------
+# staged variants: separate jits so the graded eigensolve wall can be
+# recorded for STREAMING configs too (the fused path collapses all stages
+# into one program). The context (features, kaa, Pallas tilings) is rebuilt
+# per stage — cheap O(Nd)/O(p^2 d) setup — so sum(stage walls) runs a hair
+# over the fused wall; the fused wall stays the headline number. Affinity
+# has no separate stage here BY DESIGN: tiles are recomputed inside every
+# pass (that is the streaming trade), so its cost is spread across the
+# normalize/eigensolve walls.
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg",))
+def stage_scales_streaming(img2d, idx_a, cfg: PipelineConfig):
+    """Stage 1: normalization scales s (n_pad,) — the Sinkhorn wall."""
+    return _normalize_streaming(_strip_ctx(img2d, idx_a, cfg), cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def stage_factor_streaming(img2d, idx_a, s, cfg: PipelineConfig):
+    """Stage 2: Nystrom eigensolve (gram + p x p factor + colstats)."""
+    return _eigensolve_streaming(img2d, _strip_ctx(img2d, idx_a, cfg), s, cfg)
+
+
+def stage_apply_streaming(fac: StreamFactor, idx_a, cfg: PipelineConfig,
+                          h: int, w: int):
+    """Stage 3: the O(N m) filter apply. ``fac`` may come from the
+    stage_factor_streaming jit boundary, where its static int fields
+    (n, block) arrive as 0-d arrays — they are re-pinned here so the
+    reshape/slice shapes stay compile-time static."""
+    n = h * w
+    fac = fac._replace(n=n, block=min(cfg.block_cols, n))
+    fn = _stage_apply_jit(cfg, fac.n, fac.block, h, w)
+    return fn(tuple(fac[:11]), idx_a)
+
+
+@lru_cache(maxsize=32)
+def _stage_apply_jit(cfg: PipelineConfig, n: int, block: int, h: int, w: int):
+    @jax.jit
+    def run(fac_arrays, idx_a):
+        fac = StreamFactor(*fac_arrays, n=n, block=block)
+        return _apply_factor(fac, idx_a, cfg, h, w)
+    return run
 
 
 @partial(jax.jit, static_argnames=("cfg",))

