@@ -23,8 +23,14 @@ import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent.parent))   # tests.oracle
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      str(Path(__file__).parent.parent / ".jax_cache"))
+# jax is pre-imported at interpreter startup on this box (a .pth
+# hook), so JAX_* env mutations here are no-ops — only the config
+# API takes effect (same trap as JAX_PLATFORMS; CLAUDE.md)
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  str(Path(__file__).parent.parent / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
 import numpy as np
 

@@ -1,0 +1,180 @@
+"""Output-QUALITY tuning sweep: pick kernel/filter parameters that make the
+filter a good denoiser, not just a parity-exact one.
+
+The graded configs fix the pipeline *shape* (kernel family, sample budget,
+m) but not the bandwidths or the spectral filter parameters — those the
+reference thesis tunes by experiment, and so do we (VERDICT r2 item 1:
+cfg1's stock recipe gained +0.09 dB, which no thesis defense survives).
+
+Design: the eigenbasis depends only on (kernel, h, spatial_h, sampling) —
+NOT on the spectral filter — so each (h, spatial_h) point computes ONE
+basis and replays every filter family through it at O(N m)
+(utils/checkpoint.filter_with_basis). Appends one JSON row per
+(basis, filter) pair to benchmarks/results/quality_sweep.jsonl.
+
+Usage:
+    python benchmarks/tune_quality.py cfg1          # 128^2 Gaussian family
+    python benchmarks/tune_quality.py cfg1_nlm      # 128^2 NLM comparison
+    python benchmarks/tune_quality.py cfg2_small    # 256^2 NLM (CPU-fast h trend)
+    python benchmarks/tune_quality.py cfg2 --tpu    # 512^2 NLM validation
+    python benchmarks/tune_quality.py sigma         # sigma-sweep at tuned recipes
+
+CPU by default (128^2/256^2 compile+run in seconds there; the remote-TPU
+tunnel pays minutes of compile per config). --tpu for the real-shape rows.
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import json
+import os
+import time
+from pathlib import Path
+
+# jax is pre-imported at interpreter startup on this box (a .pth
+# hook), so JAX_* env mutations here are no-ops — only the config
+# API takes effect (same trap as JAX_PLATFORMS; CLAUDE.md)
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  str(Path(__file__).parent.parent / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+
+import numpy as np
+
+RESULTS = Path(__file__).parent / "results" / "quality_sweep.jsonl"
+
+# filter families worth replaying per basis (name, param)
+FILTERS = [
+    ("identity", 1.0),
+    ("power", 2.0), ("power", 3.0), ("power", 5.0),
+    ("exp_decay", 1.0), ("exp_decay", 2.0), ("exp_decay", 4.0),
+    ("lowpass", 1.0),
+    ("twicing", 2.0),
+]
+
+
+def sweep_point(tag, clean, noisy, cfg, m_values=(50,), filters=FILTERS):
+    """One (kernel, h, spatial_h) basis; replay every filter through it."""
+    import graphlap_tpu as gl
+    from graphlap_tpu.models.pipeline import compute_basis, make_plan
+    from graphlap_tpu.utils.checkpoint import SavedBasis, filter_with_basis
+
+    plan = make_plan(noisy, cfg)
+    t0 = time.perf_counter()
+    vals, vecs = compute_basis(noisy, cfg, plan)
+    basis_wall = time.perf_counter() - t0
+    rows = []
+    for m in m_values:
+        basis = SavedBasis(vals=vals[..., :m], vecs=vecs[..., :m],
+                           perm=plan.perm, inv_perm=plan.inv_perm,
+                           height=plan.height, width=plan.width,
+                           config_hash=cfg.config_hash())
+        for fname, fparam in filters:
+            out = filter_with_basis(noisy, basis, fname, fparam)
+            rec = {
+                "tag": tag, "kernel": cfg.kernel, "h": cfg.h,
+                "spatial_h": cfg.spatial_h, "sample_mode": cfg.sample_mode,
+                "p": plan.p, "m": m, "filter": fname, "param": fparam,
+                "psnr_in": round(gl.psnr(clean, noisy), 3),
+                "psnr_out": round(gl.psnr(clean, out), 3),
+                "ssim_out": round(gl.ssim(clean, out), 4),
+                "basis_wall_s": round(basis_wall, 2),
+                "ts": time.time(),
+            }
+            rec["gain_db"] = round(rec["psnr_out"] - rec["psnr_in"], 3)
+            rows.append(rec)
+            with RESULTS.open("a") as f:
+                f.write(json.dumps(rec) + "\n")
+            print(json.dumps(rec))
+    return rows
+
+
+def sweep_cfg1():
+    """128^2 Gaussian-kernel family (BASELINE config 1 shape, sigma=0.1)."""
+    import graphlap_tpu as gl
+    clean = gl.make_test_image(128, 128)
+    noisy = np.clip(gl.add_gaussian_noise(clean, 0.1, seed=1), 0, 1)
+    base = gl.CONFIG1
+    for h, sh in itertools.product((0.08, 0.12, 0.18, 0.25, 0.3, 0.45),
+                                   (0.0, 4.0, 8.0, 16.0, 32.0)):
+        sweep_point("cfg1", clean, noisy, base.replace(h=h, spatial_h=sh))
+
+
+def sweep_cfg1_nlm():
+    """Same 128^2 image through the NLM kernel (config-2 family) — the
+    cross-kernel comparison that motivates kernel advice in the docs."""
+    import graphlap_tpu as gl
+    clean = gl.make_test_image(128, 128)
+    noisy = np.clip(gl.add_gaussian_noise(clean, 0.1, seed=1), 0, 1)
+    base = gl.CONFIG1.replace(kernel="nlm", patch_size=5)
+    for h, sh in itertools.product((0.08, 0.12, 0.15, 0.2, 0.3),
+                                   (0.0, 8.0, 16.0)):
+        sweep_point("cfg1_nlm", clean, noisy, base.replace(h=h, spatial_h=sh))
+
+
+def sweep_cfg2_small():
+    """256^2 NLM h/spatial trend (CPU-feasible stand-in for cfg2)."""
+    import graphlap_tpu as gl
+    clean = gl.make_test_image(256, 256)
+    noisy = np.clip(gl.add_gaussian_noise(clean, 0.1, seed=1), 0, 1)
+    base = gl.CONFIG2
+    for h, sh in itertools.product((0.1, 0.15, 0.2, 0.25, 0.35),
+                                   (0.0, 8.0, 16.0, 32.0)):
+        sweep_point("cfg2_256", clean, noisy, base.replace(h=h, spatial_h=sh))
+
+
+def sweep_cfg2():
+    """512^2 NLM validation at the real cfg2 shape (run with --tpu)."""
+    import graphlap_tpu as gl
+    clean = gl.make_test_image(512, 512)
+    noisy = np.clip(gl.add_gaussian_noise(clean, 0.1, seed=1), 0, 1)
+    base = gl.CONFIG2.replace(use_pallas=True, affinity_dtype="bfloat16_store",
+                              sinkhorn_iters=10)
+    # h grid from the 256^2 CPU trend (small-h lowpass won there) plus the
+    # 128^2 sigma-rule candidates (large-h lowpass won THERE) — the
+    # lowpass/h interplay is size-dependent, so both ends run at the real
+    # cfg2 shape
+    for h, sh in [(0.1, 0.0), (0.15, 0.0), (0.2, 0.0), (0.25, 0.0),
+                  (0.5, 0.0), (0.15, 32.0)]:
+        sweep_point("cfg2_512", clean, noisy, base.replace(h=h, spatial_h=sh))
+
+
+def sweep_sigma():
+    """Noise-level sweep at the tuned recipes: calibrates the h(sigma) rule
+    (config.denoise_tuned). Images at sigma in {0.05, 0.1, 0.2}."""
+    import graphlap_tpu as gl
+    clean = gl.make_test_image(128, 128)
+    for sigma in (0.05, 0.1, 0.15, 0.2):
+        noisy = np.clip(gl.add_gaussian_noise(clean, sigma, seed=1), 0, 1)
+        for kernel in ("gaussian", "nlm"):
+            base = (gl.CONFIG1 if kernel == "gaussian"
+                    else gl.CONFIG1.replace(kernel="nlm", patch_size=5))
+            for hmul in (1.0, 1.5, 2.0, 2.6, 3.5, 5.0):
+                for sh in ((8.0, 16.0) if kernel == "gaussian" else (0.0,)):
+                    sweep_point(f"sigma_{sigma}", clean, noisy,
+                                base.replace(h=hmul * sigma, spatial_h=sh))
+
+
+SWEEPS = {"cfg1": sweep_cfg1, "cfg1_nlm": sweep_cfg1_nlm,
+          "cfg2_small": sweep_cfg2_small, "cfg2": sweep_cfg2,
+          "sigma": sweep_sigma}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sweeps", nargs="+", choices=list(SWEEPS))
+    ap.add_argument("--tpu", action="store_true",
+                    help="run on the TPU backend (default: force CPU)")
+    args = ap.parse_args()
+    if not args.tpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    RESULTS.parent.mkdir(parents=True, exist_ok=True)
+    for s in args.sweeps:
+        SWEEPS[s]()
+
+
+if __name__ == "__main__":
+    main()

@@ -14,16 +14,18 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
-
 import jax  # noqa: E402
 
 # The axon TPU plugin on this box ignores the JAX_PLATFORMS env var; the
 # config API is the only thing that actually forces the CPU backend.
 jax.config.update("jax_platforms", "cpu")
 
-# cache every compile across runs
+# cache every compile across runs. NB: jax is PRE-IMPORTED at interpreter
+# startup on this box (a .pth hook), so the JAX_COMPILATION_CACHE_DIR env
+# var set from Python is a silent no-op — only the config API works (the
+# same trap as JAX_PLATFORMS).
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
 import numpy as np  # noqa: E402
