@@ -18,9 +18,10 @@ import jax as _jax
 # with f32 MXU accumulation.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
-from .config import PipelineConfig, CONFIG1, CONFIG2, CONFIG3, tuned_config
+from .config import (PipelineConfig, CONFIG1, CONFIG2, CONFIG3,
+                     denoise_tuned, tuned_config)
 from .io import load_image, save_image, add_gaussian_noise, make_test_image
-from .metrics import psnr, ssim
+from .metrics import estimate_noise_sigma, psnr, ssim
 from .models.pipeline import (
     FilterResult,
     compute_basis,
@@ -37,6 +38,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "PipelineConfig", "CONFIG1", "CONFIG2", "CONFIG3", "tuned_config",
+    "denoise_tuned", "estimate_noise_sigma",
     "load_image", "save_image", "add_gaussian_noise", "make_test_image",
     "psnr", "ssim",
     "FilterResult", "filter_image", "filter_image_staged", "make_plan",

@@ -119,6 +119,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "measured); 'turbo' = max single-chip speed (~0.3 dB"
                         " documented). Explicit precision/decimation flags "
                         "override the preset")
+    p.add_argument("-tune_denoise", action="store_true",
+                   help="set the kernel bandwidths from the noise level "
+                        "(h = 2 sigma + bilateral for gaussian, 1.5 sigma "
+                        "for nlm — the measured quality calibration, "
+                        "config.denoise_tuned). sigma = -noise when given, "
+                        "else estimated from the image (wavelet-MAD, "
+                        "metrics.estimate_noise_sigma). Explicit -h_param/"
+                        "-spatial_h flags win")
     p.add_argument("-noise", type=float, default=0.0,
                    help="experiment mode: add Gaussian noise of this std "
                         "before filtering and report PSNR vs the clean input")
@@ -174,6 +182,8 @@ _PRESET_GUARDED_FLAGS = {
     "sinkhorn_iters": ("sinkhorn_iters",),
     "sinkhorn_coarse": ("sinkhorn_coarse",),
     "sinkhorn_polish": ("sinkhorn_polish",), "gram_coarse": ("gram_coarse",),
+    # guarded against -tune_denoise (not presets, which leave them alone)
+    "h_param": ("h",), "spatial_h": ("spatial_h",),
 }
 
 
@@ -231,6 +241,14 @@ def main(argv=None) -> int:
     image = clean
     if args.noise > 0:
         image = np.clip(gl.add_gaussian_noise(clean, args.noise, args.seed), 0, 1)
+
+    if args.tune_denoise:
+        from graphlap_tpu.config import denoise_tuned
+        from graphlap_tpu.metrics import estimate_noise_sigma
+        sigma = args.noise if args.noise > 0 else estimate_noise_sigma(image)
+        cfg = denoise_tuned(cfg, sigma, keep=_explicit_fields(argv))
+        print(f"tune_denoise: sigma={sigma:.4f} -> h={cfg.h:.3f} "
+              f"spatial_h={cfg.spatial_h:.1f}")
 
     if args.load_basis:
         from graphlap_tpu.utils.checkpoint import filter_with_basis, load_basis

@@ -63,6 +63,15 @@ class PipelineConfig:
                                      # ~0.1 dB off the exact trajectory at
                                      # 8 MP; polish pulls it back under the
                                      # gate at a fraction of full-res cost)
+    gram_jitter_seed: int = 0        # seed of the jittered coarse-gram
+                                     # column sample (models/streaming.
+                                     # gram_sample_idx, active at
+                                     # gram_coarse >= 16). Cross-seed
+                                     # spread at 8 MP is measured in
+                                     # cfg4_sweep.jsonl (jseed_* rows);
+                                     # exposed so deployments can re-draw
+                                     # if an image aligns badly with one
+                                     # draw
     gram_coarse: int = 1             # streaming only: >1 estimates the
                                      # O(Np^2) one-shot cross W_AB W_AB^T
                                      # (the single-chip cost king: 2.18 s of
@@ -316,13 +325,42 @@ def tuned_config(cfg: PipelineConfig, n_pixels: int, level: str = "fast",
     return cfg.replace(**{k: v for k, v in chosen.items() if k not in keep})
 
 
-# The driver's graded configs (BASELINE.md table).
+def denoise_tuned(cfg: PipelineConfig, sigma: float,
+                  keep: frozenset | set = frozenset()) -> PipelineConfig:
+    """Noise-sigma-aware kernel bandwidths, from the measured quality
+    calibration (benchmarks/tune_quality.py sigma sweep, 648 rows across
+    sigma in {0.05..0.2} x both kernels x filter families — results in
+    benchmarks/results/quality_sweep.jsonl):
+
+    * gaussian: the pure photometric kernel barely denoises (+0.09 dB at
+      the round-2 defaults) — the BILATERAL form is the lever. h = 2.0 sigma
+      + spatial_h = 8 px is the cross-sigma optimum (within 0.05 dB of the
+      per-sigma best at every tested sigma; +5.1 dB at sigma=0.1/128^2).
+    * nlm: h = 1.5 sigma, no spatial term (patches localize already);
+      +6.5 dB at the cfg2 shape (512^2, sigma=0.1) with the identity
+      filter, vs +2.5 dB at the old h=0.25. (A rank-m 'lowpass' projection
+      with the same basis reaches +8.0 dB — pick it via filter_name.)
+
+    Bandwidth floors keep the kernel non-degenerate on clean images.
+    Fields named in ``keep`` are left untouched (CLI: explicit flags win).
+    """
+    if cfg.kernel == "gaussian":
+        chosen = dict(h=max(2.0 * sigma, 0.08), spatial_h=8.0)
+    else:
+        chosen = dict(h=max(1.5 * sigma, 0.05))
+    return cfg.replace(**{k: v for k, v in chosen.items() if k not in keep})
+
+
+# The driver's graded configs (BASELINE.md table). Bandwidths are the
+# denoise_tuned() optima at the graded noise level sigma=0.1 (round-3
+# quality calibration; the old CONFIG1 h=0.3/spatial_h=0 gained +0.09 dB,
+# these gain +5.1/+6.5 dB on the graded shapes at identical runtime class).
 CONFIG1 = PipelineConfig(
-    kernel="gaussian", h=0.3, sample_rho=0.01, num_eigvecs=50,
+    kernel="gaussian", h=0.2, spatial_h=8.0, sample_rho=0.01, num_eigvecs=50,
     normalization="sinkhorn", sinkhorn_iters=20, filter_name="identity",
 )
 CONFIG2 = PipelineConfig(
-    kernel="nlm", patch_size=5, h=0.25, sample_rho=0.02, num_eigvecs=50,
+    kernel="nlm", patch_size=5, h=0.15, sample_rho=0.02, num_eigvecs=50,
     normalization="sinkhorn", sinkhorn_iters=20, filter_name="identity",
 )
 CONFIG3 = PipelineConfig(

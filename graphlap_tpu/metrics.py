@@ -58,3 +58,23 @@ def ssim(ref: np.ndarray, test: np.ndarray, data_range: float = 1.0,
     num = (2 * mu_x * mu_y + c1) * (2 * cov + c2)
     den = (mu_x**2 + mu_y**2 + c1) * (var_x + var_y + c2)
     return float(np.mean(num / den))
+
+def estimate_noise_sigma(img: np.ndarray) -> float:
+    """Robust noise-std estimate from the Haar diagonal-detail band.
+
+    For i.i.d. Gaussian noise, HH = (a - b - c + d)/2 over 2x2 blocks is
+    ~N(signal_hf, sigma^2); the median absolute deviation divided by the
+    normal consistency constant 0.6745 rejects the sparse signal
+    high-frequency outliers (Donoho & Johnstone's wavelet-domain MAD rule).
+    Drives the sigma-aware denoise_tuned defaults (config.py) when the
+    noise level is not known a priori; multi-channel images average the
+    per-channel estimates. Accuracy test: tests/test_io_metrics.py.
+    """
+    img = np.asarray(img, dtype=np.float64)
+    if img.ndim == 3:
+        return float(np.mean([estimate_noise_sigma(img[..., c])
+                              for c in range(img.shape[-1])]))
+    h2, w2 = (img.shape[0] // 2) * 2, (img.shape[1] // 2) * 2
+    v = img[:h2, :w2]
+    hh = 0.5 * (v[0::2, 0::2] - v[0::2, 1::2] - v[1::2, 0::2] + v[1::2, 1::2])
+    return float(np.median(np.abs(hh)) / 0.6745)

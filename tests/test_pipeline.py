@@ -137,9 +137,11 @@ def test_golden_regression(gate128):
     img, noisy = gate128
     res = filter_image(noisy, CONFIG1)
     out_psnr = psnr(img, res.image)
-    # frozen from the first verified run (oracle-parity-checked); loose
-    # enough for backend/XLA-version drift, tight enough to catch bugs
-    assert abs(out_psnr - 20.30) < 0.2, out_psnr
+    # frozen from the round-3 verified run of the quality-tuned CONFIG1
+    # (bilateral h=0.2/spatial_h=8: 25.36 dB vs the noisy 20.25, oracle-
+    # parity-checked); loose enough for backend/XLA-version drift, tight
+    # enough to catch bugs
+    assert abs(out_psnr - 25.36) < 0.2, out_psnr
     assert abs(float(res.eigvals[0]) - 1.0) < 5e-3
 
 
