@@ -49,6 +49,16 @@ def main(argv=None):
     ap.add_argument("--block_cols", type=int, default=65536)
     ap.add_argument("--dtype", default="bfloat16",
                     choices=("float32", "bfloat16"))
+    ap.add_argument("--use_pallas", action="store_true",
+                    help="fused Pallas strip kernels (auto-interpret on CPU)")
+    ap.add_argument("--sinkhorn_coarse", type=int, default=1)
+    ap.add_argument("--sinkhorn_polish", type=int, default=0)
+    ap.add_argument("--gram_coarse", type=int, default=1)
+    ap.add_argument("--preset", default=None,
+                    choices=("exact", "fast", "turbo"),
+                    help="derive the measured production recipe from (N, p) "
+                         "(config.tuned_config); explicit flags above are "
+                         "overridden by it — pass either, not both")
     ap.add_argument("--n_data", type=int, default=None,
                     help="mesh data-axis size (default: #processes)")
     ap.add_argument("--cpu_devices", type=int, default=0,
@@ -85,10 +95,16 @@ def main(argv=None):
                                 num_eigvecs=args.eigvals,
                                 sinkhorn_iters=args.sinkhorn_iters,
                                 affinity_dtype=args.dtype,
-                                streaming=True, block_cols=args.block_cols)
+                                streaming=True, block_cols=args.block_cols,
+                                use_pallas=args.use_pallas,
+                                sinkhorn_coarse=args.sinkhorn_coarse,
+                                sinkhorn_polish=args.sinkhorn_polish,
+                                gram_coarse=args.gram_coarse)
         from graphlap_tpu.parallel.streaming_sharded import (
             filter_image_multihost)
         image = np.load(args.image)
+        if args.preset:
+            cfg = gl.tuned_config(cfg, image.size, args.preset)
         mesh = make_mesh(n_data=1, n_rows=len(jax.devices()))
         out, _ = filter_image_multihost(image, cfg, mesh)
         if jax.process_index() == 0:
@@ -110,7 +126,13 @@ def main(argv=None):
                             sinkhorn_iters=args.sinkhorn_iters,
                             affinity_dtype=args.dtype,
                             streaming=args.streaming,
-                            block_cols=args.block_cols)
+                            block_cols=args.block_cols,
+                            use_pallas=args.use_pallas,
+                            sinkhorn_coarse=args.sinkhorn_coarse,
+                            sinkhorn_polish=args.sinkhorn_polish,
+                            gram_coarse=args.gram_coarse)
+    if args.preset:
+        cfg = gl.tuned_config(cfg, frames[0].size, args.preset)
     n_data = args.n_data or nproc
     mesh = make_mesh(n_data=n_data,
                      n_rows=len(jax.devices()) // n_data)
