@@ -199,7 +199,8 @@ def build_streaming_sharded(mesh, cfg: PipelineConfig):
             kg = cfg.gram_coarse
             if block % kg != 0:
                 raise ValueError("gram_coarse must divide block_cols")
-            jidx = jnp.asarray(gram_sample_idx(n_pad, kg))
+            jidx = jnp.asarray(gram_sample_idx(n_pad, kg,
+                                               cfg.gram_jitter_seed))
             feats_g = shard(jnp.take(feats_pad, jidx, axis=0), mesh,
                             "rows", None)
             cols_g = jnp.take(s_b_cols, jidx)
@@ -498,7 +499,8 @@ def build_streaming_sharded_batch(mesh, cfg: PipelineConfig):
             kg = cfg.gram_coarse
             if block % kg != 0:
                 raise ValueError("gram_coarse must divide block_cols")
-            jidx = jnp.asarray(gram_sample_idx(n_pad, kg))
+            jidx = jnp.asarray(gram_sample_idx(n_pad, kg,
+                                               cfg.gram_jitter_seed))
             feats_g = shard(jnp.take(feats_pad, jidx, axis=1), mesh,
                             "data", "rows", None)
             cols_g = jnp.take(s_b_cols, jidx, axis=1)
