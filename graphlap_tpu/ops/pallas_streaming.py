@@ -269,3 +269,105 @@ def rmatvec_pallas(feats_a_pad, feats_t, t, interpret: bool | None = None,
         interpret=interpret,
     )(feats_a_pad, feats_t, t.astype(dtype).reshape(1, p_pad))
     return out[0]
+
+
+M_PAD = 128
+
+
+def _colstats_kernel(a_ref, b_ref, c_ref, g_ref, y_ref,
+                     v_ref, ns_ref, co_ref, *, np_tiles):
+    j, i = pl.program_id(0), pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        v_ref[:] = jnp.zeros_like(v_ref)
+
+    kb = _kb_tile(a_ref[:], b_ref[:], a_ref.dtype) * c_ref[:].astype(
+        a_ref.dtype)
+    prec = "default" if kb.dtype == jnp.bfloat16 else "highest"
+    v_ref[:] += jnp.dot(kb.T, g_ref[:].astype(kb.dtype),
+                        preferred_element_type=jnp.float32, precision=prec)
+
+    @pl.when(i == np_tiles - 1)
+    def _():
+        vb = v_ref[:]                                  # (tn, M_PAD) f32
+        ns = jnp.sum(vb * vb, axis=0, keepdims=True)
+        co = jnp.dot(y_ref[:], vb, preferred_element_type=jnp.float32,
+                     precision="highest")              # (1, M_PAD)
+
+        @pl.when(j == 0)
+        def _():
+            ns_ref[:] = ns
+            co_ref[:] = co
+
+        @pl.when(j > 0)
+        def _():
+            ns_ref[:] += ns
+            co_ref[:] += co
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def colstats_v_pallas(feats_a_pad, f_t, gr, y, cols,
+                      interpret: bool | None = None):
+    """Fused colstats+V pass: ((p_pad, D), (D, n_pad), (p_pad, M_PAD) f32,
+    (n_pad,) f32, (n_pad,)) -> (V (n_pad, M_PAD) f32, norms (M_PAD,),
+    coeffs (M_PAD,)).
+
+    V_j = (c_j k_j)^T gr per column tile with the kernel tile living only
+    in VMEM (distance-GEMM -> exp -> scale -> second GEMM fused), plus the
+    column sq-norms and V^T y folded in the same pass — the XLA scan twin
+    is ops/streaming.rmatmat_colstats_v. ``gr`` carries the row scale
+    folded in and m zero-padded to M_PAD columns (zero columns stay
+    exactly zero through both GEMMs). A/B vs the XLA scan measured at
+    8 MP in benchmarks/colstats_ab.py — this pass is VPU(exp)/MXU-bound,
+    so the win rides on skipping the kb HBM round-trip XLA already avoids
+    by fusion; keep whichever measures faster.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    p_pad = feats_a_pad.shape[0]
+    n_pad = f_t.shape[1]
+    dtype = feats_a_pad.dtype
+    tp = _emit_tile_p(p_pad)
+    tn = EMIT_TN
+    np_tiles = p_pad // tp
+    grid = (n_pad // tn, np_tiles)
+    kernel = functools.partial(_colstats_kernel, np_tiles=np_tiles)
+    v, ns, co = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tp, D_PAD), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D_PAD, tn), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tp, M_PAD), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tn, M_PAD), lambda j, i: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M_PAD), lambda j, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M_PAD), lambda j, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, M_PAD), jnp.float32),
+            jax.ShapeDtypeStruct((1, M_PAD), jnp.float32),
+            jax.ShapeDtypeStruct((1, M_PAD), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * p_pad * n_pad * (D_PAD + M_PAD),
+            bytes_accessed=(p_pad + n_pad) * D_PAD * dtype.itemsize
+            + 4 * n_pad * (M_PAD + 2) + 4 * p_pad * M_PAD,
+            transcendentals=p_pad * n_pad,
+        ),
+        interpret=interpret,
+    )(feats_a_pad, f_t, cols.astype(dtype).reshape(1, n_pad), gr,
+      y.astype(jnp.float32).reshape(1, n_pad))
+    return v, ns[0], co[0]

@@ -60,3 +60,38 @@ def test_pipeline_with_pallas_flag(feats):
     a = filter_image(img, cfg)
     b = filter_image(img, cfg.replace(use_pallas=True))
     np.testing.assert_allclose(a.image, b.image, atol=1e-4)
+
+
+def test_colstats_v_pallas_matches_xla():
+    """Fused colstats+V kernel == the XLA scan twin (interpret mode)."""
+    import jax.numpy as jnp
+
+    from graphlap_tpu.ops import pallas_streaming as pst
+    from graphlap_tpu.ops import streaming as st
+
+    rng = np.random.default_rng(3)
+    p, n_pad, d, m, block = 512, 2048, 25, 20, 512
+    feats_a = jnp.asarray(rng.normal(size=(p, d)).astype(np.float32))
+    feats_pad = jnp.asarray(rng.normal(size=(n_pad, d)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(p, m)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(n_pad,)).astype(np.float32))
+    rs = jnp.asarray(rng.uniform(0.5, 1.5, p).astype(np.float32))
+    cs = jnp.asarray(rng.uniform(0.0, 1.5, n_pad).astype(np.float32))
+
+    norms_x, coeffs_x, v_x = st.rmatmat_colstats_v(
+        feats_a, feats_pad, g, y, rs, cs, block, jnp.float32)
+
+    _, p_pad = pst.p_tiling(p)
+    fa_pad = jnp.zeros((p_pad, pst.D_PAD), jnp.float32).at[:p, :d].set(feats_a)
+    f_t = jnp.zeros((pst.D_PAD, n_pad), jnp.float32).at[:d, :].set(feats_pad.T)
+    gr = (jnp.zeros((p_pad, pst.M_PAD), jnp.float32)
+          .at[:p, :m].set(g * rs[:, None]))
+    v_p, ns_p, co_p = pst.colstats_v_pallas(fa_pad, f_t, gr, y, cs)
+
+    np.testing.assert_allclose(np.asarray(v_p[:, :m]), np.asarray(v_x),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ns_p[:m]), np.asarray(norms_x),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(co_p[:m]), np.asarray(coeffs_x),
+                               rtol=1e-4, atol=1e-4)
+    assert float(jnp.abs(v_p[:, m:]).max()) == 0.0    # pad columns exact 0
