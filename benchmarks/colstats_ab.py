@@ -70,12 +70,26 @@ def main():
                          .at[:d, :].set(feats_pad.astype(dtype).T))
     gr = jax.device_put(jnp.zeros((p_pad, pst.M_PAD), jnp.float32)
                         .at[:p, :m].set(g * rs[:, None]))
-    w_pal = wall(pst.colstats_v_pallas, fa_pad, f_t, gr, y, cs)
+    na = jax.device_put(jnp.zeros(p_pad, jnp.float32)
+                        .at[:p].set(jnp.sum(feats_a * feats_a, axis=1)))
+    nb = jax.device_put(jnp.sum(feats_pad * feats_pad, axis=1))
+    # the 8 MP shape cannot hold both variants' V buffers at once — free
+    # the XLA-path feature rows before the Pallas wall
+    del feats_pad
+    w_pal = wall(pst.colstats_v_pallas, fa_pad, f_t, gr, y, cs, na, nb)
 
-    # sanity: same numbers (bf16 tile class)
-    nx, cx, vx = xla(feats_a, feats_pad, g, y, rs, cs)
-    vp, np_, cp = pst.colstats_v_pallas(fa_pad, f_t, gr, y, cs)
-    vdiff = float(jnp.abs(vp[: n_pad, :m] - vx).max())
+    # sanity at a smaller slice (full-shape correctness: the unit test
+    # tests/test_pallas.py::test_colstats_v_pallas_matches_xla)
+    ns_ = 1 << 20
+    fps = jax.device_put(jnp.asarray(
+        np.random.default_rng(1).normal(size=(ns_, d)).astype(np.float32)))
+    nx, cx, vx = xla(feats_a, fps, g, y[:ns_], rs, cs[:ns_])
+    fts = jnp.zeros((pst.D_PAD, ns_), dtype).at[:d, :].set(
+        fps.astype(dtype).T)
+    nbs = jnp.sum(fps * fps, axis=1)
+    vp, np_, cp = pst.colstats_v_pallas(fa_pad, fts, gr, y[:ns_], cs[:ns_],
+                                        na, nbs)
+    vdiff = float(jnp.abs(vp[:ns_, :m] - vx).max())
 
     rec = {"op": "colstats_ab_8mp", "p": p, "n_pad": n_pad, "m": m,
            "dtype": "bfloat16", "block": block,

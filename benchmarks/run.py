@@ -214,7 +214,7 @@ ROWS = {"1": row1, "2": row2, "3": row3, "3l": row3l, "4": row4, "4c": row4c,
 # per-video-row harness options: chunk size + timed passes (16x4K moves
 # ~0.5 GB through this box's remote-TPU tunnel per pass — keep passes low)
 VIDEO_ROWS = {"5": {}, "5s": {},
-              "5x": {"frames_per_step": 2, "n_runs": 2, "single_bar_frames": 4}}
+              "5x": {"frames_per_step": 2, "n_runs": 3, "single_bar_frames": 4}}
 
 
 def _grad_energy(img: np.ndarray) -> float:
@@ -359,6 +359,7 @@ def run_video_row(name, cfg, frames, frames_per_step=None, n_runs=3,
                               frames_per_step=fps)
         walls.append(time.perf_counter() - t0)
     wall = min(walls)
+    walls_sorted = sorted(walls)
     mp = frames.size / 1e6
 
     # the bar the batch must beat (VERDICT r1: batching must not subtract
@@ -410,6 +411,11 @@ def run_video_row(name, cfg, frames, frames_per_step=None, n_runs=3,
         "device": str(jax.devices()[0]), "shape": list(frames.shape),
         "p": plan.p, "m": cfg.num_eigvecs, "config_hash": cfg.config_hash(),
         "wall_s": round(wall, 4), "mp_per_s": round(mp / wall, 4),
+        # run-to-run spread: e2e walls on this box ride the remote-TPU
+        # tunnel, whose variance dominates (VERDICT r2 weak 5) — report
+        # min/median/max so no single draw overstates the batch effect
+        "wall_s_runs": [round(w, 4) for w in walls_sorted],
+        "wall_s_median": round(walls_sorted[len(walls_sorted) // 2], 4),
         "device_mp_per_s": dev_mps,
         "staged_timings_per_frame_s": staged,
         "frames_per_step": fps, "single_bar_frames": nb,

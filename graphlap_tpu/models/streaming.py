@@ -345,27 +345,19 @@ def _eigensolve_streaming(img2d: jnp.ndarray, ctx: _StripCtx, s: jnp.ndarray,
     y_a = jnp.take(y_pad, idx_a)
 
     if n_pad * m * 4 <= _V_BYTES_CAP:
-        if cfg.use_pallas:
-            # fused colstats+V kernel: the kernel tile lives only in VMEM
-            # (dist-GEMM -> exp -> scale -> second GEMM + stats in one
-            # pass) — measured 0.213 -> 0.164 s at 8 MP vs the XLA scan
-            # (benchmarks/colstats_ab.py). Lane padding: the kernel emits
-            # M_PAD=128 columns; the zero-padded basis columns stay
-            # exactly zero through both GEMMs, sliced off here.
-            from ..ops import pallas_streaming as pst
-            nk = f_t.shape[1]
-            gr = (jnp.zeros((fa_pad.shape[0], pst.M_PAD), jnp.float32)
-                  .at[:p, :m].set(basis0 * s_a[:, None]))
-            cols_k = jnp.zeros(nk, jnp.float32).at[:n_pad].set(s_b_cols)
-            y_k = jnp.zeros(nk, jnp.float32).at[:n_pad].set(y_pad)
-            v_full, norms_k, coeffs_k = pst.colstats_v_pallas(
-                fa_pad, f_t, gr, y_k, cols_k)
-            v_b = v_full[:n_pad, :m]
-            norms_b, coeffs_b = norms_k[:m], coeffs_k[:m]
-        else:
-            norms_b, coeffs_b, v_b = st.rmatmat_colstats_v(
-                feats_a, feats_pad, basis0, y_pad, s_a, s_b_cols, block,
-                dtype)
+        # Deliberately the XLA scan on BOTH paths — a fused Pallas
+        # colstats+V kernel (ops/pallas_streaming.colstats_v_pallas) was
+        # built and measured: the pass alone wins 0.214 -> 0.149 s at
+        # 8 MP (benchmarks/colstats_ab.py), but wiring it here measured
+        # the cfg4 SYSTEM wall 0.477 -> 0.50 s across two runs — the
+        # pallas_call's lane-padded (nk, 128) V buffer + the scheduling
+        # barrier it puts in XLA's otherwise fully-fused factor program
+        # cost more than the pass saves. The kernel + unit test + A/B
+        # harness stay in-tree as the recorded negative result
+        # (VERDICT r2 item 6; same lesson as the polish-fusion note
+        # above: XLA's schedule wins when the op has one consumer).
+        norms_b, coeffs_b, v_b = st.rmatmat_colstats_v(
+            feats_a, feats_pad, basis0, y_pad, s_a, s_b_cols, block, dtype)
     else:
         norms_b, coeffs_b = st.rmatmat_colstats(
             feats_a, feats_pad, basis0, y_pad, s_a, s_b_cols, block, dtype)

@@ -274,7 +274,7 @@ def rmatvec_pallas(feats_a_pad, feats_t, t, interpret: bool | None = None,
 M_PAD = 128
 
 
-def _colstats_kernel(a_ref, b_ref, c_ref, g_ref, y_ref,
+def _colstats_kernel(a_ref, b_ref, c_ref, g_ref, y_ref, na_ref, nb_ref,
                      v_ref, ns_ref, co_ref, *, np_tiles):
     j, i = pl.program_id(0), pl.program_id(1)
 
@@ -282,10 +282,21 @@ def _colstats_kernel(a_ref, b_ref, c_ref, g_ref, y_ref,
     def _():
         v_ref[:] = jnp.zeros_like(v_ref)
 
-    kb = _kb_tile(a_ref[:], b_ref[:], a_ref.dtype) * c_ref[:].astype(
-        a_ref.dtype)
-    prec = "default" if kb.dtype == jnp.bfloat16 else "highest"
-    v_ref[:] += jnp.dot(kb.T, g_ref[:].astype(kb.dtype),
+    # precision-faithful twin of ops/affinity.affinity_strip: the cross
+    # GEMM runs on the (possibly bf16) feature tiles, but the norms arrive
+    # PRECOMPUTED in f32 and the exp runs f32. (_kb_tile's all-bf16 tile
+    # is fine for the Sinkhorn matvecs/gram, but colstats feeds the OUTPUT
+    # coefficients directly: the all-bf16 variant measured 0.157 dB at
+    # 8 MP — over the gate — vs 0.03 dB for this one.) Zero-padded
+    # feature rows/cols produce garbage kb entries that are annihilated by
+    # the zero gr rows / col scales, exactly as in the XLA twin.
+    dtype = a_ref.dtype
+    prec = "default" if dtype == jnp.bfloat16 else "highest"
+    cross = jnp.dot(a_ref[:], b_ref[:], preferred_element_type=jnp.float32,
+                    precision=prec)
+    d2 = jnp.maximum(na_ref[:] + nb_ref[:] - 2.0 * cross, 0.0)
+    kb = jnp.exp(-d2).astype(dtype) * c_ref[:].astype(dtype)
+    v_ref[:] += jnp.dot(kb.T, g_ref[:].astype(dtype),
                         preferred_element_type=jnp.float32, precision=prec)
 
     @pl.when(i == np_tiles - 1)
@@ -307,21 +318,22 @@ def _colstats_kernel(a_ref, b_ref, c_ref, g_ref, y_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def colstats_v_pallas(feats_a_pad, f_t, gr, y, cols,
+def colstats_v_pallas(feats_a_pad, f_t, gr, y, cols, na, nb,
                       interpret: bool | None = None):
     """Fused colstats+V pass: ((p_pad, D), (D, n_pad), (p_pad, M_PAD) f32,
-    (n_pad,) f32, (n_pad,)) -> (V (n_pad, M_PAD) f32, norms (M_PAD,),
-    coeffs (M_PAD,)).
+    (n_pad,) f32, (n_pad,), (p_pad,) f32, (n_pad,) f32) ->
+    (V (n_pad, M_PAD) f32, norms (M_PAD,), coeffs (M_PAD,)).
 
     V_j = (c_j k_j)^T gr per column tile with the kernel tile living only
     in VMEM (distance-GEMM -> exp -> scale -> second GEMM fused), plus the
     column sq-norms and V^T y folded in the same pass — the XLA scan twin
-    is ops/streaming.rmatmat_colstats_v. ``gr`` carries the row scale
-    folded in and m zero-padded to M_PAD columns (zero columns stay
-    exactly zero through both GEMMs). A/B vs the XLA scan measured at
-    8 MP in benchmarks/colstats_ab.py — this pass is VPU(exp)/MXU-bound,
-    so the win rides on skipping the kb HBM round-trip XLA already avoids
-    by fusion; keep whichever measures faster.
+    is ops/streaming.rmatmat_colstats_v. Reuses the SAME (possibly bf16)
+    feature tilings as the matvec kernels; ``na``/``nb`` are the f32
+    squared feature norms so the distance follows affinity_strip's
+    precision policy exactly (bf16 GEMM inputs only; norms + exp in f32).
+    ``gr`` carries the row scale folded in and m zero-padded to M_PAD
+    columns (zero columns stay exactly zero through both GEMMs). A/B vs
+    the XLA scan at 8 MP: benchmarks/colstats_ab.py.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -347,6 +359,10 @@ def colstats_v_pallas(feats_a_pad, f_t, gr, y, cols,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tn), lambda j, i: (0, j),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((tp, 1), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((tn, M_PAD), lambda j, i: (j, 0),
@@ -364,10 +380,12 @@ def colstats_v_pallas(feats_a_pad, f_t, gr, y, cols,
         cost_estimate=pl.CostEstimate(
             flops=2 * p_pad * n_pad * (D_PAD + M_PAD),
             bytes_accessed=(p_pad + n_pad) * D_PAD * dtype.itemsize
-            + 4 * n_pad * (M_PAD + 2) + 4 * p_pad * M_PAD,
+            + 4 * n_pad * (M_PAD + 3) + 4 * p_pad * (M_PAD + 1),
             transcendentals=p_pad * n_pad,
         ),
         interpret=interpret,
     )(feats_a_pad, f_t, cols.astype(dtype).reshape(1, n_pad), gr,
-      y.astype(jnp.float32).reshape(1, n_pad))
+      y.astype(jnp.float32).reshape(1, n_pad),
+      na.astype(jnp.float32).reshape(p_pad, 1),
+      nb.astype(jnp.float32).reshape(1, n_pad))
     return v, ns[0], co[0]

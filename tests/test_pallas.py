@@ -63,7 +63,8 @@ def test_pipeline_with_pallas_flag(feats):
 
 
 def test_colstats_v_pallas_matches_xla():
-    """Fused colstats+V kernel == the XLA scan twin (interpret mode)."""
+    """Fused colstats+V kernel == the XLA scan twin (interpret mode), in
+    both f32 and the bf16-GEMM-inputs-only precision policy."""
     import jax.numpy as jnp
 
     from graphlap_tpu.ops import pallas_streaming as pst
@@ -78,20 +79,26 @@ def test_colstats_v_pallas_matches_xla():
     rs = jnp.asarray(rng.uniform(0.5, 1.5, p).astype(np.float32))
     cs = jnp.asarray(rng.uniform(0.0, 1.5, n_pad).astype(np.float32))
 
-    norms_x, coeffs_x, v_x = st.rmatmat_colstats_v(
-        feats_a, feats_pad, g, y, rs, cs, block, jnp.float32)
-
     _, p_pad = pst.p_tiling(p)
-    fa_pad = jnp.zeros((p_pad, pst.D_PAD), jnp.float32).at[:p, :d].set(feats_a)
-    f_t = jnp.zeros((pst.D_PAD, n_pad), jnp.float32).at[:d, :].set(feats_pad.T)
     gr = (jnp.zeros((p_pad, pst.M_PAD), jnp.float32)
           .at[:p, :m].set(g * rs[:, None]))
-    v_p, ns_p, co_p = pst.colstats_v_pallas(fa_pad, f_t, gr, y, cs)
+    na = (jnp.zeros(p_pad, jnp.float32)
+          .at[:p].set(jnp.sum(feats_a * feats_a, axis=1)))
+    nb = jnp.sum(feats_pad * feats_pad, axis=1)
 
-    np.testing.assert_allclose(np.asarray(v_p[:, :m]), np.asarray(v_x),
-                               atol=1e-5)
-    np.testing.assert_allclose(np.asarray(ns_p[:m]), np.asarray(norms_x),
-                               rtol=1e-5)
-    np.testing.assert_allclose(np.asarray(co_p[:m]), np.asarray(coeffs_x),
-                               rtol=1e-4, atol=1e-4)
-    assert float(jnp.abs(v_p[:, m:]).max()) == 0.0    # pad columns exact 0
+    for dtype, atol in ((jnp.float32, 1e-5), (jnp.bfloat16, 2e-3)):
+        norms_x, coeffs_x, v_x = st.rmatmat_colstats_v(
+            feats_a, feats_pad, g, y, rs, cs, block, dtype)
+        fa_pad = (jnp.zeros((p_pad, pst.D_PAD), dtype)
+                  .at[:p, :d].set(feats_a.astype(dtype)))
+        f_t = (jnp.zeros((pst.D_PAD, n_pad), dtype)
+               .at[:d, :].set(feats_pad.astype(dtype).T))
+        v_p, ns_p, co_p = pst.colstats_v_pallas(fa_pad, f_t, gr, y, cs,
+                                                na, nb)
+        np.testing.assert_allclose(np.asarray(v_p[:, :m]), np.asarray(v_x),
+                                   atol=atol)
+        np.testing.assert_allclose(np.asarray(ns_p[:m]), np.asarray(norms_x),
+                                   rtol=100 * atol)
+        np.testing.assert_allclose(np.asarray(co_p[:m]), np.asarray(coeffs_x),
+                                   rtol=100 * atol, atol=10 * atol)
+        assert float(jnp.abs(v_p[:, m:]).max()) == 0.0   # pad cols exact 0
