@@ -141,6 +141,54 @@ def sweep_cfg2():
         sweep_point("cfg2_512", clean, noisy, base.replace(h=h, spatial_h=sh))
 
 
+def sweep_cfg3():
+    """Sharpening/enhancement quality (BASELINE config 3 family) at a
+    512^2 RGB stand-in: one luma basis, every sharpen/twicing parameter
+    replayed through it. 'Quality' for enhancement = faithful detail
+    boost: SSIM vs clean, PSNR vs clean, and the gradient-energy ratio vs
+    the CLEAN image (>1 = sharper than the original; the noisy input's
+    own gradient energy is noise-inflated, so it is a bad yardstick)."""
+    import graphlap_tpu as gl
+    from graphlap_tpu.models.pipeline import compute_basis, make_plan
+    from graphlap_tpu.utils.checkpoint import SavedBasis, filter_with_basis
+
+    clean = gl.make_test_image(512, 512, channels=3)
+    noisy = np.clip(gl.add_gaussian_noise(clean, 0.03, seed=3), 0, 1)
+
+    def grad_e(img):
+        gx = np.diff(img, axis=0)
+        gy = np.diff(img, axis=1)
+        return float((gx * gx).sum() + (gy * gy).sum())
+
+    ge_clean = grad_e(clean)
+    base = gl.CONFIG3.replace(rgb_mode="luma_basis", sample_cap=4096)
+    for h in (0.15, 0.25):
+        cfg = base.replace(h=h)
+        plan = make_plan(noisy, cfg)
+        vals, vecs = compute_basis(noisy, cfg, plan)
+        basis = SavedBasis(vals=vals, vecs=vecs, perm=plan.perm,
+                           inv_perm=plan.inv_perm, height=plan.height,
+                           width=plan.width, config_hash=cfg.config_hash())
+        for fname, params in (("sharpen", (0.3, 0.6, 1.0, 1.5, 2.5)),
+                              ("twicing", (2.0, 3.0, 5.0)),
+                              ("identity", (1.0,))):
+            for fp in params:
+                out = filter_with_basis(noisy, basis, fname, fp)
+                rec = {
+                    "tag": "cfg3_512_sharpen", "kernel": cfg.kernel,
+                    "h": h, "filter": fname, "param": fp, "p": plan.p,
+                    "psnr_in": round(gl.psnr(clean, noisy), 3),
+                    "psnr_out": round(gl.psnr(clean, out), 3),
+                    "ssim_in": round(gl.ssim(clean, noisy), 4),
+                    "ssim_out": round(gl.ssim(clean, out), 4),
+                    "grad_ratio_vs_clean": round(grad_e(out) / ge_clean, 4),
+                    "ts": time.time(),
+                }
+                with RESULTS.open("a") as f:
+                    f.write(json.dumps(rec) + "\n")
+                print(json.dumps(rec))
+
+
 def sweep_sigma():
     """Noise-level sweep at the tuned recipes: calibrates the h(sigma) rule
     (config.denoise_tuned). Images at sigma in {0.05, 0.1, 0.2}."""
@@ -159,7 +207,7 @@ def sweep_sigma():
 
 SWEEPS = {"cfg1": sweep_cfg1, "cfg1_nlm": sweep_cfg1_nlm,
           "cfg2_small": sweep_cfg2_small, "cfg2": sweep_cfg2,
-          "sigma": sweep_sigma}
+          "cfg3": sweep_cfg3, "sigma": sweep_sigma}
 
 
 def main():
