@@ -7,6 +7,7 @@ sweeps: N/k_g >= 256p for the gram decimation (gate), N/k_s >= 32p for
 the polished Sinkhorn decimation.
 """
 
+import numpy as np
 import pytest
 
 from graphlap_tpu.cli import main as cli_main
@@ -167,6 +168,26 @@ def test_cli_feasibility_uses_preset_dtype(tmp_path, capsys, monkeypatch):
                    "-sample", "0.03", "-eigvals", "16", "-noise", "0.1"])
     assert rc == 0
     assert "auto-enabling -streaming" in capsys.readouterr().out
+
+
+def test_tuned_config_divisibility_property():
+    # property form of the ADVICE-r2 clamp: for ANY block width and image
+    # size, the preset must hand back a config that passes the streaming
+    # path's divisibility checks and its own __post_init__ validation.
+    rng = np.random.default_rng(7)
+    widths = np.concatenate([
+        rng.integers(1, 300_000, size=60),       # arbitrary
+        np.array([1, 2, 3, 7, 64, 65_536, 99_991,            # primes/pow2
+                  2 ** 17, 2 ** 17 - 1, 2 ** 17 + 1]),
+    ])
+    sizes = [4_096, 262_144, MP8, 4 * MP8]
+    base = PipelineConfig(kernel="nlm", sample_cap=4096, streaming=True)
+    for bc in widths:
+        for n in sizes:
+            for level in ("fast", "turbo", "exact"):
+                cfg = tuned_config(base.replace(block_cols=int(bc)), n, level)
+                assert cfg.block_cols % cfg.sinkhorn_coarse == 0, (bc, n, level)
+                assert cfg.block_cols % cfg.gram_coarse == 0, (bc, n, level)
 
 
 def test_tuned_config_exact_restores_converged_sinkhorn():
