@@ -49,12 +49,13 @@ def make_workload(pallas: bool):
     #  * bfloat16_store: f32 distance math (bf16 GEMM INPUTS cost 0.135 dB
     #    via the GEMM-trick cancellation), strip STORED bf16 — halves every
     #    downstream strip read incl. the auto-bf16 cross GEMM [0.0001 dB];
-    #  * Sinkhorn 10 iterations — converged: 20 -> 10 moves the output by
-    #    0.0003 dB (reference used ~10-50 to convergence).
-    # Device wall 0.92 -> 0.31 s across these steps.
+    #  * Sinkhorn 8 iterations — 20 -> 10 moves the output by 0.0003 dB
+    #    (converged), 10 -> 8 by 0.0003-0.016 dB across 4 noise seeds
+    #    (cfg2_sweep.jsonl bf16_store_iters8* rows) for ~6% device wall.
+    # Device wall 0.92 -> 0.31 -> 0.29 s across these steps.
     # CPU baseline: plain jnp (pallas interpret mode would be unfairly slow).
     cfg = cfg.replace(use_pallas=pallas, affinity_dtype="bfloat16_store",
-                      sinkhorn_iters=10)
+                      sinkhorn_iters=8)
     img = gl.make_test_image(H, W)
     noisy = np.clip(gl.add_gaussian_noise(img, 0.1, seed=1), 0, 1)
     return gl, cfg, img, noisy

@@ -45,11 +45,11 @@ def row2():
     img = gl.make_test_image(512, 512)
     noisy = np.clip(gl.add_gaussian_noise(img, 0.1, seed=1), 0, 1)
     # production recipe: Pallas affinity emitter + bfloat16_store strip +
-    # converged 10-iter Sinkhorn (0.0003 dB vs the all-f32 20-iter
-    # reference, cfg2_sweep.jsonl)
+    # 8-iter Sinkhorn (0.0003-0.016 dB across 4 noise seeds vs the all-f32
+    # 20-iter reference, cfg2_sweep.jsonl bf16_store_iters8* rows)
     cfg = gl.CONFIG2.replace(use_pallas=True,
                              affinity_dtype="bfloat16_store",
-                             sinkhorn_iters=10)
+                             sinkhorn_iters=8)
     return "cfg2_512_nlm", cfg, img, noisy
 
 

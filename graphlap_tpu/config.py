@@ -272,8 +272,9 @@ def tuned_config(cfg: PipelineConfig, n_pixels: int, level: str = "fast",
     * ``"exact"`` — the all-f32 reference recipe (parity baseline): clears
       every accelerator.
     * ``"fast"`` — gate-compliant production recipe: dense path =
-      bfloat16_store strip + Pallas + converged 10-iteration Sinkhorn
-      (cfg2: 0.92 -> 0.31 s device at 0.0003 dB); streaming path = bf16
+      bfloat16_store strip + Pallas + 8-iteration Sinkhorn
+      (cfg2: 0.92 -> 0.29 s device at 0.0003-0.016 dB across 4 noise
+      seeds); streaming path = bf16
       tiles + Pallas + calibrated decimations with one full-res polish
       (cfg4: 17.0 -> 0.47 s device at 8 MP, 0.031-0.054 dB seed-swept).
       NB the dense path deliberately avoids plain "bfloat16" (its
@@ -281,9 +282,10 @@ def tuned_config(cfg: PipelineConfig, n_pixels: int, level: str = "fast",
       tiles are a different numeric path and measure 0.0014 dB at the
       384^2 oracle anchor and 0.0025 dB at 8 MP
       (benchmarks/results/parity_anchor.jsonl, cfg4_sweep.jsonl).
-    * ``"turbo"`` — max single-chip speed, documented ~0.3 dB from the
-      exact trajectory (streaming only differs from "fast": no polish,
-      relaxed gram decimation).
+    * ``"turbo"`` — max single-chip speed: streaming drops the polish and
+      relaxes gram decimation (documented ~0.3 dB from the exact
+      trajectory); dense drops Sinkhorn to 6 iterations (0.0026-0.051 dB,
+      still gate-compliant).
 
     Decimation factors are auto-calibrated from (N, p) by the cross-seed
     rules above, so small images degrade gracefully to no decimation
@@ -318,10 +320,16 @@ def tuned_config(cfg: PipelineConfig, n_pixels: int, level: str = "fast",
             chosen.update(sinkhorn_coarse=1, sinkhorn_polish=0,
                           sinkhorn_iters=min(cfg.sinkhorn_iters, 10))
     else:
-        # dense path: fast == turbo (bfloat16_store is already the measured
-        # optimum; decimations are streaming-only operators)
+        # dense path: bfloat16_store is the measured dtype optimum for both
+        # levels (decimations are streaming-only operators); they differ only
+        # in Sinkhorn depth. 8 iterations measure 0.0003-0.016 dB vs the
+        # converged f32 reference across 4 noise seeds for a ~6% device win
+        # over 10 (cfg2 0.313 -> 0.294 s); turbo's 6 iterations measure
+        # 0.0026-0.051 dB (2x under the gate) for another ~8%
+        # (benchmarks/results/cfg2_sweep.jsonl bf16_store_iters{8,6}* rows).
         chosen = dict(affinity_dtype="bfloat16_store", use_pallas=True,
-                      sinkhorn_iters=min(cfg.sinkhorn_iters, 10))
+                      sinkhorn_iters=min(cfg.sinkhorn_iters,
+                                         8 if level == "fast" else 6))
     return cfg.replace(**{k: v for k, v in chosen.items() if k not in keep})
 
 

@@ -48,10 +48,14 @@ def test_sinkhorn_calibration_matches_sweep():
 def test_tuned_config_dense_fast():
     cfg = tuned_config(CONFIG2, 512 * 512, "fast")
     assert cfg.affinity_dtype == "bfloat16_store"
-    assert cfg.use_pallas and cfg.sinkhorn_iters == 10
+    # 8 iters: 0.0003-0.016 dB seed-swept, ~6% device win over 10
+    # (cfg2_sweep.jsonl bf16_store_iters8* rows)
+    assert cfg.use_pallas and cfg.sinkhorn_iters == 8
     assert cfg.sinkhorn_coarse == 1 and cfg.gram_coarse == 1
-    # dense fast == dense turbo (bfloat16_store is the measured optimum)
-    assert tuned_config(CONFIG2, 512 * 512, "turbo") == cfg
+    # dense turbo differs only in Sinkhorn depth (6 iters, <=0.051 dB)
+    turbo = tuned_config(CONFIG2, 512 * 512, "turbo")
+    assert turbo.sinkhorn_iters == 6
+    assert turbo.replace(sinkhorn_iters=8) == cfg
 
 
 def test_tuned_config_streaming_fast_is_the_headline_recipe():
