@@ -32,14 +32,29 @@ import numpy as np
 RESULTS = Path(__file__).parent / "results" / "profile.jsonl"
 
 
+def _sync(out):
+    """4-byte scalar readback: on this box's remote 'axon' platform
+    block_until_ready returns BEFORE device completion (same trap bench.py's
+    device_only_wall works around) — reading one element is the only
+    reliable completion barrier. The first leaf suffices: ops execute in
+    dispatch order on the single stream."""
+    import jax.numpy as jnp
+
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    idx = tuple(slice(0, 1) for _ in range(leaf.ndim))
+    float(jnp.sum(leaf[idx].astype(jnp.float32)))
+
+
 def timed(fn, *args, reps=5):
-    out = jax.block_until_ready(fn(*args))        # warmup + compile
+    out = fn(*args)                               # warmup + compile
+    _sync(out)
     walls = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = jax.block_until_ready(fn(*args))
+        out = fn(*args)
+        _sync(out)
         walls.append(time.perf_counter() - t0)
-    return min(walls), out
+    return min(walls), jax.block_until_ready(out)
 
 
 def main():
@@ -72,6 +87,10 @@ def main():
     img_d = jax.device_put(jnp.asarray(noisy, jnp.float32))
     idx_a = jax.device_put(jnp.asarray(plan.idx_a))
     perm = jax.device_put(jnp.asarray(plan.perm))
+
+    # dispatch + scalar-readback constant every row below pays (tunnel RTT)
+    wall, _ = timed(jax.jit(lambda x: x + 1.0), jnp.ones((8, 128)))
+    rec("sync_overhead", wall, "tiny op + readback: the per-row floor")
 
     # --- stage 1: features + affinity strip -------------------------------
     feat_fn = jax.jit(lambda im: extract_features(im, cfg))

@@ -145,7 +145,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "(bf16 = large eigensolve speedup, near-zero PSNR "
                         "cost)")
     p.add_argument("-solver", default="lobpcg",
-                   choices=["lobpcg", "chol", "oneshot"],
+                   choices=["lobpcg", "chol", "oneshot", "sketch"],
                    help="eigensolver (see docs/ARCHITECTURE.md section 4)")
     p.add_argument("-streaming", action="store_true",
                    help="blockwise recompute path (big images, no K strip)")

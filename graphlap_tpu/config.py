@@ -18,7 +18,7 @@ from dataclasses import dataclass
 KERNELS = ("gaussian", "nlm")
 NORMALIZATIONS = ("sinkhorn", "symmetric", "none")
 FILTERS = ("identity", "power", "lowpass", "sharpen", "exp_decay", "twicing")
-SOLVERS = ("oneshot", "chol", "lobpcg")
+SOLVERS = ("oneshot", "chol", "lobpcg", "sketch")
 DTYPES = ("float32", "bfloat16")
 
 
@@ -94,8 +94,15 @@ class PipelineConfig:
                                    #   solve, O(p^2 m); falls back to the dense
                                    #   eigh when 5m >= p, so small problems are
                                    #   bit-identical to "chol") |
+                                   # "sketch" (randomized subspace iteration:
+                                   #   never forms the O(p^2 N) gram — thin
+                                   #   strip passes only; the dense fast-preset
+                                   #   solver, see ops/nystrom.py) |
                                    # "oneshot" (classical Fowlkes one-shot:
                                    #   3x eigh, truncated pinv)
+    sketch_oversample: int = 78    # sketch block k = m + oversample (128-lane
+                                   #   aligned at the default m=50)
+    sketch_power: int = 2          # subspace (power) iterations
 
     # --- spectral filter ---
     filter_name: str = "identity"  # see ops/filters.py registry
@@ -175,6 +182,10 @@ class PipelineConfig:
             raise ValueError("sinkhorn_polish must be >= 0")
         if self.lobpcg_iters < 1:
             raise ValueError("lobpcg_iters must be >= 1")
+        if self.sketch_oversample < 0:
+            raise ValueError("sketch_oversample must be >= 0")
+        if self.sketch_power < 0:
+            raise ValueError("sketch_power must be >= 0")
 
     def gram_gemm_dtype(self) -> str:
         """Resolved dtype of the dense one-shot cross GEMM."""

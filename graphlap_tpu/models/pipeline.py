@@ -47,6 +47,10 @@ def _solve_basis(waa, wab, cfg: PipelineConfig):
     """Nystrom eigensolve on the scaled blocks — the ONE place the solver
     selection / gram-dtype policy lives (fused, luma, and staged paths all
     route here so a stability-rule change cannot diverge them)."""
+    if cfg.solver == "sketch":
+        from ..ops.nystrom import nystrom_eigh_sketch
+        return nystrom_eigh_sketch(waa, wab, cfg.num_eigvecs, cfg.eig_tol,
+                                   cfg.sketch_oversample, cfg.sketch_power)
     if cfg.solver in ("chol", "lobpcg"):
         method = "lobpcg" if cfg.solver == "lobpcg" else "eigh"
         gdt = (jnp.bfloat16 if cfg.gram_gemm_dtype() == "bfloat16"

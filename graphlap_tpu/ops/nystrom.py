@@ -164,6 +164,100 @@ def nystrom_chol_factor(waa: jnp.ndarray, cross: jnp.ndarray, m: int,
     return vals_m, x
 
 
+# ---------------------------------------------------------------------------
+# Randomized sketch solver: top-m of M without forming G
+# ---------------------------------------------------------------------------
+#
+# The chol path above must materialize G = W_AA^2 + W_AB W_AB^T; its cross
+# GEMM is O(p^2 N) and measured at 88% of MXU peak at cfg2 (81 ms of the
+# 293 ms device wall, benchmarks/profile_dense.py) — at roofline, only
+# avoidable ALGORITHMICALLY. Randomized subspace iteration (Halko,
+# Martinsson & Tropp 2011) needs only M-applies on a (p, k) block with
+# k = m + oversample: each apply touches the strip twice as THIN passes,
+# O(p N k) — ~20x fewer FLOPs than the cross GEMM at cfg2's k=128 vs
+# p=5243. Kernel spectra decay fast, so 1-2 power iterations with a
+# 1.5-2.5x oversampled block capture the top-m subspace to parity-gate
+# accuracy (measured: see BASELINE.md cfg2 sketch row).
+#
+# Orthonormalization is CholeskyQR2, not Householder QR: two rounds of
+# (Gram GEMM + k x k Cholesky + triangular solve) are pure MXU work, while
+# jnp.linalg.qr's panel factorization is latency-bound on TPU. CholQR2
+# handles cond(Y) up to ~1e7 (Yamamoto et al. 2015); the relative ridge
+# guards the first-round Cholesky after power steps collapse the spectrum.
+
+
+def _cholqr2(y: jnp.ndarray, rel: float = 1e-7) -> jnp.ndarray:
+    import jax.scipy.linalg as jsl
+
+    k = y.shape[1]
+    for _ in range(2):
+        g = y.T @ y
+        g = 0.5 * (g + g.T)
+        eps = rel * jnp.max(jnp.diag(g))
+        r = jnp.linalg.cholesky(g + eps * jnp.eye(k, dtype=g.dtype))
+        y = jsl.solve_triangular(r, y.T, lower=True).T      # Y L^{-T}
+    return y
+
+
+def _strip_sandwich(wab: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """W_AB (W_AB^T t) — two thin strip passes, never a p x p product.
+
+    A bfloat16-stored strip runs native single-pass MXU GEMMs (f32
+    accumulate; rounding the thin f32 operands to bf16 is the same numeric
+    class as the bf16 cross GEMM, measured 1e-4 dB at cfg2). f32 strips
+    keep the package-wide HIGHEST contract."""
+    if wab.dtype == jnp.bfloat16:
+        u = jnp.dot(wab.T, t.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32, precision="default")
+        return jnp.dot(wab, u.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32, precision="default")
+    return wab @ (wab.T @ t)
+
+
+def nystrom_sketch_factor(waa: jnp.ndarray, wab: jnp.ndarray, m: int,
+                          eig_tol: float, oversample: int = 78,
+                          power: int = 2):
+    """(vals (m,), factor X (p, m)) with V = C X — drop-in for
+    nystrom_chol_factor's output contract, via randomized subspace
+    iteration on M = L^{-1} (W_AA^2 + W_AB W_AB^T) L^{-T}."""
+    import jax
+    import jax.scipy.linalg as jsl
+
+    p = waa.shape[0]
+    k = min(m + oversample, p)
+    eps = _ridge_eps(waa, eig_tol)
+    l = jnp.linalg.cholesky(waa + eps * jnp.eye(p, dtype=waa.dtype))
+
+    def m_apply(v):                                    # (p, k) -> M v
+        t = jsl.solve_triangular(l, v, lower=True, trans="T")
+        u = waa @ (waa @ t) + _strip_sandwich(wab, t)
+        return jsl.solve_triangular(l, u, lower=True)
+
+    y = m_apply(jax.random.normal(jax.random.PRNGKey(0), (p, k), waa.dtype))
+    for _ in range(power):
+        y = m_apply(_cholqr2(y))
+    q = _cholqr2(y)
+    b = q.T @ m_apply(q)                               # Rayleigh–Ritz (k, k)
+    b = 0.5 * (b + b.T)
+    vals, s = jnp.linalg.eigh(b)                       # ascending, k x k
+    vals_m = vals[::-1][:m]
+    y_m = q @ s[:, ::-1][:, :m]                        # Ritz vectors of M
+    inv_sqrt = trunc_inv_sqrt_vals(vals_m, eig_tol)
+    x = jsl.solve_triangular(l, y_m * inv_sqrt[None, :],
+                             lower=True, trans="T")
+    return vals_m, x
+
+
+def nystrom_eigh_sketch(waa: jnp.ndarray, wab: jnp.ndarray, m: int,
+                        eig_tol: float, oversample: int = 78,
+                        power: int = 2) -> EigenBasis:
+    vals_m, x = nystrom_sketch_factor(waa, wab, m, eig_tol, oversample,
+                                      power)
+    v_a = waa @ x
+    v_b = wab.T @ x
+    return EigenBasis(vals=vals_m, vecs=jnp.concatenate([v_a, v_b], axis=0))
+
+
 def _cross_gemm(wab: jnp.ndarray, gemm_dtype) -> jnp.ndarray:
     """W_AB W_AB^T with optional bf16 inputs (f32 accumulate, 1 MXU pass;
     ~6x the f32-HIGHEST rate). The ~4e-3 relative input rounding perturbs

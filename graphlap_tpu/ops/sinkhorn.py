@@ -37,7 +37,7 @@ def _make_kaa_solve(kaa, eig_tol: float, solver: str):
     The chol form skips one O(p^3) eigh — the dominant TPU cost at p ~ 5k
     (see ops/nystrom.py chol notes). eps is relative to the max row sum.
     """
-    if solver in ("chol", "lobpcg"):
+    if solver in ("chol", "lobpcg", "sketch"):
         import jax.scipy.linalg as jsl
         eps = eig_tol * jnp.max(jnp.sum(jnp.abs(kaa), axis=1))
         l = jnp.linalg.cholesky(kaa + eps * jnp.eye(kaa.shape[0], dtype=kaa.dtype))
@@ -47,7 +47,7 @@ def _make_kaa_solve(kaa, eig_tol: float, solver: str):
 
 
 def _make_kaa_solve_np(kaa, eig_tol: float, solver: str):
-    if solver in ("chol", "lobpcg"):
+    if solver in ("chol", "lobpcg", "sketch"):
         import scipy.linalg as sl
         eps = eig_tol * np.max(np.sum(np.abs(kaa), axis=1))
         cf = sl.cho_factor(kaa + eps * np.eye(kaa.shape[0]), lower=True)

@@ -36,7 +36,10 @@ def oracle_filter_channel(img2d: np.ndarray, plan: SamplePlan,
     waa, wab, _, _ = normalize_blocks_np(
         kaa, kab, cfg.normalization, cfg.sinkhorn_iters, cfg.eig_tol,
         cfg.solver)
-    eig_fn = (nystrom_eigh_chol_np if cfg.solver in ("chol", "lobpcg")
+    # "sketch" is an accelerator for the chol/ridge solve — its float64
+    # reference is the exact chol twin (same as lobpcg's)
+    eig_fn = (nystrom_eigh_chol_np if cfg.solver in ("chol", "lobpcg",
+                                                     "sketch")
               else nystrom_eigh_np)
     vals, vecs = eig_fn(waa, wab, cfg.num_eigvecs, cfg.eig_tol)
     y_perm = np.asarray(img2d, np.float64).ravel()[plan.perm]
