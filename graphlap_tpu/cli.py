@@ -182,6 +182,7 @@ _PRESET_GUARDED_FLAGS = {
     "sinkhorn_iters": ("sinkhorn_iters",),
     "sinkhorn_coarse": ("sinkhorn_coarse",),
     "sinkhorn_polish": ("sinkhorn_polish",), "gram_coarse": ("gram_coarse",),
+    "solver": ("solver", "sketch_oversample", "sketch_power"),
     # guarded against -tune_denoise (not presets, which leave them alone)
     "h_param": ("h",), "spatial_h": ("spatial_h",),
 }

@@ -341,6 +341,18 @@ def tuned_config(cfg: PipelineConfig, n_pixels: int, level: str = "fast",
         chosen = dict(affinity_dtype="bfloat16_store", use_pallas=True,
                       sinkhorn_iters=min(cfg.sinkhorn_iters,
                                          8 if level == "fast" else 6))
+        # Eigensolver: the randomized sketch replaces the cross GEMM +
+        # p-wide trsm chain (88% of MXU peak -> unavoidable except
+        # algorithmically) with thin (p, k) strip passes. Measured at cfg2
+        # (512^2, p=5243): 0.293 -> 0.194 s device at 0.0000-0.0008 dB vs
+        # the LOBPCG production output across 4 noise seeds
+        # (cfg2_sweep.jsonl sketch_* rows; o110_p1 = best parity AND wall).
+        # Gated on p large enough that the k-wide block is genuinely thin —
+        # below that the dense chol/LOBPCG path is already cheap and exact.
+        k_sketch = cfg.num_eigvecs + 110
+        if p >= 4 * k_sketch:
+            chosen.update(solver="sketch", sketch_oversample=110,
+                          sketch_power=1)
     return cfg.replace(**{k: v for k, v in chosen.items() if k not in keep})
 
 

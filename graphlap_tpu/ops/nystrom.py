@@ -179,24 +179,32 @@ def nystrom_chol_factor(waa: jnp.ndarray, cross: jnp.ndarray, m: int,
 # 1.5-2.5x oversampled block capture the top-m subspace to parity-gate
 # accuracy (measured: see BASELINE.md cfg2 sketch row).
 #
-# Orthonormalization is CholeskyQR2, not Householder QR: two rounds of
-# (Gram GEMM + k x k Cholesky + triangular solve) are pure MXU work, while
-# jnp.linalg.qr's panel factorization is latency-bound on TPU. CholQR2
-# handles cond(Y) up to ~1e7 (Yamamoto et al. 2015); the relative ridge
-# guards the first-round Cholesky after power steps collapse the spectrum.
+# Orthonormalization is two-round, not Householder QR (jnp.linalg.qr's
+# panel factorization is latency-bound on TPU). Round 1 is RANK-SAFE
+# eigh-based whitening: after power steps on a fast-decaying kernel
+# spectrum, cond(Y) can exceed 1e7, so the Gram's condition (cond(Y)^2)
+# overflows f32 and a Cholesky NaNs — hit in production by the gaussian
+# kernel at 256^2 (lambda_50 ~ 1.6e-5 already), where CholeskyQR2
+# (Yamamoto et al. 2015, cond <= ~1e7) silently destroyed the output. The
+# k x k eigh floors collapsed directions instead: they surface as
+# near-zero Ritz values and fall outside the kept top-m. Round 2 is one
+# CholQR polish — its Gram is ~I, so the Cholesky is unconditionally safe
+# and restores orthonormality to machine precision (pure MXU work).
 
 
-def _cholqr2(y: jnp.ndarray, rel: float = 1e-7) -> jnp.ndarray:
+def _orthonormalize(y: jnp.ndarray, rel: float = 1e-6) -> jnp.ndarray:
     import jax.scipy.linalg as jsl
 
     k = y.shape[1]
-    for _ in range(2):
-        g = y.T @ y
-        g = 0.5 * (g + g.T)
-        eps = rel * jnp.max(jnp.diag(g))
-        r = jnp.linalg.cholesky(g + eps * jnp.eye(k, dtype=g.dtype))
-        y = jsl.solve_triangular(r, y.T, lower=True).T      # Y L^{-T}
-    return y
+    g = y.T @ y
+    g = 0.5 * (g + g.T)
+    w, s = jnp.linalg.eigh(g)                           # ascending
+    w = jnp.maximum(w, rel * w[-1])
+    y = y @ (s * (w ** -0.5)[None, :]) @ s.T            # Y G^{-1/2}, sym
+    g = y.T @ y
+    g = 0.5 * (g + g.T)
+    r = jnp.linalg.cholesky(g + 1e-7 * jnp.eye(k, dtype=g.dtype))
+    return jsl.solve_triangular(r, y.T, lower=True).T   # Y L^{-T}
 
 
 def _strip_sandwich(wab: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
@@ -235,8 +243,8 @@ def nystrom_sketch_factor(waa: jnp.ndarray, wab: jnp.ndarray, m: int,
 
     y = m_apply(jax.random.normal(jax.random.PRNGKey(0), (p, k), waa.dtype))
     for _ in range(power):
-        y = m_apply(_cholqr2(y))
-    q = _cholqr2(y)
+        y = m_apply(_orthonormalize(y))
+    q = _orthonormalize(y)
     b = q.T @ m_apply(q)                               # Rayleigh–Ritz (k, k)
     b = 0.5 * (b + b.T)
     vals, s = jnp.linalg.eigh(b)                       # ascending, k x k

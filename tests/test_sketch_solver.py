@@ -84,6 +84,26 @@ def test_sketch_small_p_saturates():
     assert np.abs(res_s.image - res_c.image).max() < 1e-3
 
 
+def test_sketch_survives_fast_decay_spectrum():
+    """Regression: the gaussian kernel's spectrum hits ~1e-5 by index 50,
+    so after a power step cond(Gram) overflows f32 — plain CholeskyQR2
+    NaN'd here (caught by a preset drive at 256^2: output PSNR 4.9 dB).
+    The eigh-whitened orthonormalizer must keep sketch == lobpcg."""
+    img = make_test_image(128, 128, seed=3)
+    noisy = np.clip(add_gaussian_noise(img, 0.1, seed=3), 0, 1)
+    # gaussian kernel, enough samples that the sketch block is thin
+    cfg = PipelineConfig(sample_rho=0.05, num_eigvecs=50, h=0.15,
+                         sinkhorn_iters=8, affinity_dtype="bfloat16_store")
+    assert cfg.num_samples(128 * 128) > 4 * (50 + 110) // 2   # p=819, k=160
+    res_s = filter_image(noisy, cfg.replace(solver="sketch",
+                                            sketch_oversample=110,
+                                            sketch_power=1))
+    res_l = filter_image(noisy, cfg.replace(solver="lobpcg"))
+    assert np.isfinite(res_s.image).all()
+    d = abs(psnr(img, res_s.image) - psnr(img, res_l.image))
+    assert d < 0.05, d
+
+
 def test_sketch_config_validation():
     with pytest.raises(ValueError):
         PipelineConfig(sketch_oversample=-1)
