@@ -55,12 +55,15 @@ def make_workload(pallas: bool):
     #  * randomized sketch eigensolver (o110/p1): thin strip passes replace
     #    the 88%-of-MXU-peak cross GEMM — 0.293 -> 0.194 s device at
     #    0.0000-0.0008 dB vs the LOBPCG output across 4 noise seeds
-    #    (cfg2_sweep.jsonl sketch_* rows).
-    # Device wall 0.92 -> 0.31 -> 0.29 -> 0.19 s across these steps.
+    #    (cfg2_sweep.jsonl sketch_* rows);
+    #  * dense coarse Sinkhorn (1/16 column slice) + one full-res polish:
+    #    0.194 -> 0.148 s at 0.0006-0.044 dB across 4 seeds (dsc16_p1*).
+    # Device wall 0.92 -> 0.31 -> 0.29 -> 0.19 -> 0.15 s across these steps.
     # CPU baseline: plain jnp (pallas interpret mode would be unfairly slow).
     cfg = cfg.replace(use_pallas=pallas, affinity_dtype="bfloat16_store",
                       sinkhorn_iters=8, solver="sketch",
-                      sketch_oversample=110, sketch_power=1)
+                      sketch_oversample=110, sketch_power=1,
+                      sinkhorn_coarse=16, sinkhorn_polish=1)
     img = gl.make_test_image(H, W)
     noisy = np.clip(gl.add_gaussian_noise(img, 0.1, seed=1), 0, 1)
     return gl, cfg, img, noisy

@@ -49,11 +49,12 @@ class PipelineConfig:
     # --- normalization ---
     normalization: str = "sinkhorn"  # "sinkhorn" | "symmetric" | "none"
     sinkhorn_iters: int = 20         # fixed (shape-static) iteration count
-    sinkhorn_coarse: int = 1         # streaming only: >1 runs the Sinkhorn
-                                     # fixed point against every k-th column
-                                     # (PAPERS.md scalable-Sinkhorn idea) +
-                                     # one full-res extension pass
-    sinkhorn_polish: int = 0         # streaming + sinkhorn_coarse only:
+    sinkhorn_coarse: int = 1         # >1 runs the Sinkhorn fixed point
+                                     # against every k-th column (PAPERS.md
+                                     # scalable-Sinkhorn idea) + one
+                                     # full-res extension pass; honored by
+                                     # BOTH the streaming and dense paths
+    sinkhorn_polish: int = 0         # with sinkhorn_coarse only:
                                      # after the decimated fixed point,
                                      # run this many FULL-resolution
                                      # symmetric iterations — each one
@@ -341,6 +342,18 @@ def tuned_config(cfg: PipelineConfig, n_pixels: int, level: str = "fast",
         chosen = dict(affinity_dtype="bfloat16_store", use_pallas=True,
                       sinkhorn_iters=min(cfg.sinkhorn_iters,
                                          8 if level == "fast" else 6))
+        # Dense coarse Sinkhorn (+ one full-res polish): the alternating
+        # fixed point against a strided 1/16 column slice of the strip.
+        # Measured at cfg2: device 0.194 -> 0.148 s at 0.0006-0.044 dB
+        # across 4 noise seeds (cfg2_sweep.jsonl dsc16_p1* rows; k=32 is
+        # no faster — the extension + polish passes dominate — and spreads
+        # worse). The CPU calibration at 128-256^2 shows thinner margins
+        # (0.01-0.07 dB, dsc_calib) at small strips, so gate on the strip
+        # width: fast needs nb >= 128k columns, turbo >= 64k.
+        nb = n_pixels - p
+        nb_floor = 131072 if level == "fast" else 65536
+        if nb >= nb_floor:
+            chosen.update(sinkhorn_coarse=16, sinkhorn_polish=1)
         # Eigensolver: the randomized sketch replaces the cross GEMM +
         # p-wide trsm chain (88% of MXU peak -> unavoidable except
         # algorithmically) with thin (p, k) strip passes. Measured at cfg2

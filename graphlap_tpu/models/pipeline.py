@@ -74,7 +74,7 @@ def _filter_channel_impl(img2d: jnp.ndarray, idx_a: jnp.ndarray,
     kaa, kab = affinity_blocks(img2d, idx_a, perm, cfg)
     waa, wab, _, _ = normalize_blocks(
         kaa, kab, cfg.normalization, cfg.sinkhorn_iters, cfg.eig_tol,
-        cfg.solver)
+        cfg.solver, cfg.sinkhorn_coarse, cfg.sinkhorn_polish)
     basis = _solve_basis(waa, wab, cfg)
     y_perm = jnp.take(img2d.astype(jnp.float32).ravel(), perm)
     z_perm = apply_spectral_filter(
@@ -115,7 +115,7 @@ def _filter_channels_luma(y2d: jnp.ndarray, img_chw: jnp.ndarray, idx_a,
         kaa, kab = affinity_blocks(y2d, idx_a, perm, cfg)
         waa, wab, _, _ = normalize_blocks(
             kaa, kab, cfg.normalization, cfg.sinkhorn_iters, cfg.eig_tol,
-            cfg.solver)
+            cfg.solver, cfg.sinkhorn_coarse, cfg.sinkhorn_polish)
         basis = _solve_basis(waa, wab, cfg)
         vals, vecs = basis.vals, basis.vecs                      # [A; B] order
 
@@ -231,7 +231,7 @@ def _stage_affinity(img2d, idx_a, perm, cfg: PipelineConfig):
 def _stage_normalize(kaa, kab, cfg: PipelineConfig):
     waa, wab, _, _ = normalize_blocks(
         kaa, kab, cfg.normalization, cfg.sinkhorn_iters, cfg.eig_tol,
-        cfg.solver)
+        cfg.solver, cfg.sinkhorn_coarse, cfg.sinkhorn_polish)
     return waa, wab
 
 

@@ -90,16 +90,78 @@ def sinkhorn_scaling(kaa, kab, iters: int, eig_tol: float,
     return s[:p], s[p:]
 
 
+def sinkhorn_scaling_coarse(kaa, kab, iters: int, coarse: int, polish: int,
+                            eig_tol: float, solver: str = "oneshot"):
+    """Decimated-column Sinkhorn on the dense strip + full-res polish.
+
+    Same fixed-point structure as the streaming coarse loop
+    (models/streaming._normalize_streaming, PAPERS.md "massively scalable
+    Sinkhorn via Nystrom"): the iteration only touches the B columns
+    through the p-vector u = K_AB s_B with s_B = 1/(K_BA t), so the
+    alternating r/c loop can run against a STRIDED 1/k column sample of
+    the materialized strip — O(Np/k) per iteration instead of O(Np), with
+    ``ratio`` rescaling the decimated sum. One two-vector full-resolution
+    extension recovers s_B everywhere (a single strip pass), and
+    ``polish`` symmetric full-res iterations contract the decimation bias
+    toward the exact fixed point (measured parity: cfg2_sweep.jsonl
+    dsc_* rows). Strided, not jittered, for the same measured reason as
+    streaming (the coarse fixed point is clumping-sensitive).
+    """
+    p, nb = kaa.shape[0], kab.shape[1]
+    kaa_solve = _make_kaa_solve(kaa, eig_tol, solver)
+    kab_c = kab[:, ::coarse]
+    ratio = jnp.float32(nb) / jnp.float32(kab_c.shape[1])
+
+    def coarse_u(t):
+        y = kab_c.T @ t                                # (nc,) coarse K_BA t
+        return ratio * (kab_c @ (1.0 / jnp.maximum(y, _EPS)))
+
+    r0 = jnp.ones(p, jnp.float32)
+    u0 = ratio * (kab_c @ jnp.ones(kab_c.shape[1], jnp.float32))
+    zero_p = jnp.zeros(p, jnp.float32)
+
+    def body(_, carry):
+        r_a, u_r, *_ = carry
+        c_a = 1.0 / jnp.maximum(kaa @ r_a + u_r, _EPS)
+        t_r = r_a + kaa_solve(u_r)
+        u_c = coarse_u(t_r)
+        r_a2 = 1.0 / jnp.maximum(kaa @ c_a + u_c, _EPS)
+        t_c = c_a + kaa_solve(u_c)
+        return (r_a2, coarse_u(t_c), c_a, t_r, t_c)
+
+    r_a, u_r, c_a, t_r, t_c = jax.lax.fori_loop(
+        0, iters, body, (r0, u0, r0, zero_p, zero_p))
+    s_a = jnp.sqrt(jnp.maximum(r_a * c_a, 0.0))
+    kbt = kab.T @ jnp.stack([t_r, t_c], axis=1)        # ONE full strip pass
+    s_b = 1.0 / jnp.sqrt(jnp.maximum(kbt[:, 0] * kbt[:, 1], _EPS))
+
+    if polish > 0:
+        def pbody(_, s):
+            top, bottom = nystrom_matvec(kaa, kab, kaa_solve, s[:p], s[p:])
+            ks = jnp.maximum(jnp.concatenate([top, bottom]), _EPS)
+            return jnp.sqrt(s / ks)
+        s = jax.lax.fori_loop(0, polish, pbody, jnp.concatenate([s_a, s_b]))
+        s_a, s_b = s[:p], s[p:]
+    return s_a, s_b
+
+
 def normalize_blocks(kaa, kab, normalization: str, iters: int, eig_tol: float,
-                     solver: str = "oneshot"):
+                     solver: str = "oneshot", coarse: int = 1,
+                     polish: int = 0):
     """Scaled blocks (W_AA, W_AB) per the configured normalization.
 
     sinkhorn:  s from Sinkhorn balancing           (doubly stochastic)
     symmetric: s = 1/sqrt(K~ 1)                    (D^{-1/2} K D^{-1/2})
     none:      s = 1                               (raw kernel)
+
+    ``coarse > 1`` runs the Sinkhorn loop against a 1/coarse column sample
+    (``sinkhorn_scaling_coarse``) with ``polish`` full-res iterations.
     """
     p = kaa.shape[0]
-    if normalization == "sinkhorn":
+    if normalization == "sinkhorn" and coarse > 1:
+        s_a, s_b = sinkhorn_scaling_coarse(kaa, kab, iters, coarse, polish,
+                                           eig_tol, solver)
+    elif normalization == "sinkhorn":
         s_a, s_b = sinkhorn_scaling(kaa, kab, iters, eig_tol, solver)
     elif normalization == "symmetric":
         kaa_solve = _make_kaa_solve(kaa, eig_tol, solver)

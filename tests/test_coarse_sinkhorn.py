@@ -1,11 +1,14 @@
-"""Coarse (decimated) Sinkhorn mode — streaming-only accelerator.
+"""Coarse (decimated) Sinkhorn mode — streaming AND dense accelerator.
 
 The alternating fixed point iterated through p-sized state against every
 k-th column (PAPERS.md scalable-Sinkhorn idea). Exactness at k=1 was
 verified against the symmetric fixed point analytically (s agreement to
 1e-10 in the dense model); at k>1 the decimation adds a Monte-Carlo error
 that SHRINKS with the coarse-set size — these tests pin the behavior at
-test scale, where the error is visible but bounded.
+test scale, where the error is visible but bounded. The dense twin
+(ops/sinkhorn.sinkhorn_scaling_coarse) shares the fixed-point structure
+against a strided slice of the materialized strip; its tests mirror the
+streaming ones below.
 """
 
 import numpy as np
@@ -86,6 +89,42 @@ def test_polish_batched_matches_single():
     for i in range(2):
         ref = filter_image(frames[i], cfg, plan=plan)
         np.testing.assert_allclose(out[i], ref.image, atol=3e-4)
+
+
+def _dcfg(**kw):
+    return PipelineConfig(kernel="nlm", h=0.25, sample_rho=0.02,
+                          num_eigvecs=50, sinkhorn_iters=10, **kw)
+
+
+def test_dense_coarse_close_and_polish_contracts(img96):
+    """Dense-path coarse Sinkhorn: close to the exact fixed point, and the
+    polish contracts the decimation bias monotonically (the same contract
+    the streaming twin pins above)."""
+    img, noisy = img96
+    full = filter_image(noisy, _dcfg())
+    d0 = np.abs(filter_image(noisy, _dcfg(sinkhorn_coarse=8)).image
+                - full.image).max()
+    d2 = np.abs(filter_image(noisy, _dcfg(sinkhorn_coarse=8,
+                                          sinkhorn_polish=2)).image
+                - full.image).max()
+    d4 = np.abs(filter_image(noisy, _dcfg(sinkhorn_coarse=8,
+                                          sinkhorn_polish=4)).image
+                - full.image).max()
+    assert d2 < d0
+    assert d4 < d2
+    assert d4 < 0.2 * d0
+    coarse = filter_image(noisy, _dcfg(sinkhorn_coarse=8, sinkhorn_polish=1))
+    assert psnr(img, coarse.image) > psnr(img, noisy) + 0.5
+    assert abs(psnr(img, coarse.image) - psnr(img, full.image)) < 0.5
+
+
+def test_dense_coarse_any_factor():
+    """No divisibility constraint on the dense path (strided slicing works
+    for any k, unlike the streaming block layout)."""
+    img = make_test_image(48, 48, seed=5)
+    noisy = np.clip(add_gaussian_noise(img, 0.1, seed=5), 0, 1)
+    res = filter_image(noisy, _dcfg(sinkhorn_coarse=3, sinkhorn_polish=1))
+    assert np.isfinite(res.image).all()
 
 
 def test_coarse_validation():

@@ -51,11 +51,25 @@ def test_tuned_config_dense_fast():
     # 8 iters: 0.0003-0.016 dB seed-swept, ~6% device win over 10
     # (cfg2_sweep.jsonl bf16_store_iters8* rows)
     assert cfg.use_pallas and cfg.sinkhorn_iters == 8
-    assert cfg.sinkhorn_coarse == 1 and cfg.gram_coarse == 1
+    # dense coarse Sinkhorn + polish (0.0006-0.044 dB seed-swept at cfg2,
+    # dsc16_p1* rows); gram decimation stays streaming-only
+    assert cfg.sinkhorn_coarse == 16 and cfg.sinkhorn_polish == 1
+    assert cfg.gram_coarse == 1
+    # the sketch eigensolver is the dense fast default at headline p
+    assert cfg.solver == "sketch"
     # dense turbo differs only in Sinkhorn depth (6 iters, <=0.051 dB)
     turbo = tuned_config(CONFIG2, 512 * 512, "turbo")
     assert turbo.sinkhorn_iters == 6
     assert turbo.replace(sinkhorn_iters=8) == cfg
+
+
+def test_tuned_config_dense_small_image_stays_exact():
+    """Below the measured strip-width floors the dense presets must NOT
+    decimate (thin-margin regime, dsc_calib CPU rows) and must keep the
+    default solver (sketch gated on p >= 4(m + oversample))."""
+    cfg = tuned_config(CONFIG2, 128 * 128, "fast")
+    assert cfg.sinkhorn_coarse == 1 and cfg.sinkhorn_polish == 0
+    assert cfg.solver == CONFIG2.solver
 
 
 def test_tuned_config_streaming_fast_is_the_headline_recipe():
