@@ -52,17 +52,18 @@ def make_workload(pallas: bool):
     #  * Sinkhorn 8 iterations — 20 -> 10 moves the output by 0.0003 dB
     #    (converged), 10 -> 8 by 0.0003-0.016 dB across 4 noise seeds
     #    (cfg2_sweep.jsonl bf16_store_iters8* rows) for ~6% device wall;
-    #  * randomized sketch eigensolver (o110/p1): thin strip passes replace
-    #    the 88%-of-MXU-peak cross GEMM — 0.293 -> 0.194 s device at
-    #    0.0000-0.0008 dB vs the LOBPCG output across 4 noise seeds
-    #    (cfg2_sweep.jsonl sketch_* rows);
+    #  * randomized sketch eigensolver: thin strip passes replace the
+    #    88%-of-MXU-peak cross GEMM — o110/p1 0.293 -> 0.194 s device at
+    #    0.0000-0.0008 dB vs LOBPCG across 4 seeds; o206/p0 (one fewer
+    #    M-apply) ~7 ms more at 0.0000-0.0001 dB across 3 seeds
+    #    (cfg2_sweep.jsonl sketch_*/skp0_* rows);
     #  * dense coarse Sinkhorn (1/16 column slice) + one full-res polish:
     #    0.194 -> 0.148 s at 0.0006-0.044 dB across 4 seeds (dsc16_p1*).
     # Device wall 0.92 -> 0.31 -> 0.29 -> 0.19 -> 0.15 s across these steps.
     # CPU baseline: plain jnp (pallas interpret mode would be unfairly slow).
     cfg = cfg.replace(use_pallas=pallas, affinity_dtype="bfloat16_store",
                       sinkhorn_iters=8, solver="sketch",
-                      sketch_oversample=110, sketch_power=1,
+                      sketch_oversample=206, sketch_power=0,
                       sinkhorn_coarse=16, sinkhorn_polish=1)
     img = gl.make_test_image(H, W)
     noisy = np.clip(gl.add_gaussian_noise(img, 0.1, seed=1), 0, 1)

@@ -357,15 +357,16 @@ def tuned_config(cfg: PipelineConfig, n_pixels: int, level: str = "fast",
         # Eigensolver: the randomized sketch replaces the cross GEMM +
         # p-wide trsm chain (88% of MXU peak -> unavoidable except
         # algorithmically) with thin (p, k) strip passes. Measured at cfg2
-        # (512^2, p=5243): 0.293 -> 0.194 s device at 0.0000-0.0008 dB vs
-        # the LOBPCG production output across 4 noise seeds
-        # (cfg2_sweep.jsonl sketch_* rows; o110_p1 = best parity AND wall).
+        # (512^2, p=5243): o110/p1 0.293 -> 0.194 s device at
+        # 0.0000-0.0008 dB vs LOBPCG across 4 seeds; o206/p0 (one fewer
+        # M-apply, k = 2x128 lanes) saves another ~7 ms at 0.0000-0.0001 dB
+        # across 3 seeds (cfg2_sweep.jsonl sketch_*/skp0_* rows).
         # Gated on p large enough that the k-wide block is genuinely thin —
         # below that the dense chol/LOBPCG path is already cheap and exact.
-        k_sketch = cfg.num_eigvecs + 110
+        k_sketch = cfg.num_eigvecs + 206
         if p >= 4 * k_sketch:
-            chosen.update(solver="sketch", sketch_oversample=110,
-                          sketch_power=1)
+            chosen.update(solver="sketch", sketch_oversample=206,
+                          sketch_power=0)
     return cfg.replace(**{k: v for k, v in chosen.items() if k not in keep})
 
 

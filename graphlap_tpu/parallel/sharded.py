@@ -49,6 +49,10 @@ def build_sharded_pipeline(mesh, cfg: PipelineConfig):
     the video rows before memoization)."""
 
     dtype = jnp.bfloat16 if cfg.affinity_dtype == "bfloat16" else jnp.float32
+    # bfloat16_store: exact f32 distance math, bf16 STORED strip — the
+    # sharded strip is one (B, p, N) buffer, so the narrow store halves
+    # every rows-sharded read downstream (same policy as affinity_blocks)
+    store = jnp.bfloat16 if cfg.affinity_dtype == "bfloat16_store" else None
 
     @jax.jit
     def run(frames, idx_a, perm, inv_perm):
@@ -61,21 +65,32 @@ def build_sharded_pipeline(mesh, cfg: PipelineConfig):
         feats_perm = jnp.take(feats, perm, axis=1)
         feats_a = feats_perm[:, :p]
 
-        strip = jax.vmap(lambda fa, f: affinity_strip(fa, f, dtype))(
-            feats_a, feats_perm)
-        strip = shard(strip, mesh, "data", None, "rows")      # (B, p, N)
-        kaa = shard(strip[:, :, :p], mesh, "data")
-        kab = shard(strip[:, :, p:], mesh, "data", None, "rows")
+        # K_AA is its own f32 GEMM (matching affinity_blocks): slicing it
+        # out of a bfloat16-stored strip would round the block that feeds
+        # every p x p Cholesky/ridge solve (measured 1e-3-class pixel
+        # divergence vs the single-device path)
+        kaa = jax.vmap(lambda fa: affinity_strip(fa, fa, dtype))(feats_a)
+        kaa = shard(kaa, mesh, "data")
+        kab = jax.vmap(
+            lambda fa, f: affinity_strip(fa, f, dtype, store_dtype=store))(
+            feats_a, feats_perm[:, p:])
+        kab = shard(kab, mesh, "data", None, "rows")
 
         waa, wab, _, _ = jax.vmap(
             lambda a, b_: normalize_blocks(a, b_, cfg.normalization,
                                            cfg.sinkhorn_iters, cfg.eig_tol,
-                                           cfg.solver)
+                                           cfg.solver, cfg.sinkhorn_coarse,
+                                           cfg.sinkhorn_polish)
         )(kaa, kab)
         waa = shard(waa, mesh, "data")
         wab = shard(wab, mesh, "data", None, "rows")
 
-        if cfg.solver in ("chol", "lobpcg"):
+        if cfg.solver == "sketch":
+            from ..ops.nystrom import nystrom_eigh_sketch
+            eig_fn = lambda a, b_: nystrom_eigh_sketch(
+                a, b_, cfg.num_eigvecs, cfg.eig_tol, cfg.sketch_oversample,
+                cfg.sketch_power)
+        elif cfg.solver in ("chol", "lobpcg"):
             method = "lobpcg" if cfg.solver == "lobpcg" else "eigh"
             eig_fn = lambda a, b_: nystrom_eigh_chol(
                 a, b_, cfg.num_eigvecs, cfg.eig_tol, method,

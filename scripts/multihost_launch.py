@@ -48,9 +48,11 @@ def main(argv=None):
                          "--no-streaming uses the dense sharded pipeline)")
     ap.add_argument("--block_cols", type=int, default=65536)
     ap.add_argument("--dtype", default="bfloat16",
-                    choices=("float32", "bfloat16"))
+                    choices=("float32", "bfloat16", "bfloat16_store"))
     ap.add_argument("--use_pallas", action="store_true",
                     help="fused Pallas strip kernels (auto-interpret on CPU)")
+    ap.add_argument("--solver", default="lobpcg",
+                    choices=("lobpcg", "chol", "oneshot", "sketch"))
     ap.add_argument("--sinkhorn_coarse", type=int, default=1)
     ap.add_argument("--sinkhorn_polish", type=int, default=0)
     ap.add_argument("--gram_coarse", type=int, default=1)
@@ -97,6 +99,7 @@ def main(argv=None):
                                 affinity_dtype=args.dtype,
                                 streaming=True, block_cols=args.block_cols,
                                 use_pallas=args.use_pallas,
+                                solver=args.solver,
                                 sinkhorn_coarse=args.sinkhorn_coarse,
                                 sinkhorn_polish=args.sinkhorn_polish,
                                 gram_coarse=args.gram_coarse)
@@ -128,6 +131,7 @@ def main(argv=None):
                             streaming=args.streaming,
                             block_cols=args.block_cols,
                             use_pallas=args.use_pallas,
+                            solver=args.solver,
                             sinkhorn_coarse=args.sinkhorn_coarse,
                             sinkhorn_polish=args.sinkhorn_polish,
                             gram_coarse=args.gram_coarse)

@@ -137,6 +137,67 @@ def test_two_process_production_recipe_128(tmp_path):
     assert abs(psnr(clean, got) - psnr(clean, want)) < 0.02
 
 
+def test_two_process_dense_production_recipe(tmp_path):
+    """Round-3 DENSE production recipe (bfloat16_store strip + sketch
+    eigensolver + coarse Sinkhorn + polish — what '-preset fast' selects
+    at cfg2 scale) crossing a REAL 2-process jax.distributed boundary in
+    the dense sharded pipeline. Pixels must match the single-process
+    filter_video with the same recipe."""
+    from graphlap_tpu import add_gaussian_noise, make_test_image, psnr
+    from graphlap_tpu.config import PipelineConfig
+    from graphlap_tpu.models.pipeline import make_plan
+    from graphlap_tpu.models.video import filter_video
+    from graphlap_tpu.parallel.mesh import make_mesh
+
+    frames = np.stack([
+        np.clip(add_gaussian_noise(make_test_image(64, 64, seed=s), 0.1,
+                                   seed=s), 0, 1)
+        for s in range(2)
+    ]).astype(np.float32)
+    fpath = tmp_path / "frames.npy"
+    np.save(fpath, frames)
+
+    recipe = ["--sample", "0.05", "--eigvals", "16",
+              "--sinkhorn_iters", "8", "--dtype", "bfloat16_store",
+              "--solver", "sketch", "--no-streaming",
+              "--sinkhorn_coarse", "4", "--sinkhorn_polish", "1"]
+    port = _free_port()
+    procs = []
+    env_base = {k: v for k, v in os.environ.items()
+                if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env_base.setdefault("JAX_COMPILATION_CACHE_DIR", str(ROOT / ".jax_cache"))
+    env_base["PYTHONPATH"] = str(ROOT) + (
+        os.pathsep + env_base["PYTHONPATH"] if env_base.get("PYTHONPATH") else "")
+    for pid in range(2):
+        cmd = [sys.executable, str(ROOT / "scripts" / "multihost_launch.py"),
+               "--frames", str(fpath), "--out", str(tmp_path / f"out{pid}.npy"),
+               "--coordinator", f"127.0.0.1:{port}",
+               "--num_processes", "2", "--process_id", str(pid),
+               "--cpu_devices", "4"] + recipe
+        procs.append(subprocess.Popen(cmd, cwd=str(ROOT), env=env_base,
+                                      stdout=subprocess.PIPE,
+                                      stderr=subprocess.STDOUT, text=True))
+    logs = []
+    for p in procs:
+        out_text, _ = p.communicate(timeout=600)
+        logs.append(out_text)
+    assert all(p.returncode == 0 for p in procs), \
+        "\n---\n".join(t[-3000:] for t in logs)
+
+    got = np.load(tmp_path / "out0.npy")
+    cfg = PipelineConfig(kernel="nlm", sample_rho=0.05, num_eigvecs=16,
+                         sinkhorn_iters=8, affinity_dtype="bfloat16_store",
+                         solver="sketch", sinkhorn_coarse=4,
+                         sinkhorn_polish=1)
+    plan = make_plan(frames[0], cfg)
+    want, _ = filter_video(frames, cfg, mesh=make_mesh(n_rows=4, n_data=2),
+                           plan=plan, frames_per_step=2)
+    assert got.shape == want.shape
+    # the bf16-stored strip re-rounds under the cross-process partitioning
+    # (same tolerance rationale as the streaming production test above)
+    assert psnr(want, got) > 45.0
+
+
 def test_two_process_single_image_rows_sharded(tmp_path):
     """Config-4 DCN analogue: ONE image's pixel blocks sharded over 'rows'
     spanning two real jax.distributed processes; pixels must match the

@@ -56,6 +56,27 @@ def test_output_is_committed_across_meshes(frames):
     np.testing.assert_allclose(z1, z2, atol=2e-4)
 
 
+def test_dense_production_recipe_sharded_matches_single(frames):
+    """The DENSE production recipe (bfloat16_store strip + sketch
+    eigensolver + coarse Sinkhorn + polish — what '-preset fast' selects
+    at headline sizes) through the rows-sharded builder: the sharded run
+    must match the single-device path pixel-for-pixel. Guards the solver
+    dispatch and the coarse/polish plumbing added to build_sharded_pipeline
+    (they were silently ignored there before round 3)."""
+    cfg = CFG.replace(affinity_dtype="bfloat16_store", solver="sketch",
+                      sketch_oversample=110, sketch_power=1,
+                      sinkhorn_coarse=4, sinkhorn_polish=1,
+                      sinkhorn_iters=8)
+    plan = make_plan(frames[0], cfg)
+    mesh = make_mesh(n_rows=4, n_data=2)
+    z, vals = filter_frames_sharded(frames, cfg, plan, mesh)
+    for i in range(frames.shape[0]):
+        ref = filter_image(frames[i], cfg, plan=plan)
+        np.testing.assert_allclose(z[i], ref.image, atol=2e-4)
+        np.testing.assert_allclose(vals[i], ref.eigvals, rtol=1e-3,
+                                   atol=2e-4)
+
+
 def test_streaming_sharded_matches_single(frames):
     """Rows-sharded STREAMING pipeline (config 4's 'row-blocks sharded'
     contract) == single-device streaming/dense output."""
