@@ -44,12 +44,12 @@ def row2():
     import graphlap_tpu as gl
     img = gl.make_test_image(512, 512)
     noisy = np.clip(gl.add_gaussian_noise(img, 0.1, seed=1), 0, 1)
-    # production recipe: Pallas affinity emitter + bfloat16_store strip +
-    # 8-iter Sinkhorn (0.0003-0.016 dB across 4 noise seeds vs the all-f32
-    # 20-iter reference, cfg2_sweep.jsonl bf16_store_iters8* rows)
-    cfg = gl.CONFIG2.replace(use_pallas=True,
-                             affinity_dtype="bfloat16_store",
-                             sinkhorn_iters=8)
+    # production recipe = the 'fast' preset (Pallas emitter +
+    # bfloat16_store strip + coarse 1/16-column Sinkhorn(8) + one full-res
+    # polish + power-0 sketch eigensolver — every step seed-swept in
+    # cfg2_sweep.jsonl); deriving it here keeps the matrix row tracking
+    # what '-preset fast' actually ships
+    cfg = gl.tuned_config(gl.CONFIG2, 512 * 512, "fast")
     return "cfg2_512_nlm", cfg, img, noisy
 
 
