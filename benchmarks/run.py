@@ -61,13 +61,20 @@ def row3():
     Mild noise is added so psnr_in/out are recorded (BASELINE config 3
     grades "PSNR/visual"); SSIM + gradient-energy ratio capture the
     enhancement effect itself.
+
+    The recipe derives from '-preset fast', which routes the affine
+    sharpen to filter_mode="matvec" (exact polynomial f(W) y, no
+    gram/eigensolve): the rank-m SPECTRAL sharpen is ill-posed on this
+    config's collapsed spectrum — every accelerated recipe measured
+    1.8-4.6 dB off the exact trajectory, vs 0.002-0.007 dB for the matvec
+    recipes (benchmarks/results/cfg3_sweep.jsonl, config.AFFINE_FILTERS).
     """
     import graphlap_tpu as gl
     img = gl.make_test_image(1024, 1024, channels=3)
     noisy = np.clip(gl.add_gaussian_noise(img, 0.03, seed=3), 0, 1)
-    cfg = gl.CONFIG3.replace(streaming=True, block_cols=131072,
-                             affinity_dtype="bfloat16", gram_coarse=4,
-                             use_pallas=True)
+    cfg = gl.tuned_config(
+        gl.CONFIG3.replace(streaming=True, block_cols=131072),
+        1024 * 1024, "fast")
     return "cfg3_1024_rgb_sharpen", cfg, img, noisy
 
 

@@ -161,7 +161,10 @@ def sweep_cfg3():
         return float((gx * gx).sum() + (gy * gy).sum())
 
     ge_clean = grad_e(clean)
-    base = gl.CONFIG3.replace(rgb_mode="luma_basis", sample_cap=4096)
+    # basis replay is inherently SPECTRAL mode (CONFIG3 defaults to matvec
+    # since round 3 — compute_basis would refuse it)
+    base = gl.CONFIG3.replace(rgb_mode="luma_basis", sample_cap=4096,
+                              filter_mode="spectral")
     for h in (0.15, 0.25):
         cfg = base.replace(h=h)
         plan = make_plan(noisy, cfg)
@@ -205,9 +208,65 @@ def sweep_sigma():
                                 base.replace(h=hmul * sigma, spatial_h=sh))
 
 
+def sweep_cfg3_matvec():
+    """Sharpen/twicing calibration for filter_mode="matvec" (the round-3
+    production cfg3 path): the EXACT polynomial operator boosts the full
+    spectrum, not a rank-50 slice, so the spectral-mode beta=0.6 over-
+    sharpens (grad ratio 2.43 vs the 1.38 target at 1024^2 —
+    matrix.jsonl). Since every candidate is a polynomial in W, one run
+    each of W y, W^2 y, W^3 y per (h) point lets every (filter, param)
+    compose HOST-side exactly: sharpen beta = (1+b) y - b W y; twicing
+    k=2: 2 W y - W^2 y; k=3: 3 W y - 3 W^2 y + W^3 y. 512^2 RGB with the
+    production streaming recipe; validate the winner at 1024^2 via
+    benchmarks/run.py 3."""
+    import graphlap_tpu as gl
+
+    clean = gl.make_test_image(512, 512, channels=3)
+    noisy = np.clip(gl.add_gaussian_noise(clean, 0.03, seed=3), 0, 1)
+
+    def grad_e(img):
+        gx = np.diff(img, axis=0)
+        gy = np.diff(img, axis=1)
+        return float((gx * gx).sum() + (gy * gy).sum())
+
+    ge_clean = grad_e(clean)
+    base = gl.CONFIG3.replace(rgb_mode="luma_basis", sample_cap=4096,
+                              streaming=True, block_cols=65536,
+                              affinity_dtype="bfloat16", sinkhorn_iters=10)
+
+    def emit(h, fname, fp, out):
+        rec = {
+            "tag": "cfg3_matvec_sharpen", "kernel": base.kernel,
+            "h": h, "filter": fname, "param": fp, "mode": "matvec",
+            "psnr_in": round(gl.psnr(clean, noisy), 3),
+            "psnr_out": round(gl.psnr(clean, out), 3),
+            "ssim_in": round(gl.ssim(clean, noisy), 4),
+            "ssim_out": round(gl.ssim(clean, out), 4),
+            "grad_ratio_vs_clean": round(grad_e(out) / ge_clean, 4),
+            "ts": time.time(),
+        }
+        with RESULTS.open("a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(json.dumps(rec), flush=True)
+
+    for h in (0.15, 0.25, 0.4):
+        cfg = base.replace(h=h)
+        wy = {k: gl.filter_image(noisy, cfg.replace(
+            filter_name="power", filter_param=float(k))).image
+            for k in (1, 2, 3)}
+        emit(h, "identity", 1.0, wy[1])
+        for beta in (0.15, 0.25, 0.4, 0.6, 1.0):
+            emit(h, "sharpen", beta,
+                 np.clip((1 + beta) * noisy - beta * wy[1], 0, 1))
+        emit(h, "twicing", 2.0, np.clip(2 * wy[1] - wy[2], 0, 1))
+        emit(h, "twicing", 3.0,
+             np.clip(3 * wy[1] - 3 * wy[2] + wy[3], 0, 1))
+
+
 SWEEPS = {"cfg1": sweep_cfg1, "cfg1_nlm": sweep_cfg1_nlm,
           "cfg2_small": sweep_cfg2_small, "cfg2": sweep_cfg2,
-          "cfg3": sweep_cfg3, "sigma": sweep_sigma}
+          "cfg3": sweep_cfg3, "cfg3_matvec": sweep_cfg3_matvec,
+          "sigma": sweep_sigma}
 
 
 def main():

@@ -91,6 +91,15 @@ def build_parser() -> argparse.ArgumentParser:
                             "exp_decay", "twicing"])
     p.add_argument("-filter_param", type=float, default=1.0,
                    help="k for power, beta for sharpen, tau for exp_decay")
+    p.add_argument("-filter_mode", default="spectral",
+                   choices=["spectral", "matvec"],
+                   help="'spectral' = f(lambda) through the rank-m Nystrom "
+                        "eigenbasis (reference form); 'matvec' = EXACT f(W) "
+                        "by strip matvecs for polynomial filters (identity/"
+                        "power/sharpen/twicing with integer k) — skips the "
+                        "eigensolve and sidesteps the rank-m subspace "
+                        "instability of affine filters (presets auto-pick "
+                        "it for sharpen/twicing)")
     p.add_argument("-rgb_mode", choices=["per_channel", "luma_basis"],
                    default="per_channel",
                    help="'per_channel' = C independent pipelines (reference "
@@ -183,6 +192,10 @@ _PRESET_GUARDED_FLAGS = {
     "sinkhorn_coarse": ("sinkhorn_coarse",),
     "sinkhorn_polish": ("sinkhorn_polish",), "gram_coarse": ("gram_coarse",),
     "solver": ("solver", "sketch_oversample", "sketch_power"),
+    "filter_mode": ("filter_mode",),
+    # asking for a basis checkpoint IS choosing the spectral form — the
+    # preset must not route an affine filter to matvec out from under it
+    "save_basis": ("filter_mode",),
     # guarded against -tune_denoise (not presets, which leave them alone)
     "h_param": ("h",), "spatial_h": ("spatial_h",),
 }
@@ -202,9 +215,19 @@ def _explicit_fields(argv: list[str]) -> frozenset:
             if not name:
                 continue
             for flag, flds in _PRESET_GUARDED_FLAGS.items():
-                if flag.startswith(name):
+                if flag == name or (flag.startswith(name)
+                                    and name not in _EXACT_UNGUARDED_FLAGS):
                     fields.update(flds)
     return frozenset(fields)
+
+
+# full flag names that are NOT preset-guarded but are proper prefixes of
+# guarded ones: argparse resolves an exact match to its own flag, so e.g.
+# ``-filter sharpen`` (or ``-f image.png``!) must NOT prefix-pin
+# filter_mode (that would silently disable the preset's affine->matvec
+# routing for everyone who names a filter or an input file — caught by an
+# end-to-end CLI drive: the eigensolve stage came back nonzero)
+_EXACT_UNGUARDED_FLAGS = frozenset({"filter", "f"})
 
 
 def main(argv=None) -> int:
@@ -229,7 +252,7 @@ def main(argv=None) -> int:
         sinkhorn_coarse=args.sinkhorn_coarse,
         sinkhorn_polish=args.sinkhorn_polish, gram_coarse=args.gram_coarse,
         filter_name=args.filter_name, filter_param=args.filter_param,
-        rgb_mode=args.rgb_mode,
+        filter_mode=args.filter_mode, rgb_mode=args.rgb_mode,
         affinity_dtype=("bfloat16" if args.bf16
                         else "bfloat16_store" if args.bf16_store
                         else "float32"),
@@ -336,6 +359,11 @@ def main(argv=None) -> int:
     if args.save_basis:
         from graphlap_tpu.utils.checkpoint import save_basis
         from graphlap_tpu.models.pipeline import compute_basis
+        if cfg.filter_mode == "matvec":
+            print("error: -save_basis needs an eigenbasis, but "
+                  "-filter_mode matvec never forms one — rerun with "
+                  "-filter_mode spectral", file=sys.stderr)
+            return 2
         vals, vecs = compute_basis(image, cfg, plan)
         save_basis(args.save_basis, vals, vecs, plan, cfg)
         print(f"eigenbasis saved to {args.save_basis}")

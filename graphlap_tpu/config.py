@@ -18,6 +18,23 @@ from dataclasses import dataclass
 KERNELS = ("gaussian", "nlm")
 NORMALIZATIONS = ("sinkhorn", "symmetric", "none")
 FILTERS = ("identity", "power", "lowpass", "sharpen", "exp_decay", "twicing")
+# Filters applied in AFFINE form, z = y + V (f(L) - 1) V^T y (ops/filters.py
+# registry `affine=True`; kept in sync by tests/test_presets.py). In
+# SPECTRAL mode these weight the kept basis by f(lambda)-1 ~ beta instead
+# of damping it by lambda ~ 0, and kernel spectra collapse into
+# near-degenerate clusters past the first few eigenvalues (measured gaps
+# ~1e-5 at the m=50 boundary) — so the rank-m affine output rides an
+# ill-posed subspace selection: EVERY accelerated recipe measured 1.8-4.6
+# dB off the exact trajectory at cfg3, with polish/coarse depth irrelevant
+# (benchmarks/results/cfg3_sweep.jsonl). Presets therefore route these
+# filters to filter_mode="matvec" (exact polynomial application by strip
+# matvecs, no eigensolve) — see MATVEC_FILTERS.
+AFFINE_FILTERS = ("sharpen", "twicing")
+# Polynomial-in-W filters admitting exact matvec application — a
+# dependency-free copy of ops/filters.MATVEC_FILTERS (config cannot import
+# jax); tests/test_presets.py pins the two together.
+MATVEC_FILTERS = ("identity", "power", "sharpen", "twicing")
+FILTER_MODES = ("spectral", "matvec")
 SOLVERS = ("oneshot", "chol", "lobpcg", "sketch")
 DTYPES = ("float32", "bfloat16")
 
@@ -108,6 +125,17 @@ class PipelineConfig:
     # --- spectral filter ---
     filter_name: str = "identity"  # see ops/filters.py registry
     filter_param: float = 1.0      # k for power, beta for sharpen, tau for exp
+    filter_mode: str = "spectral"  # "spectral": f(L) through the rank-m
+                                   # Nystrom eigenbasis (the reference form;
+                                   # required for non-polynomial f and for
+                                   # basis reuse/checkpointing) |
+                                   # "matvec": EXACT f(W) y by repeated strip
+                                   # matvecs for polynomial filters
+                                   # (MATVEC_FILTERS) — skips the gram +
+                                   # eigensolve entirely and is immune to
+                                   # the near-degenerate-cluster subspace
+                                   # instability that makes rank-m AFFINE
+                                   # filters ill-posed (AFFINE_FILTERS note)
 
     # --- color handling ---
     rgb_mode: str = "per_channel"  # "per_channel" (reference behavior:
@@ -158,6 +186,20 @@ class PipelineConfig:
             )
         if self.filter_name not in FILTERS:
             raise ValueError(f"filter_name must be one of {FILTERS}, got {self.filter_name!r}")
+        if self.filter_mode not in FILTER_MODES:
+            raise ValueError(f"filter_mode must be one of {FILTER_MODES}, "
+                             f"got {self.filter_mode!r}")
+        if self.filter_mode == "matvec":
+            if self.filter_name not in MATVEC_FILTERS:
+                raise ValueError(
+                    f"filter_mode='matvec' supports polynomial filters "
+                    f"{MATVEC_FILTERS}, got {self.filter_name!r}")
+            if (self.filter_name in ("power", "twicing")
+                    and (self.filter_param != int(self.filter_param)
+                         or self.filter_param < 1)):
+                raise ValueError(
+                    f"filter_mode='matvec' needs an integer filter_param >= 1 "
+                    f"for {self.filter_name!r}, got {self.filter_param!r}")
         if self.affinity_dtype not in DTYPES + ("bfloat16_store",):
             raise ValueError(f"affinity_dtype must be one of "
                              f"{DTYPES + ('bfloat16_store',)}")
@@ -367,6 +409,18 @@ def tuned_config(cfg: PipelineConfig, n_pixels: int, level: str = "fast",
         if p >= 4 * k_sketch:
             chosen.update(solver="sketch", sketch_oversample=206,
                           sketch_power=0)
+    if (cfg.filter_name in AFFINE_FILTERS and cfg.filter_mode == "spectral"
+            and (cfg.filter_name != "twicing"
+                 or (cfg.filter_param == int(cfg.filter_param)
+                     and cfg.filter_param >= 1))):
+        # Rank-m AFFINE filters are ill-posed on collapsed kernel spectra
+        # (AFFINE_FILTERS note): every accelerated cfg3 recipe measured
+        # 1.8-4.6 dB off the exact trajectory with polish/coarse depth
+        # irrelevant (cfg3_sweep.jsonl). ALL preset levels — including
+        # "exact", so parity twins compare like-to-like — route them to the
+        # exact polynomial matvec form, which is also faster (no
+        # gram/eigensolve). Explicit filter_mode in ``keep`` wins.
+        chosen["filter_mode"] = "matvec"
     return cfg.replace(**{k: v for k, v in chosen.items() if k not in keep})
 
 
@@ -413,8 +467,12 @@ CONFIG2 = PipelineConfig(
 # gradient energy (1.20x clean) sat BELOW the noisy input's own 1.25x —
 # net smoothing; h=0.15 at the same beta measures 1.38x with SSIM 0.877
 # (input 0.890) and +2.3 dB better PSNR — an actual faithful detail boost.
+# filter_mode="matvec": the sharpen polynomial is applied EXACTLY by strip
+# matvecs (z = (1+b) y - b W y) — the rank-m spectral form is ill-posed here
+# (AFFINE_FILTERS note; measured in cfg3_sweep.jsonl) and the matvec form
+# also skips the gram + eigensolve, the streaming path's dominant cost.
 CONFIG3 = PipelineConfig(
     kernel="nlm", patch_size=5, h=0.15, sample_rho=0.01, sample_cap=4096,
     num_eigvecs=50, normalization="sinkhorn", filter_name="sharpen",
-    filter_param=0.6,
+    filter_param=0.6, filter_mode="matvec",
 )

@@ -28,9 +28,9 @@ import numpy as np
 from ..config import PipelineConfig
 from ..utils.sampling import SamplePlan, random_sample, uniform_grid_sample
 from ..ops.affinity import affinity_blocks
-from ..ops.sinkhorn import normalize_blocks
+from ..ops.sinkhorn import _make_kaa_solve, normalize_blocks, nystrom_matvec
 from ..ops.nystrom import nystrom_eigh, nystrom_eigh_chol
-from ..ops.filters import apply_spectral_filter
+from ..ops.filters import apply_matvec_filter, apply_spectral_filter
 
 
 class FilterResult(NamedTuple):
@@ -72,15 +72,42 @@ def _filter_channel_impl(img2d: jnp.ndarray, idx_a: jnp.ndarray,
         from .streaming import filter_channel_streaming
         return filter_channel_streaming(img2d, idx_a, perm, inv_perm, cfg)
     kaa, kab = affinity_blocks(img2d, idx_a, perm, cfg)
-    waa, wab, _, _ = normalize_blocks(
+    waa, wab, s_a, s_b = normalize_blocks(
         kaa, kab, cfg.normalization, cfg.sinkhorn_iters, cfg.eig_tol,
         cfg.solver, cfg.sinkhorn_coarse, cfg.sinkhorn_polish)
-    basis = _solve_basis(waa, wab, cfg)
     y_perm = jnp.take(img2d.astype(jnp.float32).ravel(), perm)
-    z_perm = apply_spectral_filter(
-        y_perm, basis.vals, basis.vecs, cfg.filter_name, cfg.filter_param)
+    if cfg.filter_mode == "matvec":
+        # exact polynomial f(W) y via completion matvecs — no eigensolve
+        # (ops/filters.py MATVEC_FILTERS note)
+        z_perm = apply_matvec_filter(_dense_wapply(kaa, kab, s_a, s_b, cfg),
+                                     y_perm, cfg.filter_name,
+                                     cfg.filter_param)
+        vals = jnp.zeros((0,), jnp.float32)
+    else:
+        basis = _solve_basis(waa, wab, cfg)
+        z_perm = apply_spectral_filter(
+            y_perm, basis.vals, basis.vecs, cfg.filter_name, cfg.filter_param)
+        vals = basis.vals
     z = jnp.take(z_perm, inv_perm).reshape(img2d.shape)
-    return jnp.clip(z, 0.0, 1.0), basis.vals
+    return jnp.clip(z, 0.0, 1.0), vals
+
+
+def _dense_wapply(kaa, kab, s_a, s_b, cfg: PipelineConfig):
+    """x -> W x = s * K~(s * x): the scaled completion, with the SAME
+    K_AA-ridge solve Sinkhorn iterates on — one completion operator
+    everywhere (the streaming twin is ktilde_apply; building the solve from
+    the scaled W_AA instead shifts the ridge and measurably diverges the
+    two paths). bf16-stored strips ride jnp's mixed-dtype promotion
+    (converted per-op, never re-materialized at f32)."""
+    solve = _make_kaa_solve(kaa, cfg.eig_tol, cfg.solver)
+    p = kaa.shape[0]
+
+    def wapply(x):
+        top, bottom = nystrom_matvec(kaa, kab, solve, s_a * x[:p],
+                                     s_b * x[p:])
+        return jnp.concatenate([s_a * top, s_b * bottom])
+
+    return wapply
 
 
 _filter_channel = partial(jax.jit, static_argnames=("cfg",))(
@@ -103,6 +130,42 @@ def _filter_channels_luma(y2d: jnp.ndarray, img_chw: jnp.ndarray, idx_a,
     spectral filter applied to every channel through it (guided global
     filtering — the affinity/Sinkhorn/eigensolve stages run once instead of
     C times; per-channel cost drops to the O(N m) apply)."""
+    if cfg.filter_mode == "matvec":
+        # ONE graph + Sinkhorn from the luma guide, then an exact
+        # polynomial matvec per channel — guided filtering without ever
+        # forming a basis (cheapest possible luma mode: the per-channel
+        # cost is the strip passes of f(W) ch alone)
+        if cfg.streaming:
+            from .streaming import _normalize_streaming, _strip_ctx
+            ctx = _strip_ctx(y2d, idx_a, cfg)
+            s = _normalize_streaming(ctx, cfg)
+            n, n_pad = ctx.n, ctx.n_pad
+
+            def wapply(x):
+                return s * ctx.ktilde_apply(s * x)
+
+            def apply(ch):
+                y_pad = jnp.zeros(n_pad, jnp.float32).at[:n].set(
+                    ch.astype(jnp.float32).ravel())
+                z = apply_matvec_filter(wapply, y_pad, cfg.filter_name,
+                                        cfg.filter_param)
+                return jnp.clip(z[:n].reshape(ch.shape), 0.0, 1.0)
+        else:
+            kaa, kab = affinity_blocks(y2d, idx_a, perm, cfg)
+            _, _, s_a, s_b = normalize_blocks(
+                kaa, kab, cfg.normalization, cfg.sinkhorn_iters, cfg.eig_tol,
+                cfg.solver, cfg.sinkhorn_coarse, cfg.sinkhorn_polish)
+            wapply = _dense_wapply(kaa, kab, s_a, s_b, cfg)
+
+            def apply(ch):
+                y_perm = jnp.take(ch.astype(jnp.float32).ravel(), perm)
+                z_perm = apply_matvec_filter(wapply, y_perm, cfg.filter_name,
+                                             cfg.filter_param)
+                return jnp.clip(jnp.take(z_perm, inv_perm).reshape(ch.shape),
+                                0.0, 1.0)
+
+        return jax.vmap(apply)(img_chw), jnp.zeros((0,), jnp.float32)
+
     if cfg.streaming:
         from .streaming import basis_channel_streaming
         vals, vecs = basis_channel_streaming(y2d, idx_a, cfg)   # natural order
@@ -241,6 +304,27 @@ def _stage_eigh(waa, wab, cfg: PipelineConfig):
 
 
 @partial(jax.jit, static_argnames=("cfg",))
+def _stage_normalize_scales(kaa, kab, cfg: PipelineConfig):
+    """Staged normalize for matvec mode: the SCALES (not scaled blocks) —
+    the matvec apply wants (kaa, kab, s) to share Sinkhorn's K_AA-ridge
+    completion (see _dense_wapply)."""
+    _, _, s_a, s_b = normalize_blocks(
+        kaa, kab, cfg.normalization, cfg.sinkhorn_iters, cfg.eig_tol,
+        cfg.solver, cfg.sinkhorn_coarse, cfg.sinkhorn_polish)
+    return s_a, s_b
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _stage_matvec_filter(img2d, kaa, kab, s_a, s_b, perm, inv_perm,
+                         cfg: PipelineConfig):
+    """Staged twin of the dense matvec-mode apply (no eigensolve stage)."""
+    y_perm = jnp.take(img2d.astype(jnp.float32).ravel(), perm)
+    z_perm = apply_matvec_filter(_dense_wapply(kaa, kab, s_a, s_b, cfg),
+                                 y_perm, cfg.filter_name, cfg.filter_param)
+    return jnp.clip(jnp.take(z_perm, inv_perm).reshape(img2d.shape), 0.0, 1.0)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
 def _stage_filter(img2d, vals, vecs, perm, inv_perm, cfg: PipelineConfig):
     y_perm = jnp.take(img2d.astype(jnp.float32).ravel(), perm)
     z_perm = apply_spectral_filter(y_perm, vals, vecs,
@@ -255,6 +339,11 @@ def compute_basis(image: np.ndarray, cfg: PipelineConfig,
     Shapes: gray -> ((m,), (N, m)); multi-channel -> ((C, m), (C, N, m)).
     Rows of vecs are in permuted [A; B] order (utils/checkpoint.py replays).
     """
+    if cfg.filter_mode == "matvec":
+        raise ValueError(
+            "compute_basis requires filter_mode='spectral' — matvec mode "
+            "never forms an eigenbasis (that is its point); use "
+            "cfg.replace(filter_mode='spectral') to checkpoint a basis")
     image = np.asarray(image)
     if plan is None:
         plan = make_plan(image, cfg)
@@ -301,7 +390,7 @@ def _filter_streaming_staged(image: np.ndarray, cfg: PipelineConfig,
     per stage, so the FUSED filter_image wall stays the headline; these
     walls are for attribution."""
     from .streaming import (stage_apply_streaming, stage_factor_streaming,
-                            stage_scales_streaming)
+                            stage_matvec_streaming, stage_scales_streaming)
 
     idx_a = jnp.asarray(plan.idx_a)
     h, w = image.shape[:2]
@@ -314,12 +403,20 @@ def _filter_streaming_staged(image: np.ndarray, cfg: PipelineConfig,
         t0 = time.perf_counter()
         s = jax.block_until_ready(stage_scales_streaming(img2d, idx_a, cfg))
         t1 = time.perf_counter()
-        fac = jax.block_until_ready(
-            stage_factor_streaming(img2d, idx_a, s, cfg))
-        t2 = time.perf_counter()
-        z, vals = jax.block_until_ready(
-            stage_apply_streaming(fac, idx_a, cfg, h, w))
-        t3 = time.perf_counter()
+        if cfg.filter_mode == "matvec":
+            # no eigensolve stage in matvec mode — the filter IS the
+            # remaining strip passes
+            z, vals = jax.block_until_ready(
+                stage_matvec_streaming(img2d, idx_a, s, cfg))
+            t2 = t1
+            t3 = time.perf_counter()
+        else:
+            fac = jax.block_until_ready(
+                stage_factor_streaming(img2d, idx_a, s, cfg))
+            t2 = time.perf_counter()
+            z, vals = jax.block_until_ready(
+                stage_apply_streaming(fac, idx_a, cfg, h, w))
+            t3 = time.perf_counter()
         timings["normalize"] += t1 - t0
         timings["eigensolve"] += t2 - t1
         timings["filter"] += t3 - t2
@@ -368,21 +465,36 @@ def filter_image_staged(image: np.ndarray, cfg: PipelineConfig,
         kaa, kab = jax.block_until_ready(
             _stage_affinity(y2d, idx_a, perm, cfg))
         t1 = time.perf_counter()
-        waa, wab = jax.block_until_ready(_stage_normalize(kaa, kab, cfg))
-        t2 = time.perf_counter()
-        basis = jax.block_until_ready(_stage_eigh(waa, wab, cfg))
-        t3 = time.perf_counter()
-        outs = []
-        for c in range(image.shape[-1]):
-            img2d = jnp.asarray(image[..., c], jnp.float32)
-            z = jax.block_until_ready(_stage_filter(
-                img2d, basis.vals, basis.vecs, perm, inv_perm, cfg))
-            outs.append(np.asarray(z))
-        t4 = time.perf_counter()
+        if cfg.filter_mode == "matvec":
+            s_a, s_b = jax.block_until_ready(
+                _stage_normalize_scales(kaa, kab, cfg))
+            t2 = time.perf_counter()
+            t3 = t2                          # no eigensolve stage
+            outs = []
+            for c in range(image.shape[-1]):
+                img2d = jnp.asarray(image[..., c], jnp.float32)
+                z = jax.block_until_ready(_stage_matvec_filter(
+                    img2d, kaa, kab, s_a, s_b, perm, inv_perm, cfg))
+                outs.append(np.asarray(z))
+            t4 = time.perf_counter()
+            vals = np.zeros((0,), np.float32)
+        else:
+            waa, wab = jax.block_until_ready(_stage_normalize(kaa, kab, cfg))
+            t2 = time.perf_counter()
+            basis = jax.block_until_ready(_stage_eigh(waa, wab, cfg))
+            t3 = time.perf_counter()
+            outs = []
+            for c in range(image.shape[-1]):
+                img2d = jnp.asarray(image[..., c], jnp.float32)
+                z = jax.block_until_ready(_stage_filter(
+                    img2d, basis.vals, basis.vecs, perm, inv_perm, cfg))
+                outs.append(np.asarray(z))
+            t4 = time.perf_counter()
+            vals = np.asarray(basis.vals)
         timings.update(affinity=t1 - t0, normalize=t2 - t1,
                        eigensolve=t3 - t2, filter=t4 - t3)
         return FilterResult(image=np.stack(outs, axis=-1),
-                            eigvals=np.asarray(basis.vals), timings=timings)
+                            eigvals=vals, timings=timings)
 
     channels = [image] if image.ndim == 2 else [
         image[..., c] for c in range(image.shape[-1])]
@@ -393,19 +505,29 @@ def filter_image_staged(image: np.ndarray, cfg: PipelineConfig,
         t0 = time.perf_counter()
         kaa, kab = jax.block_until_ready(_stage_affinity(img2d, idx_a, perm, cfg))
         t1 = time.perf_counter()
-        waa, wab = jax.block_until_ready(_stage_normalize(kaa, kab, cfg))
-        t2 = time.perf_counter()
-        basis = jax.block_until_ready(_stage_eigh(waa, wab, cfg))
-        t3 = time.perf_counter()
-        z = jax.block_until_ready(
-            _stage_filter(img2d, basis.vals, basis.vecs, perm, inv_perm, cfg))
+        if cfg.filter_mode == "matvec":
+            s_a, s_b = jax.block_until_ready(
+                _stage_normalize_scales(kaa, kab, cfg))
+            t2 = time.perf_counter()
+            t3 = t2                          # no eigensolve stage
+            z = jax.block_until_ready(_stage_matvec_filter(
+                img2d, kaa, kab, s_a, s_b, perm, inv_perm, cfg))
+            vals = np.zeros((0,), np.float32)
+        else:
+            waa, wab = jax.block_until_ready(_stage_normalize(kaa, kab, cfg))
+            t2 = time.perf_counter()
+            basis = jax.block_until_ready(_stage_eigh(waa, wab, cfg))
+            t3 = time.perf_counter()
+            z = jax.block_until_ready(_stage_filter(
+                img2d, basis.vals, basis.vecs, perm, inv_perm, cfg))
+            vals = np.asarray(basis.vals)
         t4 = time.perf_counter()
         timings["affinity"] += t1 - t0
         timings["normalize"] += t2 - t1
         timings["eigensolve"] += t3 - t2
         timings["filter"] += t4 - t3
         outs.append(np.asarray(z))
-        all_vals.append(np.asarray(basis.vals))
+        all_vals.append(vals)
 
     out = outs[0] if image.ndim == 2 else np.stack(outs, axis=-1)
     vals = all_vals[0] if image.ndim == 2 else np.stack(all_vals)

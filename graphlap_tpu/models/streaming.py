@@ -162,8 +162,8 @@ def _strip_ctx(img2d: jnp.ndarray, idx_a: jnp.ndarray,
         # feature matrix is built once and reused across every pass
         from ..ops import pallas_streaming as pst
         _, p_pad = pst.p_tiling(p)
-        tn = 1024 if dtype == jnp.bfloat16 else 512
-        n_pad_k = _cdiv(n_pad, tn) * tn
+        tn = pst._tile_n(dtype)    # kernel-owned: a VMEM retune cannot
+        n_pad_k = _cdiv(n_pad, tn) * tn        # desync this padding
         fa_pad = jnp.zeros((p_pad, pst.D_PAD), dtype).at[:p, :d].set(
             feats_a.astype(dtype))
         f_t = jnp.zeros((pst.D_PAD, n_pad_k), dtype).at[:d, :n_pad].set(
@@ -404,12 +404,39 @@ def _apply_factor(fac: StreamFactor, idx_a: jnp.ndarray,
     return jnp.clip(z, 0.0, 1.0), fac.vals            # un-permute gather
 
 
+def _apply_matvec_streaming(img2d: jnp.ndarray, ctx: _StripCtx,
+                            s: jnp.ndarray, cfg: PipelineConfig,
+                            h: int, w: int):
+    """Exact polynomial filter f(W) y by streaming strip matvecs
+    (cfg.filter_mode="matvec"): W x = s * K~(s * x) through ktilde_apply —
+    the same completion matvec Sinkhorn iterates on. No gram, no
+    eigensolve, no rank-m truncation (ops/filters.py MATVEC_FILTERS note).
+    Returns (z2d, empty eigvals)."""
+    from ..ops.filters import apply_matvec_filter
+
+    n, n_pad = ctx.n, ctx.n_pad
+    y_pad = jnp.zeros(n_pad, jnp.float32).at[:n].set(
+        img2d.astype(jnp.float32).ravel())
+
+    def wapply(x):
+        return s * ctx.ktilde_apply(s * x)
+
+    z_full = apply_matvec_filter(wapply, y_pad, cfg.filter_name,
+                                 cfg.filter_param)
+    z = jnp.clip(z_full[:n].reshape(h, w), 0.0, 1.0)
+    return z, jnp.zeros((0,), jnp.float32)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def filter_channel_streaming(img2d: jnp.ndarray, idx_a: jnp.ndarray,
                              perm: jnp.ndarray, inv_perm: jnp.ndarray,
                              cfg: PipelineConfig):
     """One grayscale channel, strip-free. Returns (z2d, vals)."""
     h, w = img2d.shape
+    if cfg.filter_mode == "matvec":
+        ctx = _strip_ctx(img2d, idx_a, cfg)
+        s = _normalize_streaming(ctx, cfg)
+        return _apply_matvec_streaming(img2d, ctx, s, cfg, h, w)
     fac = _factor_streaming(img2d, idx_a, cfg)
     return _apply_factor(fac, idx_a, cfg, h, w)
 
@@ -429,6 +456,16 @@ def filter_channel_streaming(img2d: jnp.ndarray, idx_a: jnp.ndarray,
 def stage_scales_streaming(img2d, idx_a, cfg: PipelineConfig):
     """Stage 1: normalization scales s (n_pad,) — the Sinkhorn wall."""
     return _normalize_streaming(_strip_ctx(img2d, idx_a, cfg), cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def stage_matvec_streaming(img2d, idx_a, s, cfg: PipelineConfig):
+    """Staged twin of the matvec-mode filter apply (filter_mode="matvec"):
+    everything after the normalization scales in one jit — there is no
+    eigensolve stage to time in this mode."""
+    h, w = img2d.shape
+    return _apply_matvec_streaming(img2d, _strip_ctx(img2d, idx_a, cfg), s,
+                                   cfg, h, w)
 
 
 @partial(jax.jit, static_argnames=("cfg",))

@@ -81,6 +81,60 @@ FILTER_REGISTRY: dict[str, SpectralFilter] = {
 }
 
 
+# Filters that are POLYNOMIALS in W and can therefore be applied EXACTLY by
+# repeated strip matvecs against the Nystrom completion — no eigensolve, no
+# rank-m truncation (config filter_mode="matvec"). This matters beyond speed:
+# kernel spectra collapse into near-degenerate clusters past the first few
+# eigenvalues (measured gaps ~1e-5 at the m=50 boundary on the graded
+# configs), so a rank-m AFFINE filter — which weights the kept basis by
+# f(lambda)-1 ~ beta instead of damping it by lambda ~ 0 — boosts an
+# essentially arbitrary m-dim slice of the cluster: any perturbation
+# (bf16 tiles, coarse-gram estimate, even seed choice) rotates the slice and
+# moves the output by whole dB (benchmarks/results/cfg3_sweep.jsonl). The
+# polynomial form sidesteps the whole failure class: the output is a smooth
+# function of the operator, not of an ill-posed subspace selection.
+MATVEC_FILTERS = ("identity", "power", "sharpen", "twicing")
+
+
+def check_matvec_filter(name: str, param: float) -> None:
+    """Raise unless (name, param) admits exact polynomial application."""
+    if name not in MATVEC_FILTERS:
+        raise ValueError(
+            f"filter_mode='matvec' supports polynomial filters "
+            f"{MATVEC_FILTERS}, got {name!r} (use filter_mode='spectral')")
+    if name in ("power", "twicing") and (param != int(param) or param < 1):
+        raise ValueError(
+            f"filter_mode='matvec' needs an integer filter_param >= 1 for "
+            f"{name!r} (W^k by k matvecs), got {param!r}")
+
+
+def apply_matvec_filter(wapply, y, name: str, param: float):
+    """z = f(W) y via repeated applications of ``wapply`` (x -> W x).
+
+    Works on jnp and np arrays alike — ``wapply`` sets the backend; the
+    float64 oracle passes a numpy completion matvec. The Python loops are
+    static (param is config), so under jit this unrolls into a fixed chain
+    of strip passes.
+    """
+    check_matvec_filter(name, param)
+    if name == "identity":
+        return wapply(y)                       # z = W y (GLIDE denoise)
+    if name == "power":
+        z = y
+        for _ in range(int(param)):
+            z = wapply(z)                      # z = W^k y
+        return z
+    if name == "sharpen":
+        # f(l) = 1 + b(1-l)  =>  z = (1+b) y - b W y  (unsharp mask with the
+        # doubly-stochastic W as the smoother; exact over the FULL spectrum)
+        return (1.0 + param) * y - param * wapply(y)
+    # twicing: f(l) = 1 - (1-l)^k  =>  z = y - (I-W)^k y
+    r = y
+    for _ in range(int(param)):
+        r = r - wapply(r)
+    return y - r
+
+
 def apply_spectral_filter(y_perm: jnp.ndarray, vals: jnp.ndarray,
                           vecs: jnp.ndarray, name: str, param: float) -> jnp.ndarray:
     """z_perm = filter(y_perm) in the eigenbasis. All O(N m)."""

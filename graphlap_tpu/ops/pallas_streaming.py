@@ -55,8 +55,11 @@ def _tile_p_of(p_pad: int) -> int:
 
 
 def _tile_n(dtype) -> int:
-    # keep the (TILE_P, TILE_N) kernel tile ~8 MB of VMEM
-    return 1024 if dtype == jnp.bfloat16 else 512
+    # keep the (TILE_P, TILE_N) kernel tile ~8 MB of VMEM. f32 needs the
+    # narrower tile: at (4096, 512) the f32 kb + d2 stack intermediates
+    # measured 17.92 MB scoped VMEM (> the 16 MB limit) on v5e — a real
+    # compile failure for -pallas without -bf16 at 1024^2-class images
+    return 1024 if dtype == jnp.bfloat16 else 256
 
 
 def _kb_tile(a, bt, dtype):

@@ -76,7 +76,7 @@ def build_sharded_pipeline(mesh, cfg: PipelineConfig):
             feats_a, feats_perm[:, p:])
         kab = shard(kab, mesh, "data", None, "rows")
 
-        waa, wab, _, _ = jax.vmap(
+        waa, wab, s_a, s_b = jax.vmap(
             lambda a, b_: normalize_blocks(a, b_, cfg.normalization,
                                            cfg.sinkhorn_iters, cfg.eig_tol,
                                            cfg.solver, cfg.sinkhorn_coarse,
@@ -84,6 +84,33 @@ def build_sharded_pipeline(mesh, cfg: PipelineConfig):
         )(kaa, kab)
         waa = shard(waa, mesh, "data")
         wab = shard(wab, mesh, "data", None, "rows")
+
+        if cfg.filter_mode == "matvec":
+            # exact polynomial f(W) y per frame — the strip matvec reduces
+            # over the rows-sharded N axis (GSPMD inserts the psum), the
+            # p-sized state is replicated per row group; no eigensolve
+            # (models/pipeline._dense_wapply is the single-device twin)
+            from ..ops.filters import apply_matvec_filter
+            from ..ops.sinkhorn import _make_kaa_solve, nystrom_matvec
+
+            y_perm = jnp.take(frames.reshape(b, h * w), perm, axis=1)
+            y_perm = shard(y_perm, mesh, "data", "rows")
+
+            def one(kaa1, kab1, sa1, sb1, y1):
+                solve = _make_kaa_solve(kaa1, cfg.eig_tol, cfg.solver)
+
+                def wapply(x):
+                    top, bottom = nystrom_matvec(kaa1, kab1, solve,
+                                                 sa1 * x[:p], sb1 * x[p:])
+                    return jnp.concatenate([sa1 * top, sb1 * bottom])
+
+                return apply_matvec_filter(wapply, y1, cfg.filter_name,
+                                           cfg.filter_param)
+
+            z_perm = jax.vmap(one)(kaa, kab, s_a, s_b, y_perm)
+            z = jnp.take(z_perm, inv_perm, axis=1).reshape(b, h, w)
+            z = shard(jnp.clip(z, 0.0, 1.0), mesh, "data")
+            return z, jnp.zeros((b, 0), jnp.float32)
 
         if cfg.solver == "sketch":
             from ..ops.nystrom import nystrom_eigh_sketch

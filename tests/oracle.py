@@ -14,9 +14,12 @@ import numpy as np
 from graphlap_tpu.config import PipelineConfig
 from graphlap_tpu.utils.sampling import SamplePlan, uniform_grid_sample
 from graphlap_tpu.ops.affinity import extract_features_np, affinity_strip_np
-from graphlap_tpu.ops.sinkhorn import normalize_blocks_np
+from graphlap_tpu.ops.sinkhorn import (_make_kaa_solve_np,
+                                       normalize_blocks_np,
+                                       nystrom_matvec_np)
 from graphlap_tpu.ops.nystrom import nystrom_eigh_chol_np, nystrom_eigh_np
-from graphlap_tpu.ops.filters import apply_spectral_filter_np
+from graphlap_tpu.ops.filters import (apply_matvec_filter,
+                                      apply_spectral_filter_np)
 
 
 def oracle_affinity(img2d: np.ndarray, plan: SamplePlan, cfg: PipelineConfig):
@@ -33,16 +36,32 @@ def oracle_filter_channel(img2d: np.ndarray, plan: SamplePlan,
     Returns (filtered 2-D image clipped to [0,1], eigenvalues (m,)).
     """
     kaa, kab = oracle_affinity(img2d, plan, cfg)
-    waa, wab, _, _ = normalize_blocks_np(
+    waa, wab, s_a, s_b = normalize_blocks_np(
         kaa, kab, cfg.normalization, cfg.sinkhorn_iters, cfg.eig_tol,
         cfg.solver)
+    y_perm = np.asarray(img2d, np.float64).ravel()[plan.perm]
+    if cfg.filter_mode == "matvec":
+        # exact polynomial f(W) y on the float64 completion — the twin of
+        # models/pipeline._dense_wapply / streaming._apply_matvec_streaming:
+        # W x = s * K~(s x), with the SAME K_AA-ridge solve Sinkhorn uses
+        solve = _make_kaa_solve_np(kaa, cfg.eig_tol, cfg.solver)
+        p = plan.p
+
+        def wapply(x):
+            top, bottom = nystrom_matvec_np(kaa, kab, solve, s_a * x[:p],
+                                            s_b * x[p:])
+            return np.concatenate([s_a * top, s_b * bottom])
+
+        z_perm = apply_matvec_filter(wapply, y_perm, cfg.filter_name,
+                                     cfg.filter_param)
+        z = z_perm[plan.inv_perm].reshape(img2d.shape)
+        return np.clip(z, 0.0, 1.0), np.zeros((0,), np.float64)
     # "sketch" is an accelerator for the chol/ridge solve — its float64
     # reference is the exact chol twin (same as lobpcg's)
     eig_fn = (nystrom_eigh_chol_np if cfg.solver in ("chol", "lobpcg",
                                                      "sketch")
               else nystrom_eigh_np)
     vals, vecs = eig_fn(waa, wab, cfg.num_eigvecs, cfg.eig_tol)
-    y_perm = np.asarray(img2d, np.float64).ravel()[plan.perm]
     z_perm = apply_spectral_filter_np(y_perm, vals, vecs,
                                       cfg.filter_name, cfg.filter_param)
     z = z_perm[plan.inv_perm].reshape(img2d.shape)

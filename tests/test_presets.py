@@ -87,6 +87,47 @@ def test_tuned_config_streaming_turbo_drops_polish():
     assert cfg.sinkhorn_polish == 0 and cfg.gram_coarse == 64
 
 
+def test_affine_filter_set_matches_registry():
+    # config.AFFINE_FILTERS / MATVEC_FILTERS are dependency-free copies of
+    # ops.filters' registry flags (config.py cannot import ops.filters:
+    # no jax there) — these pins keep them from drifting
+    from graphlap_tpu.config import AFFINE_FILTERS, MATVEC_FILTERS
+    from graphlap_tpu.ops.filters import FILTER_REGISTRY as REGISTRY
+    from graphlap_tpu.ops.filters import MATVEC_FILTERS as OPS_MATVEC
+    assert set(AFFINE_FILTERS) == {
+        name for name, f in REGISTRY.items() if f.affine}
+    assert MATVEC_FILTERS == OPS_MATVEC
+
+
+def test_tuned_config_routes_affine_filters_to_matvec():
+    """Rank-m AFFINE filters are ill-posed on collapsed kernel spectra
+    (every accelerated cfg3 recipe measured 1.8-4.6 dB off the exact
+    trajectory, polish/coarse depth irrelevant, and even a lone gram_coarse=4
+    at full f32 measured 2.5 dB — cfg3_sweep.jsonl): presets route them to
+    the exact polynomial matvec form at EVERY level, so parity twins compare
+    like-to-like."""
+    base = PipelineConfig(kernel="nlm", h=0.15, sample_cap=4096,
+                          streaming=True, block_cols=131072,
+                          filter_name="sharpen", filter_param=0.6)
+    for level in ("exact", "fast", "turbo"):
+        assert tuned_config(base, 1024 * 1024, level).filter_mode == "matvec"
+    # dense branch too
+    dense = tuned_config(CONFIG2.replace(filter_name="sharpen"),
+                         512 * 512, "fast")
+    assert dense.filter_mode == "matvec"
+    # denoise (projection) filters keep the spectral rank-m form
+    assert tuned_config(CONFIG2, 512 * 512, "fast").filter_mode == "spectral"
+    # an explicit user choice wins
+    kept = tuned_config(base, 1024 * 1024, "fast",
+                        keep=frozenset({"filter_mode"}))
+    assert kept.filter_mode == "spectral"
+    # twicing with a NON-integer k cannot be applied by matvecs — stays
+    # spectral rather than producing an invalid config
+    tw = tuned_config(base.replace(filter_name="twicing", filter_param=2.5),
+                      1024 * 1024, "fast")
+    assert tw.filter_mode == "spectral"
+
+
 def test_tuned_config_small_streaming_degrades_to_no_decimation():
     base = PipelineConfig(kernel="nlm", sample_rho=0.02, streaming=True)
     cfg = tuned_config(base, 262_144, "fast")

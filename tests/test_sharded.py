@@ -126,3 +126,40 @@ def test_streaming_sharded_pallas_matches_xla(frames):
     z_p, _ = filter_image_streaming_sharded(
         frames[0], scfg.replace(use_pallas=True), plan, mesh)
     np.testing.assert_allclose(z_p, z_x, atol=2e-4)
+
+
+def test_matvec_mode_sharded_matches_single(frames):
+    """filter_mode='matvec' (exact polynomial sharpen) through BOTH sharded
+    builders == the single-device matvec path. The sharded matvec reuses
+    ktilde_apply / the per-frame completion, so this pins the psum
+    placement of the no-eigensolve production cfg3 recipe."""
+    from graphlap_tpu.parallel.sharded import filter_frames_sharded
+    from graphlap_tpu.parallel.streaming_sharded import (
+        filter_image_streaming_sharded,
+    )
+
+    mcfg = CFG.replace(filter_name="sharpen", filter_param=0.6,
+                       filter_mode="matvec")
+    plan = make_plan(frames[0], mcfg)
+    mesh = make_mesh(n_rows=4, n_data=2)
+
+    # dense rows-sharded builder
+    z, vals = filter_frames_sharded(frames, mcfg, plan, mesh)
+    assert vals.shape == (frames.shape[0], 0)
+    for i in range(frames.shape[0]):
+        ref = filter_image(frames[i], mcfg, plan=plan)
+        np.testing.assert_allclose(z[i], ref.image, atol=2e-4)
+
+    # streaming single-frame + batched (coarse-Sinkhorn) builders
+    scfg = mcfg.replace(streaming=True, block_cols=128, sinkhorn_iters=10)
+    sref = filter_image(frames[0], scfg, plan=plan)
+    z_s, _ = filter_image_streaming_sharded(frames[0], scfg, plan, mesh)
+    np.testing.assert_allclose(z_s, sref.image, atol=2e-4)
+    ccfg = scfg.replace(block_cols=256, sinkhorn_coarse=2,
+                        sinkhorn_polish=1, sinkhorn_iters=6)
+    cref = filter_image(frames[0], ccfg, plan=plan)
+    # coarse-Sinkhorn routes through the BATCHED builder with B=1, whose
+    # frame axis shards over 'data' — needs a pure-rows mesh here
+    z_c, _ = filter_image_streaming_sharded(frames[0], ccfg, plan,
+                                            make_mesh(8, 1))
+    np.testing.assert_allclose(z_c, cref.image, atol=2e-4)
