@@ -26,9 +26,11 @@ FILTERS = ("identity", "power", "lowpass", "sharpen", "exp_decay", "twicing")
 # ~1e-5 at the m=50 boundary) — so the rank-m affine output rides an
 # ill-posed subspace selection: EVERY accelerated recipe measured 1.8-4.6
 # dB off the exact trajectory at cfg3, with polish/coarse depth irrelevant
-# (benchmarks/results/cfg3_sweep.jsonl). Presets therefore route these
-# filters to filter_mode="matvec" (exact polynomial application by strip
-# matvecs, no eigensolve) — see MATVEC_FILTERS.
+# (benchmarks/results/cfg3_sweep.jsonl). Presets route SHARPEN to
+# filter_mode="matvec" (exact polynomial application by strip matvecs, no
+# eigensolve — see MATVEC_FILTERS); TWICING deliberately stays spectral:
+# the low-rank polynomial's f(0)=0 kills the out-of-rank residual whose
+# add-back is twicing's point (tuned_config routing note).
 AFFINE_FILTERS = ("sharpen", "twicing")
 # Polynomial-in-W filters admitting exact matvec application — a
 # dependency-free copy of ops/filters.MATVEC_FILTERS (config cannot import
@@ -409,17 +411,23 @@ def tuned_config(cfg: PipelineConfig, n_pixels: int, level: str = "fast",
         if p >= 4 * k_sketch:
             chosen.update(solver="sketch", sketch_oversample=206,
                           sketch_power=0)
-    if (cfg.filter_name in AFFINE_FILTERS and cfg.filter_mode == "spectral"
-            and (cfg.filter_name != "twicing"
-                 or (cfg.filter_param == int(cfg.filter_param)
-                     and cfg.filter_param >= 1))):
+    if cfg.filter_name == "sharpen" and cfg.filter_mode == "spectral":
         # Rank-m AFFINE filters are ill-posed on collapsed kernel spectra
         # (AFFINE_FILTERS note): every accelerated cfg3 recipe measured
         # 1.8-4.6 dB off the exact trajectory with polish/coarse depth
         # irrelevant (cfg3_sweep.jsonl). ALL preset levels — including
-        # "exact", so parity twins compare like-to-like — route them to the
-        # exact polynomial matvec form, which is also faster (no
-        # gram/eigensolve). Explicit filter_mode in ``keep`` wins.
+        # "exact", so parity twins compare like-to-like — route SHARPEN to
+        # the exact polynomial matvec form, which is also faster (no
+        # gram/eigensolve) and semantically right: f(0) = 1+beta passes
+        # and boosts the out-of-rank residual, exactly the unsharp-mask
+        # intent. TWICING is deliberately NOT routed despite sharing the
+        # instability: its f(0) = 0 makes the true low-rank polynomial
+        # KILL the residual whose add-back is twicing's whole point —
+        # measured SSIM 0.26 (matvec) vs 0.87 (spectral basis replay) at
+        # 512^2 (quality_sweep.jsonl cfg3_matvec_sharpen vs
+        # cfg3_512_sharpen rows); accelerated-recipe parity for spectral
+        # twicing carries the documented collapsed-spectrum caveat.
+        # Explicit filter_mode in ``keep`` wins.
         chosen["filter_mode"] = "matvec"
     return cfg.replace(**{k: v for k, v in chosen.items() if k not in keep})
 
@@ -462,17 +470,20 @@ CONFIG2 = PipelineConfig(
     kernel="nlm", patch_size=5, h=0.15, sample_rho=0.02, num_eigvecs=50,
     normalization="sinkhorn", sinkhorn_iters=20, filter_name="identity",
 )
-# CONFIG3's h was tuned by the round-3 sharpen sweep (quality_sweep.jsonl
-# cfg3_512_sharpen rows): at the old h=0.25 the 'enhanced' output's
-# gradient energy (1.20x clean) sat BELOW the noisy input's own 1.25x —
-# net smoothing; h=0.15 at the same beta measures 1.38x with SSIM 0.877
-# (input 0.890) and +2.3 dB better PSNR — an actual faithful detail boost.
 # filter_mode="matvec": the sharpen polynomial is applied EXACTLY by strip
 # matvecs (z = (1+b) y - b W y) — the rank-m spectral form is ill-posed here
 # (AFFINE_FILTERS note; measured in cfg3_sweep.jsonl) and the matvec form
 # also skips the gram + eigensolve, the streaming path's dominant cost.
+# beta was re-calibrated FOR THE EXACT OPERATOR (quality_sweep.jsonl
+# cfg3_matvec_sharpen rows): the full-spectrum mask boosts everything the
+# coarse W-blur misses, so the spectral-mode beta=0.6 over-sharpens
+# (gradient ratio 3.0, SSIM 0.77); beta=0.15 measures ratio 1.64 vs the
+# noisy input's own ~1.25 (a real detail boost, not noise), SSIM 0.868
+# (input 0.890) and PSNR 29.0 — the faithful-enhancement point. h matters
+# little in matvec mode (the W-blur is coarse at any tested h); 0.15 stays
+# for consistency with the NLM denoise calibration and spectral-mode use.
 CONFIG3 = PipelineConfig(
     kernel="nlm", patch_size=5, h=0.15, sample_rho=0.01, sample_cap=4096,
     num_eigvecs=50, normalization="sinkhorn", filter_name="sharpen",
-    filter_param=0.6, filter_mode="matvec",
+    filter_param=0.15, filter_mode="matvec",
 )

@@ -56,6 +56,15 @@ def main(argv=None):
     ap.add_argument("--sinkhorn_coarse", type=int, default=1)
     ap.add_argument("--sinkhorn_polish", type=int, default=0)
     ap.add_argument("--gram_coarse", type=int, default=1)
+    ap.add_argument("--filter", dest="filter_name", default="identity",
+                    choices=("identity", "power", "lowpass", "sharpen",
+                             "exp_decay", "twicing"))
+    ap.add_argument("--filter_param", type=float, default=1.0)
+    ap.add_argument("--filter_mode", default="spectral",
+                    choices=("spectral", "matvec"),
+                    help="'matvec' = exact polynomial f(W) by strip "
+                         "matvecs, no eigensolve (the production sharpen "
+                         "path; presets pick it for sharpen)")
     ap.add_argument("--preset", default=None,
                     choices=("exact", "fast", "turbo"),
                     help="derive the measured production recipe from (N, p) "
@@ -102,7 +111,10 @@ def main(argv=None):
                                 solver=args.solver,
                                 sinkhorn_coarse=args.sinkhorn_coarse,
                                 sinkhorn_polish=args.sinkhorn_polish,
-                                gram_coarse=args.gram_coarse)
+                                gram_coarse=args.gram_coarse,
+                                filter_name=args.filter_name,
+                                filter_param=args.filter_param,
+                                filter_mode=args.filter_mode)
         from graphlap_tpu.parallel.streaming_sharded import (
             filter_image_multihost)
         image = np.load(args.image)
@@ -134,7 +146,10 @@ def main(argv=None):
                             solver=args.solver,
                             sinkhorn_coarse=args.sinkhorn_coarse,
                             sinkhorn_polish=args.sinkhorn_polish,
-                            gram_coarse=args.gram_coarse)
+                            gram_coarse=args.gram_coarse,
+                            filter_name=args.filter_name,
+                            filter_param=args.filter_param,
+                            filter_mode=args.filter_mode)
     if args.preset:
         cfg = gl.tuned_config(cfg, frames[0].size, args.preset)
     n_data = args.n_data or nproc

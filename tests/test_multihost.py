@@ -242,3 +242,63 @@ def test_two_process_single_image_rows_sharded(tmp_path):
     want = filter_image(img, cfg).image
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=3e-4)
+
+
+def test_two_process_matvec_sharpen_recipe(tmp_path):
+    """The cfg3 PRODUCTION sharpen recipe (filter_mode='matvec': exact
+    polynomial f(W) y, bf16 tiles + Pallas-interpret + coarse Sinkhorn +
+    polish, no eigensolve) across a REAL 2-process jax.distributed group —
+    the no-eigensolve code path's psum chain crossing a process boundary.
+    Pixels must match the single-process matvec filter."""
+    from graphlap_tpu import add_gaussian_noise, filter_image, make_test_image
+    from graphlap_tpu.config import PipelineConfig
+
+    img = np.clip(add_gaussian_noise(make_test_image(128, 128, seed=5), 0.03,
+                                     seed=5), 0, 1).astype(np.float32)
+    fpath = tmp_path / "img.npy"
+    np.save(fpath, img)
+
+    recipe = ["--sample", "0.01", "--eigvals", "16",
+              "--sinkhorn_iters", "6", "--dtype", "bfloat16",
+              "--block_cols", "512", "--use_pallas",
+              "--sinkhorn_coarse", "4", "--sinkhorn_polish", "1",
+              "--filter", "sharpen", "--filter_param", "0.15",
+              "--filter_mode", "matvec"]
+    port = _free_port()
+    procs = []
+    env_base = {k: v for k, v in os.environ.items()
+                if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env_base.setdefault("JAX_COMPILATION_CACHE_DIR", str(ROOT / ".jax_cache"))
+    env_base["PYTHONPATH"] = str(ROOT) + (
+        os.pathsep + env_base["PYTHONPATH"] if env_base.get("PYTHONPATH") else "")
+    for pid in range(2):
+        cmd = [sys.executable, str(ROOT / "scripts" / "multihost_launch.py"),
+               "--image", str(fpath), "--out", str(tmp_path / f"out{pid}.npy"),
+               "--coordinator", f"127.0.0.1:{port}",
+               "--num_processes", "2", "--process_id", str(pid),
+               "--cpu_devices", "4"] + recipe
+        procs.append(subprocess.Popen(cmd, cwd=str(ROOT), env=env_base,
+                                      stdout=subprocess.PIPE,
+                                      stderr=subprocess.STDOUT, text=True))
+    logs = []
+    for p in procs:
+        out_text, _ = p.communicate(timeout=600)
+        logs.append(out_text)
+    assert all(p.returncode == 0 for p in procs), \
+        "\n---\n".join(t[-3000:] for t in logs)
+
+    got = np.load(tmp_path / "out0.npy")
+    cfg = PipelineConfig(kernel="nlm", sample_rho=0.01, num_eigvecs=16,
+                         sinkhorn_iters=6, affinity_dtype="bfloat16",
+                         streaming=True, block_cols=512, use_pallas=True,
+                         sinkhorn_coarse=4, sinkhorn_polish=1,
+                         filter_name="sharpen", filter_param=0.15,
+                         filter_mode="matvec")
+    want = filter_image(img, cfg).image
+    assert got.shape == want.shape
+    # same bf16-repartition tolerance rationale as the spectral
+    # production-recipe test above
+    from graphlap_tpu import psnr
+    clean = make_test_image(128, 128, seed=5)
+    assert psnr(want, got) > 45.0
+    assert abs(psnr(clean, got) - psnr(clean, want)) < 0.02

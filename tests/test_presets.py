@@ -121,9 +121,11 @@ def test_tuned_config_routes_affine_filters_to_matvec():
     kept = tuned_config(base, 1024 * 1024, "fast",
                         keep=frozenset({"filter_mode"}))
     assert kept.filter_mode == "spectral"
-    # twicing with a NON-integer k cannot be applied by matvecs — stays
-    # spectral rather than producing an invalid config
-    tw = tuned_config(base.replace(filter_name="twicing", filter_param=2.5),
+    # TWICING stays spectral by design: its f(0)=0 makes the true low-rank
+    # polynomial KILL the out-of-rank residual whose add-back is twicing's
+    # whole point — measured SSIM 0.26 (matvec) vs 0.87 (spectral) at
+    # 512^2 (quality_sweep.jsonl cfg3_matvec_sharpen vs cfg3_512_sharpen)
+    tw = tuned_config(base.replace(filter_name="twicing", filter_param=2.0),
                       1024 * 1024, "fast")
     assert tw.filter_mode == "spectral"
 

@@ -14,12 +14,14 @@ import pytest
 from graphlap_tpu import (
     CONFIG1,
     CONFIG2,
+    CONFIG3,
     add_gaussian_noise,
     denoise_tuned,
     estimate_noise_sigma,
     filter_image,
     make_test_image,
     psnr,
+    ssim,
 )
 
 
@@ -46,6 +48,28 @@ def test_config2_recipe_denoises_at_128(noisy128):
     res = filter_image(noisy, CONFIG2)
     gain = psnr(img, res.image) - psnr(img, noisy)
     assert gain >= 2.0, f"cfg2-class denoise gain {gain:.2f} dB below the bar"
+
+
+def test_config3_sharpen_enhances_faithfully():
+    """CONFIG3 (matvec sharpen, beta recalibrated for the exact operator):
+    the output must be a REAL detail boost — gradient energy above the
+    noisy input's own — without wrecking structure (SSIM floor) or
+    collapsing PSNR. Measured at 1024^2: ratio 1.31, SSIM 0.867,
+    PSNR 29.07 vs input 30.49 (matrix.jsonl cfg3 r3 rows)."""
+    img = make_test_image(128, 128)
+    noisy = np.clip(add_gaussian_noise(img, 0.03, seed=3), 0, 1)
+    res = filter_image(noisy, CONFIG3.replace(sample_rho=0.02))
+
+    def ge(a):
+        return float((np.diff(a, axis=0) ** 2).sum()
+                     + (np.diff(a, axis=1) ** 2).sum())
+
+    ratio_out = ge(res.image) / ge(img)
+    ratio_in = ge(noisy) / ge(img)
+    assert ratio_out > ratio_in + 0.05, \
+        f"sharpen is net-smoothing: {ratio_out:.3f} <= input {ratio_in:.3f}"
+    assert ssim(img, res.image) > 0.75
+    assert psnr(img, res.image) > psnr(img, noisy) - 3.0
 
 
 def test_noise_sigma_estimator(noisy128):
