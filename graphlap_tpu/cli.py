@@ -92,14 +92,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-filter_param", type=float, default=1.0,
                    help="k for power, beta for sharpen, tau for exp_decay")
     p.add_argument("-filter_mode", default="spectral",
-                   choices=["spectral", "matvec"],
+                   choices=["spectral", "matvec", "chebyshev"],
                    help="'spectral' = f(lambda) through the rank-m Nystrom "
                         "eigenbasis (reference form); 'matvec' = EXACT f(W) "
                         "by strip matvecs for polynomial filters (identity/"
                         "power/sharpen/twicing with integer k) — skips the "
                         "eigensolve and sidesteps the rank-m subspace "
                         "instability of affine filters (presets auto-pick "
-                        "it for sharpen/twicing)")
+                        "it for sharpen); 'chebyshev' = degree-cheb_degree "
+                        "series of f by the matvec recurrence — the "
+                        "eigensolve-free path for exp_decay and fractional "
+                        "power/twicing")
+    p.add_argument("-cheb_degree", type=int, default=12,
+                   help="chebyshev mode: series degree = number of strip "
+                        "matvecs")
     p.add_argument("-rgb_mode", choices=["per_channel", "luma_basis"],
                    default="per_channel",
                    help="'per_channel' = C independent pipelines (reference "
@@ -252,7 +258,8 @@ def main(argv=None) -> int:
         sinkhorn_coarse=args.sinkhorn_coarse,
         sinkhorn_polish=args.sinkhorn_polish, gram_coarse=args.gram_coarse,
         filter_name=args.filter_name, filter_param=args.filter_param,
-        filter_mode=args.filter_mode, rgb_mode=args.rgb_mode,
+        filter_mode=args.filter_mode, cheb_degree=args.cheb_degree,
+        rgb_mode=args.rgb_mode,
         affinity_dtype=("bfloat16" if args.bf16
                         else "bfloat16_store" if args.bf16_store
                         else "float32"),
@@ -359,9 +366,9 @@ def main(argv=None) -> int:
     if args.save_basis:
         from graphlap_tpu.utils.checkpoint import save_basis
         from graphlap_tpu.models.pipeline import compute_basis
-        if cfg.filter_mode == "matvec":
+        if cfg.operator_filter():
             print("error: -save_basis needs an eigenbasis, but "
-                  "-filter_mode matvec never forms one — rerun with "
+                  f"-filter_mode {cfg.filter_mode} never forms one — rerun with "
                   "-filter_mode spectral", file=sys.stderr)
             return 2
         vals, vecs = compute_basis(image, cfg, plan)

@@ -36,7 +36,10 @@ AFFINE_FILTERS = ("sharpen", "twicing")
 # dependency-free copy of ops/filters.MATVEC_FILTERS (config cannot import
 # jax); tests/test_presets.py pins the two together.
 MATVEC_FILTERS = ("identity", "power", "sharpen", "twicing")
-FILTER_MODES = ("spectral", "matvec")
+# lambda-function filters a Chebyshev series can fit (everything except
+# the index-set 'lowpass' projection) — copy of ops/filters.
+CHEBYSHEV_FILTERS = ("identity", "power", "sharpen", "exp_decay", "twicing")
+FILTER_MODES = ("spectral", "matvec", "chebyshev")
 SOLVERS = ("oneshot", "chol", "lobpcg", "sketch")
 DTYPES = ("float32", "bfloat16")
 
@@ -129,15 +132,25 @@ class PipelineConfig:
     filter_param: float = 1.0      # k for power, beta for sharpen, tau for exp
     filter_mode: str = "spectral"  # "spectral": f(L) through the rank-m
                                    # Nystrom eigenbasis (the reference form;
-                                   # required for non-polynomial f and for
-                                   # basis reuse/checkpointing) |
+                                   # required for 'lowpass' and for basis
+                                   # reuse/checkpointing) |
                                    # "matvec": EXACT f(W) y by repeated strip
                                    # matvecs for polynomial filters
                                    # (MATVEC_FILTERS) — skips the gram +
                                    # eigensolve entirely and is immune to
                                    # the near-degenerate-cluster subspace
                                    # instability that makes rank-m AFFINE
-                                   # filters ill-posed (AFFINE_FILTERS note)
+                                   # filters ill-posed (AFFINE_FILTERS note) |
+                                   # "chebyshev": degree-cheb_degree series
+                                   # of f applied by the three-term matvec
+                                   # recurrence (Hammond et al. 2011) —
+                                   # the eigensolve-free path for
+                                   # NON-polynomial f (exp_decay,
+                                   # fractional power/twicing)
+    cheb_degree: int = 12          # chebyshev mode: series degree = number
+                                   # of strip matvecs (12 reaches ~1e-6
+                                   # relative error on exp_decay tau<=4;
+                                   # cost scales linearly)
 
     # --- color handling ---
     rgb_mode: str = "per_channel"  # "per_channel" (reference behavior:
@@ -201,7 +214,15 @@ class PipelineConfig:
                          or self.filter_param < 1)):
                 raise ValueError(
                     f"filter_mode='matvec' needs an integer filter_param >= 1 "
-                    f"for {self.filter_name!r}, got {self.filter_param!r}")
+                    f"for {self.filter_name!r} (use filter_mode='chebyshev' "
+                    f"for fractional exponents), got {self.filter_param!r}")
+        if self.filter_mode == "chebyshev":
+            if self.filter_name not in CHEBYSHEV_FILTERS:
+                raise ValueError(
+                    f"filter_mode='chebyshev' needs a lambda-function filter "
+                    f"{CHEBYSHEV_FILTERS}, got {self.filter_name!r}")
+            if self.cheb_degree < 1:
+                raise ValueError("cheb_degree must be >= 1")
         if self.affinity_dtype not in DTYPES + ("bfloat16_store",):
             raise ValueError(f"affinity_dtype must be one of "
                              f"{DTYPES + ('bfloat16_store',)}")
@@ -231,6 +252,11 @@ class PipelineConfig:
             raise ValueError("sketch_oversample must be >= 0")
         if self.sketch_power < 0:
             raise ValueError("sketch_power must be >= 0")
+
+    def operator_filter(self) -> bool:
+        """True for the eigensolve-free application modes (matvec exact
+        polynomial / chebyshev series) — the pipelines branch on this."""
+        return self.filter_mode in ("matvec", "chebyshev")
 
     def gram_gemm_dtype(self) -> str:
         """Resolved dtype of the dense one-shot cross GEMM."""

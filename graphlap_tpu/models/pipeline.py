@@ -30,7 +30,7 @@ from ..utils.sampling import SamplePlan, random_sample, uniform_grid_sample
 from ..ops.affinity import affinity_blocks
 from ..ops.sinkhorn import _make_kaa_solve, normalize_blocks, nystrom_matvec
 from ..ops.nystrom import nystrom_eigh, nystrom_eigh_chol
-from ..ops.filters import apply_matvec_filter, apply_spectral_filter
+from ..ops.filters import apply_operator_filter, apply_spectral_filter
 
 
 class FilterResult(NamedTuple):
@@ -76,12 +76,13 @@ def _filter_channel_impl(img2d: jnp.ndarray, idx_a: jnp.ndarray,
         kaa, kab, cfg.normalization, cfg.sinkhorn_iters, cfg.eig_tol,
         cfg.solver, cfg.sinkhorn_coarse, cfg.sinkhorn_polish)
     y_perm = jnp.take(img2d.astype(jnp.float32).ravel(), perm)
-    if cfg.filter_mode == "matvec":
-        # exact polynomial f(W) y via completion matvecs — no eigensolve
-        # (ops/filters.py MATVEC_FILTERS note)
-        z_perm = apply_matvec_filter(_dense_wapply(kaa, kab, s_a, s_b, cfg),
-                                     y_perm, cfg.filter_name,
-                                     cfg.filter_param)
+    if cfg.operator_filter():
+        # eigensolve-free f(W) y via completion matvecs: exact polynomial
+        # (matvec) or Chebyshev series (ops/filters.py notes)
+        z_perm = apply_operator_filter(_dense_wapply(kaa, kab, s_a, s_b, cfg),
+                                       y_perm, cfg.filter_name,
+                                       cfg.filter_param, cfg.filter_mode,
+                                       cfg.cheb_degree)
         vals = jnp.zeros((0,), jnp.float32)
     else:
         basis = _solve_basis(waa, wab, cfg)
@@ -130,9 +131,9 @@ def _filter_channels_luma(y2d: jnp.ndarray, img_chw: jnp.ndarray, idx_a,
     spectral filter applied to every channel through it (guided global
     filtering — the affinity/Sinkhorn/eigensolve stages run once instead of
     C times; per-channel cost drops to the O(N m) apply)."""
-    if cfg.filter_mode == "matvec":
-        # ONE graph + Sinkhorn from the luma guide, then an exact
-        # polynomial matvec per channel — guided filtering without ever
+    if cfg.operator_filter():
+        # ONE graph + Sinkhorn from the luma guide, then an operator-mode
+        # (matvec/chebyshev) apply per channel — guided filtering without ever
         # forming a basis (cheapest possible luma mode: the per-channel
         # cost is the strip passes of f(W) ch alone)
         if cfg.streaming:
@@ -147,8 +148,9 @@ def _filter_channels_luma(y2d: jnp.ndarray, img_chw: jnp.ndarray, idx_a,
             def apply(ch):
                 y_pad = jnp.zeros(n_pad, jnp.float32).at[:n].set(
                     ch.astype(jnp.float32).ravel())
-                z = apply_matvec_filter(wapply, y_pad, cfg.filter_name,
-                                        cfg.filter_param)
+                z = apply_operator_filter(wapply, y_pad,
+                                          cfg.filter_name, cfg.filter_param,
+                                          cfg.filter_mode, cfg.cheb_degree)
                 return jnp.clip(z[:n].reshape(ch.shape), 0.0, 1.0)
         else:
             kaa, kab = affinity_blocks(y2d, idx_a, perm, cfg)
@@ -159,8 +161,9 @@ def _filter_channels_luma(y2d: jnp.ndarray, img_chw: jnp.ndarray, idx_a,
 
             def apply(ch):
                 y_perm = jnp.take(ch.astype(jnp.float32).ravel(), perm)
-                z_perm = apply_matvec_filter(wapply, y_perm, cfg.filter_name,
-                                             cfg.filter_param)
+                z_perm = apply_operator_filter(
+                    wapply, y_perm, cfg.filter_name, cfg.filter_param,
+                    cfg.filter_mode, cfg.cheb_degree)
                 return jnp.clip(jnp.take(z_perm, inv_perm).reshape(ch.shape),
                                 0.0, 1.0)
 
@@ -319,8 +322,9 @@ def _stage_matvec_filter(img2d, kaa, kab, s_a, s_b, perm, inv_perm,
                          cfg: PipelineConfig):
     """Staged twin of the dense matvec-mode apply (no eigensolve stage)."""
     y_perm = jnp.take(img2d.astype(jnp.float32).ravel(), perm)
-    z_perm = apply_matvec_filter(_dense_wapply(kaa, kab, s_a, s_b, cfg),
-                                 y_perm, cfg.filter_name, cfg.filter_param)
+    z_perm = apply_operator_filter(_dense_wapply(kaa, kab, s_a, s_b, cfg),
+                                   y_perm, cfg.filter_name, cfg.filter_param,
+                                   cfg.filter_mode, cfg.cheb_degree)
     return jnp.clip(jnp.take(z_perm, inv_perm).reshape(img2d.shape), 0.0, 1.0)
 
 
@@ -339,7 +343,7 @@ def compute_basis(image: np.ndarray, cfg: PipelineConfig,
     Shapes: gray -> ((m,), (N, m)); multi-channel -> ((C, m), (C, N, m)).
     Rows of vecs are in permuted [A; B] order (utils/checkpoint.py replays).
     """
-    if cfg.filter_mode == "matvec":
+    if cfg.operator_filter():
         raise ValueError(
             "compute_basis requires filter_mode='spectral' — matvec mode "
             "never forms an eigenbasis (that is its point); use "
@@ -403,7 +407,7 @@ def _filter_streaming_staged(image: np.ndarray, cfg: PipelineConfig,
         t0 = time.perf_counter()
         s = jax.block_until_ready(stage_scales_streaming(img2d, idx_a, cfg))
         t1 = time.perf_counter()
-        if cfg.filter_mode == "matvec":
+        if cfg.operator_filter():
             # no eigensolve stage in matvec mode — the filter IS the
             # remaining strip passes
             z, vals = jax.block_until_ready(
@@ -465,7 +469,7 @@ def filter_image_staged(image: np.ndarray, cfg: PipelineConfig,
         kaa, kab = jax.block_until_ready(
             _stage_affinity(y2d, idx_a, perm, cfg))
         t1 = time.perf_counter()
-        if cfg.filter_mode == "matvec":
+        if cfg.operator_filter():
             s_a, s_b = jax.block_until_ready(
                 _stage_normalize_scales(kaa, kab, cfg))
             t2 = time.perf_counter()
@@ -505,7 +509,7 @@ def filter_image_staged(image: np.ndarray, cfg: PipelineConfig,
         t0 = time.perf_counter()
         kaa, kab = jax.block_until_ready(_stage_affinity(img2d, idx_a, perm, cfg))
         t1 = time.perf_counter()
-        if cfg.filter_mode == "matvec":
+        if cfg.operator_filter():
             s_a, s_b = jax.block_until_ready(
                 _stage_normalize_scales(kaa, kab, cfg))
             t2 = time.perf_counter()

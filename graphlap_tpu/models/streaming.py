@@ -412,7 +412,7 @@ def _apply_matvec_streaming(img2d: jnp.ndarray, ctx: _StripCtx,
     the same completion matvec Sinkhorn iterates on. No gram, no
     eigensolve, no rank-m truncation (ops/filters.py MATVEC_FILTERS note).
     Returns (z2d, empty eigvals)."""
-    from ..ops.filters import apply_matvec_filter
+    from ..ops.filters import apply_operator_filter
 
     n, n_pad = ctx.n, ctx.n_pad
     y_pad = jnp.zeros(n_pad, jnp.float32).at[:n].set(
@@ -421,8 +421,9 @@ def _apply_matvec_streaming(img2d: jnp.ndarray, ctx: _StripCtx,
     def wapply(x):
         return s * ctx.ktilde_apply(s * x)
 
-    z_full = apply_matvec_filter(wapply, y_pad, cfg.filter_name,
-                                 cfg.filter_param)
+    z_full = apply_operator_filter(wapply, y_pad, cfg.filter_name,
+                                   cfg.filter_param, cfg.filter_mode,
+                                   cfg.cheb_degree)
     z = jnp.clip(z_full[:n].reshape(h, w), 0.0, 1.0)
     return z, jnp.zeros((0,), jnp.float32)
 
@@ -433,7 +434,7 @@ def filter_channel_streaming(img2d: jnp.ndarray, idx_a: jnp.ndarray,
                              cfg: PipelineConfig):
     """One grayscale channel, strip-free. Returns (z2d, vals)."""
     h, w = img2d.shape
-    if cfg.filter_mode == "matvec":
+    if cfg.operator_filter():
         ctx = _strip_ctx(img2d, idx_a, cfg)
         s = _normalize_streaming(ctx, cfg)
         return _apply_matvec_streaming(img2d, ctx, s, cfg, h, w)

@@ -135,6 +135,78 @@ def apply_matvec_filter(wapply, y, name: str, param: float):
     return y - r
 
 
+# Chebyshev operator filtering (Hammond, Vandergheynst & Gribonval 2011,
+# "Wavelets on graphs via spectral graph theory" §6 — the standard GSP
+# technique): any f(lambda) on [-1, 1] is approximated by a degree-K
+# Chebyshev series and applied through the three-term recurrence
+# T_{k+1}(W) y = 2 W T_k(W) y - T_{k-1}(W) y — K strip matvecs, no
+# eigensolve. Extends the eigensolve-free path beyond exact polynomials
+# to exp_decay (heat kernel) and FRACTIONAL power/twicing. Kernel spectra
+# here live in [0, 1] (PSD kernel, doubly-stochastic scaling) but the
+# completion can dip slightly negative, so the series is fit on the full
+# [-1, 1] — for smooth f the cost of the wider interval is tiny and it
+# keeps the recurrence bounded.
+CHEBYSHEV_FILTERS = ("identity", "power", "sharpen", "exp_decay", "twicing")
+
+
+def check_chebyshev_filter(name: str, param: float) -> None:
+    """Raise unless f(lambda) is a genuine scalar function Chebyshev can
+    fit — 'lowpass' (f=1 on the KEPT INDEX SET, not a lambda-function) has
+    no operator form."""
+    if name not in CHEBYSHEV_FILTERS:
+        raise ValueError(
+            f"filter_mode='chebyshev' needs a lambda-function filter "
+            f"{CHEBYSHEV_FILTERS}, got {name!r} (lowpass is an index-set "
+            f"projection; use filter_mode='spectral')")
+    if name in ("power", "twicing") and param < 0:
+        raise ValueError(f"{name!r} needs filter_param >= 0, got {param!r}")
+
+
+def chebyshev_coeffs(name: str, param: float, degree: int) -> np.ndarray:
+    """(degree+1,) float64 Chebyshev coefficients of f on [-1, 1], via
+    Chebyshev-Gauss quadrature at the degree+1 Chebyshev nodes (exact for
+    polynomials of degree <= degree). Host-side numpy: (name, param,
+    degree) are static config, so the coefficients are trace-time
+    constants under jit."""
+    check_chebyshev_filter(name, param)
+    n = degree + 1
+    theta = np.pi * (np.arange(n) + 0.5) / n
+    x = np.cos(theta)                       # Chebyshev nodes in (-1, 1)
+    fx = np.asarray(FILTER_REGISTRY[name].fn(x, param), np.float64)
+    k = np.arange(n)
+    t = np.cos(np.outer(k, theta))          # T_k(x_i)
+    c = (2.0 / n) * t @ fx
+    c[0] *= 0.5
+    return c
+
+
+def apply_chebyshev_filter(wapply, y, name: str, param: float, degree: int):
+    """z ~= f(W) y by the Chebyshev three-term recurrence — degree strip
+    matvecs. Works on jnp and np arrays alike (``wapply`` sets the
+    backend); the loop is static (degree is config) so under jit it
+    unrolls into a fixed matvec chain."""
+    c = [float(v) for v in chebyshev_coeffs(name, param, degree)]
+    t_prev = y
+    z = c[0] * y
+    if degree == 0:
+        return z
+    t_cur = wapply(y)
+    z = z + c[1] * t_cur
+    for j in range(2, degree + 1):
+        t_prev, t_cur = t_cur, 2.0 * wapply(t_cur) - t_prev
+        z = z + c[j] * t_cur
+    return z
+
+
+def apply_operator_filter(wapply, y, name: str, param: float, mode: str,
+                          degree: int = 12):
+    """Dispatch for the eigensolve-free application modes: 'matvec'
+    (exact polynomial) or 'chebyshev' (series approximation)."""
+    if mode == "chebyshev":
+        return apply_chebyshev_filter(wapply, y, name, param, degree)
+    return apply_matvec_filter(wapply, y, name, param)
+
+
 def apply_spectral_filter(y_perm: jnp.ndarray, vals: jnp.ndarray,
                           vecs: jnp.ndarray, name: str, param: float) -> jnp.ndarray:
     """z_perm = filter(y_perm) in the eigenbasis. All O(N m)."""

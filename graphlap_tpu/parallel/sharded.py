@@ -85,12 +85,12 @@ def build_sharded_pipeline(mesh, cfg: PipelineConfig):
         waa = shard(waa, mesh, "data")
         wab = shard(wab, mesh, "data", None, "rows")
 
-        if cfg.filter_mode == "matvec":
+        if cfg.operator_filter():
             # exact polynomial f(W) y per frame — the strip matvec reduces
             # over the rows-sharded N axis (GSPMD inserts the psum), the
             # p-sized state is replicated per row group; no eigensolve
             # (models/pipeline._dense_wapply is the single-device twin)
-            from ..ops.filters import apply_matvec_filter
+            from ..ops.filters import apply_operator_filter
             from ..ops.sinkhorn import _make_kaa_solve, nystrom_matvec
 
             y_perm = jnp.take(frames.reshape(b, h * w), perm, axis=1)
@@ -104,8 +104,9 @@ def build_sharded_pipeline(mesh, cfg: PipelineConfig):
                                                  sa1 * x[:p], sb1 * x[p:])
                     return jnp.concatenate([sa1 * top, sb1 * bottom])
 
-                return apply_matvec_filter(wapply, y1, cfg.filter_name,
-                                           cfg.filter_param)
+                return apply_operator_filter(
+                    wapply, y1, cfg.filter_name, cfg.filter_param,
+                    cfg.filter_mode, cfg.cheb_degree)
 
             z_perm = jax.vmap(one)(kaa, kab, s_a, s_b, y_perm)
             z = jnp.take(z_perm, inv_perm, axis=1).reshape(b, h, w)

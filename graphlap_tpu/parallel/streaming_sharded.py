@@ -189,16 +189,17 @@ def build_streaming_sharded(mesh, cfg: PipelineConfig):
             s = jax.lax.rsqrt(jnp.maximum(ktilde_apply(valid), _EPS)) * valid
         else:
             s = valid
-        if cfg.filter_mode == "matvec":
+        if cfg.operator_filter():
             # exact polynomial f(W) y by the SAME sharded completion matvec
             # Sinkhorn iterates on (psums over 'rows' inside mv/rmv) — no
             # gram, no eigensolve (ops/filters.py MATVEC_FILTERS note)
-            from ..ops.filters import apply_matvec_filter
+            from ..ops.filters import apply_operator_filter
             y_pad = jnp.zeros(n_pad, jnp.float32).at[:n].set(
                 img2d.astype(jnp.float32).ravel())
-            z_full = apply_matvec_filter(
+            z_full = apply_operator_filter(
                 lambda x: s * ktilde_apply(s * x), y_pad,
-                cfg.filter_name, cfg.filter_param)
+                cfg.filter_name, cfg.filter_param, cfg.filter_mode,
+                cfg.cheb_degree)
             z = z_full[:n].reshape(h, w)
             return jnp.clip(z, 0.0, 1.0), jnp.zeros((0,), jnp.float32)
 
@@ -502,14 +503,15 @@ def build_streaming_sharded_batch(mesh, cfg: PipelineConfig):
             ) * valid[None, :]
         else:
             s = jnp.broadcast_to(valid, (bsz, n_pad)).astype(jnp.float32)
-        if cfg.filter_mode == "matvec":
+        if cfg.operator_filter():
             # batched twin of the single-frame matvec branch above
-            from ..ops.filters import apply_matvec_filter
+            from ..ops.filters import apply_operator_filter
             y_pad = jnp.zeros((bsz, n_pad), jnp.float32).at[:, :n].set(
                 frames.reshape(bsz, n))
-            z_full = apply_matvec_filter(
+            z_full = apply_operator_filter(
                 lambda x: s * ktilde_apply(s * x), y_pad,
-                cfg.filter_name, cfg.filter_param)
+                cfg.filter_name, cfg.filter_param, cfg.filter_mode,
+                cfg.cheb_degree)
             z = z_full[:, :n].reshape(bsz, h, w)
             return jnp.clip(z, 0.0, 1.0), jnp.zeros((bsz, 0), jnp.float32)
 

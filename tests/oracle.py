@@ -18,7 +18,7 @@ from graphlap_tpu.ops.sinkhorn import (_make_kaa_solve_np,
                                        normalize_blocks_np,
                                        nystrom_matvec_np)
 from graphlap_tpu.ops.nystrom import nystrom_eigh_chol_np, nystrom_eigh_np
-from graphlap_tpu.ops.filters import (apply_matvec_filter,
+from graphlap_tpu.ops.filters import (apply_operator_filter,
                                       apply_spectral_filter_np)
 
 
@@ -40,7 +40,7 @@ def oracle_filter_channel(img2d: np.ndarray, plan: SamplePlan,
         kaa, kab, cfg.normalization, cfg.sinkhorn_iters, cfg.eig_tol,
         cfg.solver)
     y_perm = np.asarray(img2d, np.float64).ravel()[plan.perm]
-    if cfg.filter_mode == "matvec":
+    if cfg.operator_filter():
         # exact polynomial f(W) y on the float64 completion — the twin of
         # models/pipeline._dense_wapply / streaming._apply_matvec_streaming:
         # W x = s * K~(s x), with the SAME K_AA-ridge solve Sinkhorn uses
@@ -52,8 +52,9 @@ def oracle_filter_channel(img2d: np.ndarray, plan: SamplePlan,
                                             s_b * x[p:])
             return np.concatenate([s_a * top, s_b * bottom])
 
-        z_perm = apply_matvec_filter(wapply, y_perm, cfg.filter_name,
-                                     cfg.filter_param)
+        z_perm = apply_operator_filter(wapply, y_perm, cfg.filter_name,
+                                       cfg.filter_param, cfg.filter_mode,
+                                       cfg.cheb_degree)
         z = z_perm[plan.inv_perm].reshape(img2d.shape)
         return np.clip(z, 0.0, 1.0), np.zeros((0,), np.float64)
     # "sketch" is an accelerator for the chol/ridge solve — its float64

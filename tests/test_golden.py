@@ -37,3 +37,19 @@ def test_golden_streaming_same_pixels():
     got = np.round(np.clip(res.image, 0, 1) * 255)
     diff = np.abs(got - np.round(expected * 255))
     assert diff.max() <= 1.0
+
+
+def test_golden_matvec_sharpen_pixels():
+    """filter_mode='matvec' golden (fixture from the float64 oracle's
+    polynomial branch): the exact-polynomial sharpen must reproduce the
+    oracle pixels at 8-bit quantization through the JAX pipeline."""
+    noisy = read_netpbm(GOLDEN / "input_32.pgm")
+    expected = read_netpbm(GOLDEN / "sharpen_matvec_32.pgm")
+    mcfg = CFG.replace(filter_name="sharpen", filter_param=0.15,
+                       filter_mode="matvec")
+    for cfg in (mcfg, mcfg.replace(streaming=True, block_cols=256)):
+        res = filter_image(noisy, cfg)
+        got = np.round(np.clip(res.image, 0, 1) * 255)
+        diff = np.abs(got - np.round(expected * 255))
+        assert diff.max() <= 1.0, diff.max()
+        assert (diff == 0).mean() >= 0.99
