@@ -120,6 +120,26 @@ def row5():
     return "cfg5_video_8x512", cfg, frames, frames
 
 
+def row6():
+    """32 MP (8192x4096) single-chip CAPACITY row (beyond the graded
+    matrix): the streaming path's O(Nd) memory keeps 4x the cfg4 shape on
+    one chip. Pallas is withheld by keep: its (D_PAD=128, N) transposed
+    bf16 feature copy alone would be ~8.6 GB at this N (the d=25 -> 128
+    lane pad wastes 5x); the XLA scan variant reads the (N, 25) features
+    directly (~3.4 GB). V materialization also auto-disables
+    (N*m*4 > _V_BYTES_CAP) — the apply recomputes tiles instead."""
+    import graphlap_tpu as gl
+    img = gl.make_test_image(4096, 8192)
+    noisy = np.clip(gl.add_gaussian_noise(img, 0.1, seed=1), 0, 1)
+    base = gl.PipelineConfig(kernel="nlm", h=0.25, sample_rho=0.01,
+                             sample_cap=4096, num_eigvecs=50,
+                             filter_name="identity", streaming=True,
+                             block_cols=131072, use_pallas=False)
+    cfg = gl.tuned_config(base, 4096 * 8192, "fast",
+                          keep=frozenset({"use_pallas"}))
+    return "cfg6_32mp_streaming", cfg, img, noisy
+
+
 def row4c():
     """8 MP with the coarse (decimated) Sinkhorn accelerator."""
     name, cfg, img, noisy = row4()
@@ -217,7 +237,7 @@ def row5x():
 
 ROWS = {"1": row1, "2": row2, "3": row3, "3l": row3l, "4": row4, "4c": row4c,
         "4g": row4g, "4m": row4m, "4p": row4p, "4x": row4x, "5": row5,
-        "5s": row5s, "5x": row5x}
+        "5s": row5s, "5x": row5x, "6": row6}
 # per-video-row harness options: chunk size + timed passes (16x4K moves
 # ~0.5 GB through this box's remote-TPU tunnel per pass — keep passes low)
 VIDEO_ROWS = {"5": {}, "5s": {},

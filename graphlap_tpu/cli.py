@@ -331,6 +331,20 @@ def main(argv=None) -> int:
               f"pallas={cfg.use_pallas} sinkhorn={cfg.sinkhorn_iters}"
               f"x{cfg.sinkhorn_coarse}+p{cfg.sinkhorn_polish} "
               f"gram_coarse={cfg.gram_coarse}")
+    from graphlap_tpu.config import AFFINE_FILTERS
+    if (cfg.filter_name in AFFINE_FILTERS and cfg.filter_mode == "spectral"
+            and (cfg.affinity_dtype != "float32" or cfg.use_pallas
+                 or cfg.gram_coarse > 1 or cfg.sinkhorn_coarse > 1)):
+        # measured failure class, not a style preference: every accelerated
+        # spectral-affine recipe landed 1.8-4.6 dB off the exact trajectory
+        # at cfg3 (collapsed-spectrum subspace instability — ARCHITECTURE
+        # §5.6); the user asked for this combination explicitly, so run it,
+        # but say what the measurements say
+        print(f"warning: accelerated recipes with the rank-m SPECTRAL "
+              f"{cfg.filter_name} filter are documented-unstable on "
+              f"collapsed kernel spectra (whole-dB deviations measured); "
+              f"-filter_mode matvec applies the filter exactly without an "
+              f"eigensolve", file=sys.stderr)
     n = plan.n
     print(f"image {image.shape}  N={n}  p={plan.p}  m={cfg.num_eigvecs}  "
           f"kernel={cfg.kernel}  filter={cfg.filter_name}  "
