@@ -55,8 +55,12 @@ def main():
     from graphlap_tpu.models.pipeline import make_plan
 
     img = gl.make_test_image(1024, 1024)
+    # pinned SPECTRAL: this sweep measures the rank-m affine instability
+    # the recorded rows document — CONFIG3 now defaults to matvec (the
+    # fix), so a rerun without the pin would measure the wrong thing
     base = gl.CONFIG3.replace(streaming=True, block_cols=131072,
-                              affinity_dtype="bfloat16", use_pallas=True)
+                              affinity_dtype="bfloat16", use_pallas=True,
+                              filter_mode="spectral")
     # gate-compliant exact twin (benchmarks/run.py _parity_cfg convention)
     exact = base.replace(affinity_dtype="float32", use_pallas=False,
                          sinkhorn_coarse=1, sinkhorn_polish=0, gram_coarse=1,

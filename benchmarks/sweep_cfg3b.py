@@ -32,7 +32,11 @@ def main():
     from graphlap_tpu.models.pipeline import make_plan
 
     img = gl.make_test_image(1024, 1024)
-    base = gl.CONFIG3.replace(streaming=True, block_cols=131072)
+    # pinned SPECTRAL — see sweep_cfg3.py; the second recorded run of this
+    # script accidentally picked up CONFIG3's new matvec default (its
+    # diag_* rows measure the FIXED path: 69-86 dB agreement, gram a no-op)
+    base = gl.CONFIG3.replace(streaming=True, block_cols=131072,
+                              filter_mode="spectral")
     exact = base.replace(affinity_dtype="float32", use_pallas=False)
 
     recipes = {

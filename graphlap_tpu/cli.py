@@ -20,6 +20,7 @@ that cannot be mirrored exactly.
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import os
 import sys
@@ -102,7 +103,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "it for sharpen); 'chebyshev' = degree-cheb_degree "
                         "series of f by the matvec recurrence — the "
                         "eigensolve-free path for exp_decay and fractional "
-                        "power/twicing")
+                        "power (NOT recommended for twicing: any operator "
+                        "mode kills the residual its add-back needs)")
     p.add_argument("-cheb_degree", type=int, default=12,
                    help="chebyshev mode: series degree = number of strip "
                         "matvecs")
@@ -207,33 +209,42 @@ _PRESET_GUARDED_FLAGS = {
 }
 
 
+@functools.lru_cache(maxsize=1)
+def _parser_flag_names() -> frozenset:
+    """Every option string build_parser defines, bare of dashes — the
+    ground truth for how argparse resolves a token (exact match wins over
+    abbreviation)."""
+    return frozenset(opt.lstrip("-")
+                     for action in build_parser()._actions
+                     for opt in action.option_strings)
+
+
 def _explicit_fields(argv: list[str]) -> frozenset:
     """Config fields pinned by flags the user actually typed, so a preset
-    never overrides an explicit choice. Matches argparse's prefix
-    abbreviations too (``-sinkhorn_pol 0`` pins sinkhorn_polish): any
-    guarded flag the token is a prefix of counts — over-approximating on
-    an ambiguous prefix only makes the preset defer MORE to the user
-    (and argparse itself errors on truly ambiguous abbreviations)."""
+    never overrides an explicit choice. Tokens are resolved the way
+    argparse resolves them: an EXACT flag name pins only its own guarded
+    fields (``-filter sharpen`` / ``-f img.png`` must not pin
+    filter_mode — that silently disabled the preset's sharpen->matvec
+    routing for every real invocation until an end-to-end CLI drive
+    caught the eigensolve stage coming back nonzero); a non-exact token
+    is an abbreviation and pins every guarded flag it prefixes
+    (over-approximating on ambiguity only defers MORE to the user, and
+    argparse itself errors on truly ambiguous abbreviations)."""
     fields = set()
+    known = _parser_flag_names()
     for tok in argv:
-        if tok.startswith("-"):
-            name = tok.lstrip("-").split("=", 1)[0]
-            if not name:
-                continue
+        if not tok.startswith("-"):
+            continue
+        name = tok.lstrip("-").split("=", 1)[0]
+        if not name:
+            continue
+        if name in known:
+            fields.update(_PRESET_GUARDED_FLAGS.get(name, ()))
+        else:
             for flag, flds in _PRESET_GUARDED_FLAGS.items():
-                if flag == name or (flag.startswith(name)
-                                    and name not in _EXACT_UNGUARDED_FLAGS):
+                if flag.startswith(name):
                     fields.update(flds)
     return frozenset(fields)
-
-
-# full flag names that are NOT preset-guarded but are proper prefixes of
-# guarded ones: argparse resolves an exact match to its own flag, so e.g.
-# ``-filter sharpen`` (or ``-f image.png``!) must NOT prefix-pin
-# filter_mode (that would silently disable the preset's affine->matvec
-# routing for everyone who names a filter or an input file — caught by an
-# end-to-end CLI drive: the eigensolve stage came back nonzero)
-_EXACT_UNGUARDED_FLAGS = frozenset({"filter", "f"})
 
 
 def main(argv=None) -> int:
@@ -334,7 +345,13 @@ def main(argv=None) -> int:
     from graphlap_tpu.config import AFFINE_FILTERS
     if (cfg.filter_name in AFFINE_FILTERS and cfg.filter_mode == "spectral"
             and (cfg.affinity_dtype != "float32" or cfg.use_pallas
-                 or cfg.gram_coarse > 1 or cfg.sinkhorn_coarse > 1)):
+                 or cfg.gram_coarse > 1 or cfg.sinkhorn_coarse > 1
+                 # same failure class: anything that perturbs the p x p
+                 # spectrum rotates the ill-posed top-m slice — the bf16
+                 # cross GEMM and the randomized (seed-dependent) sketch
+                 # solver included
+                 or cfg.gram_gemm_dtype() == "bfloat16"
+                 or cfg.solver == "sketch")):
         # measured failure class, not a style preference: every accelerated
         # spectral-affine recipe landed 1.8-4.6 dB off the exact trajectory
         # at cfg3 (collapsed-spectrum subspace instability — ARCHITECTURE

@@ -145,8 +145,13 @@ class PipelineConfig:
                                    # of f applied by the three-term matvec
                                    # recurrence (Hammond et al. 2011) —
                                    # the eigensolve-free path for
-                                   # NON-polynomial f (exp_decay,
-                                   # fractional power/twicing)
+                                   # NON-polynomial f (exp_decay, fractional
+                                   # power). NB twicing in ANY operator mode
+                                   # (matvec or chebyshev) kills the
+                                   # out-of-rank residual whose add-back is
+                                   # its point — see the tuned_config
+                                   # routing note; spectral is the useful
+                                   # twicing form
     cheb_degree: int = 12          # chebyshev mode: series degree = number
                                    # of strip matvecs (12 reaches ~1e-6
                                    # relative error on exp_decay tau<=4;
@@ -214,8 +219,8 @@ class PipelineConfig:
                          or self.filter_param < 1)):
                 raise ValueError(
                     f"filter_mode='matvec' needs an integer filter_param >= 1 "
-                    f"for {self.filter_name!r} (use filter_mode='chebyshev' "
-                    f"for fractional exponents), got {self.filter_param!r}")
+                    f"for {self.filter_name!r} (fractional 'power' can use "
+                    f"filter_mode='chebyshev'), got {self.filter_param!r}")
         if self.filter_mode == "chebyshev":
             if self.filter_name not in CHEBYSHEV_FILTERS:
                 raise ValueError(
@@ -223,6 +228,15 @@ class PipelineConfig:
                     f"{CHEBYSHEV_FILTERS}, got {self.filter_name!r}")
             if self.cheb_degree < 1:
                 raise ValueError("cheb_degree must be >= 1")
+            if self.normalization == "none":
+                # the series is fit on [-1, 1]; the RAW kernel completion's
+                # spectral radius is the max row sum (~1e3-1e4 at MP sizes),
+                # and T_k grows like (2 rho)^k outside the interval — the
+                # recurrence overflows f32 by degree ~12 and returns NaNs
+                raise ValueError(
+                    "filter_mode='chebyshev' requires a normalized operator "
+                    "(spec(W) in [-1, 1]): use normalization='sinkhorn' or "
+                    "'symmetric', not 'none'")
         if self.affinity_dtype not in DTYPES + ("bfloat16_store",):
             raise ValueError(f"affinity_dtype must be one of "
                              f"{DTYPES + ('bfloat16_store',)}")

@@ -320,12 +320,32 @@ def _stage_normalize_scales(kaa, kab, cfg: PipelineConfig):
 @partial(jax.jit, static_argnames=("cfg",))
 def _stage_matvec_filter(img2d, kaa, kab, s_a, s_b, perm, inv_perm,
                          cfg: PipelineConfig):
-    """Staged twin of the dense matvec-mode apply (no eigensolve stage)."""
+    """Staged twin of the dense operator-mode apply (no eigensolve stage)."""
     y_perm = jnp.take(img2d.astype(jnp.float32).ravel(), perm)
     z_perm = apply_operator_filter(_dense_wapply(kaa, kab, s_a, s_b, cfg),
                                    y_perm, cfg.filter_name, cfg.filter_param,
                                    cfg.filter_mode, cfg.cheb_degree)
     return jnp.clip(jnp.take(z_perm, inv_perm).reshape(img2d.shape), 0.0, 1.0)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _stage_matvec_filter_multi(img_chw, kaa, kab, s_a, s_b, perm, inv_perm,
+                               cfg: PipelineConfig):
+    """All channels in ONE jit for the staged luma operator path: the
+    shared K_AA factorization inside _dense_wapply is built once and CSE'd
+    across the vmapped channels (separate per-channel calls re-ran the
+    O(p^3) Cholesky per channel)."""
+    wapply = _dense_wapply(kaa, kab, s_a, s_b, cfg)
+
+    def one(ch):
+        y_perm = jnp.take(ch.astype(jnp.float32).ravel(), perm)
+        z_perm = apply_operator_filter(wapply, y_perm, cfg.filter_name,
+                                       cfg.filter_param, cfg.filter_mode,
+                                       cfg.cheb_degree)
+        return jnp.clip(jnp.take(z_perm, inv_perm).reshape(ch.shape),
+                        0.0, 1.0)
+
+    return jax.vmap(one)(img_chw)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -474,12 +494,10 @@ def filter_image_staged(image: np.ndarray, cfg: PipelineConfig,
                 _stage_normalize_scales(kaa, kab, cfg))
             t2 = time.perf_counter()
             t3 = t2                          # no eigensolve stage
-            outs = []
-            for c in range(image.shape[-1]):
-                img2d = jnp.asarray(image[..., c], jnp.float32)
-                z = jax.block_until_ready(_stage_matvec_filter(
-                    img2d, kaa, kab, s_a, s_b, perm, inv_perm, cfg))
-                outs.append(np.asarray(z))
+            chw = jnp.asarray(np.moveaxis(image, -1, 0), jnp.float32)
+            z = jax.block_until_ready(_stage_matvec_filter_multi(
+                chw, kaa, kab, s_a, s_b, perm, inv_perm, cfg))
+            outs = [np.asarray(z[c]) for c in range(image.shape[-1])]
             t4 = time.perf_counter()
             vals = np.zeros((0,), np.float32)
         else:

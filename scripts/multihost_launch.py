@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
 
 import numpy as np
 
@@ -77,6 +78,25 @@ def main(argv=None):
                          "(cluster simulation on localhost)")
     args = ap.parse_args(argv)
 
+    # fields pinned by flags the caller actually typed, so --preset never
+    # overrides an explicit choice (same contract as the CLI's
+    # _explicit_fields; without this, --filter_mode spectral --preset fast
+    # silently became matvec — the single-host CLI honors the pin)
+    _FLAG_FIELDS = {
+        "--dtype": ("affinity_dtype",), "--use_pallas": ("use_pallas",),
+        "--sinkhorn_iters": ("sinkhorn_iters",),
+        "--sinkhorn_coarse": ("sinkhorn_coarse",),
+        "--sinkhorn_polish": ("sinkhorn_polish",),
+        "--gram_coarse": ("gram_coarse",),
+        "--solver": ("solver", "sketch_oversample", "sketch_power"),
+        "--filter_mode": ("filter_mode",),
+    }
+    typed = {t.split("=", 1)[0] for t in (argv if argv is not None
+                                          else sys.argv[1:])
+             if t.startswith("--")}
+    keep = frozenset(f for flag, fields in _FLAG_FIELDS.items()
+                     if flag in typed for f in fields)
+
     if args.cpu_devices:
         os.environ["XLA_FLAGS"] = (
             os.environ.get("XLA_FLAGS", "")
@@ -119,7 +139,7 @@ def main(argv=None):
             filter_image_multihost)
         image = np.load(args.image)
         if args.preset:
-            cfg = gl.tuned_config(cfg, image.size, args.preset)
+            cfg = gl.tuned_config(cfg, image.size, args.preset, keep=keep)
         mesh = make_mesh(n_data=1, n_rows=len(jax.devices()))
         out, _ = filter_image_multihost(image, cfg, mesh)
         if jax.process_index() == 0:
@@ -151,7 +171,7 @@ def main(argv=None):
                             filter_param=args.filter_param,
                             filter_mode=args.filter_mode)
     if args.preset:
-        cfg = gl.tuned_config(cfg, frames[0].size, args.preset)
+        cfg = gl.tuned_config(cfg, frames[0].size, args.preset, keep=keep)
     n_data = args.n_data or nproc
     mesh = make_mesh(n_data=n_data,
                      n_rows=len(jax.devices()) // n_data)

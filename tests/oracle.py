@@ -43,7 +43,13 @@ def oracle_filter_channel(img2d: np.ndarray, plan: SamplePlan,
     if cfg.operator_filter():
         # exact polynomial f(W) y on the float64 completion — the twin of
         # models/pipeline._dense_wapply / streaming._apply_matvec_streaming:
-        # W x = s * K~(s x), with the SAME K_AA-ridge solve Sinkhorn uses
+        # W x = s * K~(s x), with the SAME K_AA-ridge solve Sinkhorn uses.
+        # NB apply_operator_filter is deliberately SHARED with the
+        # pipeline (pure backend-generic arithmetic, numpy in = numpy
+        # out); its independence anchor is the dense-eigh crosscheck
+        # (test_matvec_filter.test_matvec_matches_exact_dense_operator /
+        # test_chebyshev.test_chebyshev_matches_exact_dense_operator),
+        # which computes f(M) y SPECTRALLY from the materialized operator
         solve = _make_kaa_solve_np(kaa, cfg.eig_tol, cfg.solver)
         p = plan.p
 

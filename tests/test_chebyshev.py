@@ -132,6 +132,11 @@ def test_chebyshev_config_validation():
         _cfg(filter_name="lowpass")
     with pytest.raises(ValueError, match="cheb_degree"):
         _cfg(cheb_degree=0)
+    # the raw (unnormalized) completion's spectral radius is the max row
+    # sum (~1e3+): T_k diverges off [-1,1] and the recurrence returns NaNs
+    # by degree ~12 — rejected at config time, not discovered as NaN pixels
+    with pytest.raises(ValueError, match="normalized"):
+        _cfg(normalization="none")
     # fractional exponents are the POINT of this mode
     _cfg(filter_name="power", filter_param=1.7)
     _cfg(filter_name="twicing", filter_param=2.5)

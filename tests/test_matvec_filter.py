@@ -83,6 +83,51 @@ def test_matvec_sharpen_is_unsharp_mask(img64):
     assert np.max(np.abs((sh - expect)[interior])) < 1e-4
 
 
+def test_matvec_matches_exact_dense_operator():
+    """INDEPENDENT anchor (the oracle's matvec branch shares
+    apply_matvec_filter with the pipeline — pure backend-generic
+    arithmetic, but a coefficient/sign bug there would cancel in
+    oracle-parity tests): materialize the completion operator densely,
+    eigendecompose it fully in float64, and compare f(M) y computed
+    SPECTRALLY against the pipeline's recurrence for every matvec-capable
+    filter."""
+    from graphlap_tpu.ops.affinity import affinity_strip_np, extract_features_np
+    from graphlap_tpu.ops.filters import FILTER_REGISTRY, apply_matvec_filter
+    from graphlap_tpu.ops.sinkhorn import (_make_kaa_solve_np,
+                                           normalize_blocks_np,
+                                           nystrom_matvec_np)
+    from graphlap_tpu.utils.sampling import uniform_grid_sample
+
+    side = 24
+    img = make_test_image(side, side).astype(np.float64)
+    cfg = _cfg(h=0.25, sample_rho=0.05)
+    plan = uniform_grid_sample(side, side, cfg.num_samples(side * side))
+    feats = extract_features_np(img, cfg)[plan.perm]
+    strip = affinity_strip_np(feats[: plan.p], feats)
+    kaa, kab = strip[:, : plan.p], strip[:, plan.p:]
+    _, _, s_a, s_b = normalize_blocks_np(kaa, kab, "sinkhorn", 20,
+                                         cfg.eig_tol, cfg.solver)
+    solve = _make_kaa_solve_np(kaa, cfg.eig_tol, cfg.solver)
+    p = plan.p
+
+    def wapply(x):
+        top, bottom = nystrom_matvec_np(kaa, kab, solve, s_a * x[:p],
+                                        s_b * x[p:])
+        return np.concatenate([s_a * top, s_b * bottom])
+
+    n = side * side
+    m_op = np.stack([wapply(np.eye(n)[:, i]) for i in range(n)], axis=1)
+    vals, vecs = np.linalg.eigh(0.5 * (m_op + m_op.T))
+    y = img.ravel()[plan.perm]
+    for name, param in (("identity", 1.0), ("power", 3.0),
+                        ("sharpen", 0.6), ("twicing", 2.0)):
+        exact = vecs @ (FILTER_REGISTRY[name].fn(vals, param)
+                        * (vecs.T @ y))
+        got = apply_matvec_filter(wapply, y, name, param)
+        rel = np.linalg.norm(got - exact) / np.linalg.norm(exact)
+        assert rel < 1e-10, (name, rel)
+
+
 def test_matvec_preserves_constant_image():
     """W is doubly stochastic after Sinkhorn (W 1 = 1), so every polynomial
     filter with f(1) = 1 leaves a constant image unchanged."""
@@ -110,6 +155,15 @@ def test_matvec_staged_matches_fused(img64):
         staged = filter_image_staged(img64, cfg)
         assert np.max(np.abs(fused.image - staged.image)) < 1e-6
         assert staged.timings["eigensolve"] == 0.0
+    # dense LUMA staged path (the one-jit all-channels apply that shares a
+    # single K_AA factorization) == fused luma
+    rgb = np.stack([img64, np.roll(img64, 3, axis=0),
+                    np.roll(img64, -2, axis=1)], axis=-1)
+    lcfg = _cfg(rgb_mode="luma_basis")
+    fused = filter_image(rgb, lcfg)
+    staged = filter_image_staged(rgb, lcfg)
+    assert np.max(np.abs(fused.image - staged.image)) < 1e-6
+    assert staged.timings["eigensolve"] == 0.0
 
 
 def test_matvec_config_validation():
