@@ -82,6 +82,39 @@ def main():
             "psnr_vs_oracle_db": round(gl.psnr(orc, res.image), 2),
             "ts": time.time(),
         })
+    # Operator-mode anchors (round 3): the matvec sharpen semantics (cfg3
+    # production) and the chebyshev series — each recipe vs ITS OWN f64
+    # oracle (different filter modes are different reference outputs).
+    # These oracles are CHEAP relative to the identity one (no p x p
+    # eigensolve; ~20 dense f64 strip matvecs), so they run at the same
+    # ``side`` for free.
+    op_cfgs = [
+        ("mv_sharpen_f32", base.replace(
+            filter_name="sharpen", filter_param=0.15, filter_mode="matvec")),
+        ("mv_sharpen_bf16_sc4_p1", base.replace(
+            filter_name="sharpen", filter_param=0.15, filter_mode="matvec",
+            affinity_dtype="bfloat16", sinkhorn_coarse=4, sinkhorn_iters=6,
+            sinkhorn_polish=1)),
+        ("cheb_expdecay_f32_d12", base.replace(
+            filter_name="exp_decay", filter_param=2.0,
+            filter_mode="chebyshev")),
+    ]
+    for name, cfg in op_cfgs:
+        ocfg = cfg.replace(streaming=False, affinity_dtype="float32",
+                           sinkhorn_coarse=1, sinkhorn_polish=0,
+                           sinkhorn_iters=base.sinkhorn_iters)
+        orc2, _ = oracle_filter_image(noisy, ocfg, plan=plan)
+        po = gl.psnr(img, orc2)
+        res = gl.filter_image(noisy, cfg, plan=plan)
+        recs.append({
+            "recipe": name, "side": side, "p": plan.p, "anchor": "operator",
+            "psnr_out_db": round(gl.psnr(img, res.image), 4),
+            "dpsnr_vs_oracle_db": round(
+                abs(gl.psnr(img, res.image) - po), 4),
+            "psnr_vs_oracle_db": round(gl.psnr(orc2, res.image), 2),
+            "ts": time.time(),
+        })
+
     with RESULTS.open("a") as f:
         for r in recs:
             f.write(json.dumps(r) + "\n")

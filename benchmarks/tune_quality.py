@@ -263,10 +263,39 @@ def sweep_cfg3_matvec():
              np.clip(3 * wy[1] - 3 * wy[2] + wy[3], 0, 1))
 
 
+def sweep_expdecay_modes():
+    """exp_decay SPECTRAL vs CHEBYSHEV as denoisers (mode semantics A/B):
+    the rank-m spectral form truncates to the top-m eigvecs (discards the
+    noisy residual — the denoise behavior); the chebyshev series applies
+    the FULL low-rank operator, whose f(0)=e^-tau floor passes a residual
+    fraction. Documents which mode to reach for per task."""
+    import graphlap_tpu as gl
+
+    clean = gl.make_test_image(128, 128)
+    noisy = np.clip(gl.add_gaussian_noise(clean, 0.1, seed=1), 0, 1)
+    base = gl.CONFIG2.replace(h=0.15)
+    for tau in (1.0, 2.0, 4.0):
+        for mode in ("spectral", "chebyshev"):
+            cfg = base.replace(filter_name="exp_decay", filter_param=tau,
+                               filter_mode=mode)
+            out = gl.filter_image(noisy, cfg).image
+            rec = {
+                "tag": "expdecay_mode_ab", "mode": mode, "param": tau,
+                "h": cfg.h, "filter": "exp_decay",
+                "psnr_in": round(gl.psnr(clean, noisy), 3),
+                "psnr_out": round(gl.psnr(clean, out), 3),
+                "ssim_out": round(gl.ssim(clean, out), 4),
+                "ts": time.time(),
+            }
+            with RESULTS.open("a") as f:
+                f.write(json.dumps(rec) + "\n")
+            print(json.dumps(rec), flush=True)
+
+
 SWEEPS = {"cfg1": sweep_cfg1, "cfg1_nlm": sweep_cfg1_nlm,
           "cfg2_small": sweep_cfg2_small, "cfg2": sweep_cfg2,
           "cfg3": sweep_cfg3, "cfg3_matvec": sweep_cfg3_matvec,
-          "sigma": sweep_sigma}
+          "expdecay_modes": sweep_expdecay_modes, "sigma": sweep_sigma}
 
 
 def main():
