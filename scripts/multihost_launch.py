@@ -25,6 +25,27 @@ import sys
 import numpy as np
 
 
+# fields pinned by flags the caller actually typed, so --preset never
+# overrides an explicit choice (same contract as the CLI's
+# _explicit_fields; without this, --filter_mode spectral --preset fast
+# silently became matvec — the single-host CLI honors the pin)
+_FLAG_FIELDS = {
+    "--dtype": ("affinity_dtype",), "--use_pallas": ("use_pallas",),
+    "--sinkhorn_iters": ("sinkhorn_iters",),
+    "--sinkhorn_coarse": ("sinkhorn_coarse",),
+    "--sinkhorn_polish": ("sinkhorn_polish",),
+    "--gram_coarse": ("gram_coarse",),
+    "--solver": ("solver", "sketch_oversample", "sketch_power"),
+    "--filter_mode": ("filter_mode",),
+}
+
+
+def explicit_keep(argv) -> frozenset:
+    typed = {t.split("=", 1)[0] for t in argv if t.startswith("--")}
+    return frozenset(f for flag, fields in _FLAG_FIELDS.items()
+                     if flag in typed for f in fields)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     src = ap.add_mutually_exclusive_group(required=True)
@@ -77,25 +98,7 @@ def main(argv=None):
                     help="force N virtual CPU devices per process "
                          "(cluster simulation on localhost)")
     args = ap.parse_args(argv)
-
-    # fields pinned by flags the caller actually typed, so --preset never
-    # overrides an explicit choice (same contract as the CLI's
-    # _explicit_fields; without this, --filter_mode spectral --preset fast
-    # silently became matvec — the single-host CLI honors the pin)
-    _FLAG_FIELDS = {
-        "--dtype": ("affinity_dtype",), "--use_pallas": ("use_pallas",),
-        "--sinkhorn_iters": ("sinkhorn_iters",),
-        "--sinkhorn_coarse": ("sinkhorn_coarse",),
-        "--sinkhorn_polish": ("sinkhorn_polish",),
-        "--gram_coarse": ("gram_coarse",),
-        "--solver": ("solver", "sketch_oversample", "sketch_power"),
-        "--filter_mode": ("filter_mode",),
-    }
-    typed = {t.split("=", 1)[0] for t in (argv if argv is not None
-                                          else sys.argv[1:])
-             if t.startswith("--")}
-    keep = frozenset(f for flag, fields in _FLAG_FIELDS.items()
-                     if flag in typed for f in fields)
+    keep = explicit_keep(argv if argv is not None else sys.argv[1:])
 
     if args.cpu_devices:
         os.environ["XLA_FLAGS"] = (

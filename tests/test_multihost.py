@@ -302,3 +302,22 @@ def test_two_process_matvec_sharpen_recipe(tmp_path):
     clean = make_test_image(128, 128, seed=5)
     assert psnr(want, got) > 45.0
     assert abs(psnr(clean, got) - psnr(clean, want)) < 0.02
+
+
+def test_launcher_explicit_keep():
+    """--preset must not override flags the caller typed (the launcher
+    twin of the CLI's _explicit_fields contract): an explicit
+    --filter_mode spectral was silently routed to matvec before."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "multihost_launch", ROOT / "scripts" / "multihost_launch.py")
+    ml = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ml)
+    keep = ml.explicit_keep(["--image", "i.npy", "--filter_mode",
+                             "spectral", "--preset", "fast"])
+    assert "filter_mode" in keep
+    assert "affinity_dtype" not in keep
+    keep = ml.explicit_keep(["--frames", "f.npy", "--dtype=float32",
+                             "--solver", "chol"])
+    assert {"affinity_dtype", "solver"} <= keep
+    assert "filter_mode" not in keep
