@@ -206,3 +206,33 @@ def test_cli_filter_flag_does_not_pin_filter_mode():
     # -save_basis IS a spectral-workflow choice: it pins filter_mode so a
     # preset cannot route the filter to matvec out from under the basis
     assert "filter_mode" in _explicit_fields(["-save_basis", "b.npz"])
+
+
+def test_matvec_symmetric_normalization(img64):
+    """Operator modes compose with every normalization that yields a
+    bounded spectrum: symmetric D^-1/2 K D^-1/2 through matvec == oracle."""
+    cfg = _cfg(normalization="symmetric")
+    res = filter_image(img64, cfg)
+    orc, _ = oracle_filter_image(img64, cfg)
+    assert np.max(np.abs(res.image - orc)) < 2e-5
+    stream = filter_image(img64, cfg.replace(streaming=True,
+                                             block_cols=1024))
+    assert np.max(np.abs(res.image - stream.image)) < 1e-5
+
+
+def test_matvec_video_batch(img64):
+    """filter_video routes through the batched sharded builder — its
+    matvec branch must match per-frame filter_image."""
+    from graphlap_tpu.models.video import filter_video
+    from graphlap_tpu.models.pipeline import make_plan
+    from graphlap_tpu.parallel.mesh import make_mesh
+
+    frames = np.stack([img64, np.roll(img64, 5, axis=0)])
+    cfg = _cfg(sample_rho=0.03)
+    plan = make_plan(frames[0], cfg)
+    out, vals = filter_video(frames, cfg, mesh=make_mesh(n_rows=4, n_data=2),
+                             plan=plan, frames_per_step=2)
+    assert vals.shape[-1] == 0
+    for i in range(2):
+        ref = filter_image(frames[i], cfg, plan=plan)
+        np.testing.assert_allclose(out[i], ref.image, atol=2e-4)
