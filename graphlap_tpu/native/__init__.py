@@ -71,6 +71,27 @@ def psnr_native(ref: np.ndarray, test: np.ndarray,
     return psnr(ref, test, data_range)
 
 
+def ssim_native(ref: np.ndarray, test: np.ndarray, data_range: float = 1.0,
+                sigma: float = 1.5) -> float:
+    """Mean SSIM via the C kernel (metrics.ssim twin: Gaussian 11x11,
+    reflect padding); per-channel averaged for (H, W, C). Needs a build
+    with the `ssim` symbol — older in-place .so builds fall back."""
+    ref = np.ascontiguousarray(ref, np.float64)
+    test = np.ascontiguousarray(test, np.float64)
+    if _native is not None and hasattr(_native, "ssim"):
+        if ref.ndim == 3:
+            return float(np.mean([
+                _native.ssim(np.ascontiguousarray(ref[..., c]).tobytes(),
+                             np.ascontiguousarray(test[..., c]).tobytes(),
+                             ref.shape[0], ref.shape[1], float(data_range),
+                             float(sigma))
+                for c in range(ref.shape[-1])]))
+        return _native.ssim(ref.tobytes(), test.tobytes(), ref.shape[0],
+                            ref.shape[1], float(data_range), float(sigma))
+    from ..metrics import ssim
+    return ssim(ref, test, data_range, sigma)
+
+
 # ---- pure-python fallbacks -------------------------------------------------
 
 def _read_netpbm_py(blob: bytes) -> np.ndarray:

@@ -226,6 +226,95 @@ static PyObject *psnr_c(PyObject *self, PyObject *args) {
     return PyFloat_FromDouble(10.0 * log10(range * range / mse));
 }
 
+
+/* --- SSIM (Wang et al. 2004): Gaussian 11x11 window, reflect padding ----- */
+
+static inline Py_ssize_t refl(Py_ssize_t i, Py_ssize_t n) {
+    /* numpy pad mode="reflect": -1 -> 1, n -> n-2 (edge not repeated) */
+    if (i < 0) i = -i;
+    if (i >= n) i = 2 * n - 2 - i;
+    return i;
+}
+
+/* separable Gaussian blur, kernel length 2*radius+1, into dst (tmp scratch) */
+static void blur2d(const double *src, double *dst, double *tmp,
+                   Py_ssize_t h, Py_ssize_t w, const double *k, int radius) {
+    for (Py_ssize_t y = 0; y < h; y++)
+        for (Py_ssize_t x = 0; x < w; x++) {
+            double acc = 0.0;
+            for (int t = -radius; t <= radius; t++)
+                acc += src[y * w + refl(x + t, w)] * k[t + radius];
+            tmp[y * w + x] = acc;
+        }
+    for (Py_ssize_t y = 0; y < h; y++)
+        for (Py_ssize_t x = 0; x < w; x++) {
+            double acc = 0.0;
+            for (int t = -radius; t <= radius; t++)
+                acc += tmp[refl(y + t, h) * w + x] * k[t + radius];
+            dst[y * w + x] = acc;
+        }
+}
+
+/* ssim(ref_bytes, test_bytes, h, w, data_range, sigma) -> float.
+   One grayscale channel; the Python wrapper averages channels. Twin of
+   graphlap_tpu.metrics.ssim (radius 5, same constants). */
+static PyObject *ssim_c(PyObject *self, PyObject *args) {
+    Py_buffer a, b;
+    Py_ssize_t h, w;
+    double range, sigma;
+    if (!PyArg_ParseTuple(args, "y*y*nndd", &a, &b, &h, &w, &range, &sigma))
+        return NULL;
+    const int radius = 5;
+    if (a.len != b.len || a.len != h * w * (Py_ssize_t)sizeof(double)
+        || h <= radius || w <= radius) {
+        PyBuffer_Release(&a); PyBuffer_Release(&b);
+        PyErr_SetString(PyExc_ValueError,
+                        "ssim: size mismatch or image smaller than window");
+        return NULL;
+    }
+    double k[2 * 5 + 1], ksum = 0.0;
+    for (int t = -radius; t <= radius; t++) {
+        k[t + radius] = exp(-0.5 * (double)(t * t) / (sigma * sigma));
+        ksum += k[t + radius];
+    }
+    for (int t = 0; t < 2 * radius + 1; t++) k[t] /= ksum;
+
+    Py_ssize_t n = h * w;
+    /* mu_x, mu_y, xx, yy, xy + products + scratch: 9 planes */
+    double *mem = (double *)PyMem_Malloc((size_t)n * 9 * sizeof(double));
+    if (!mem) { PyBuffer_Release(&a); PyBuffer_Release(&b); return PyErr_NoMemory(); }
+    const double *x = (const double *)a.buf, *y = (const double *)b.buf;
+    double *mux = mem, *muy = mem + n, *mxx = mem + 2 * n, *myy = mem + 3 * n,
+           *mxy = mem + 4 * n, *px = mem + 5 * n, *py = mem + 6 * n,
+           *pxy = mem + 7 * n, *tmp = mem + 8 * n;
+    for (Py_ssize_t i = 0; i < n; i++) {
+        px[i] = x[i] * x[i];
+        py[i] = y[i] * y[i];
+        pxy[i] = x[i] * y[i];
+    }
+    blur2d(x, mux, tmp, h, w, k, radius);
+    blur2d(y, muy, tmp, h, w, k, radius);
+    blur2d(px, mxx, tmp, h, w, k, radius);
+    blur2d(py, myy, tmp, h, w, k, radius);
+    blur2d(pxy, mxy, tmp, h, w, k, radius);
+
+    const double c1 = (0.01 * range) * (0.01 * range);
+    const double c2 = (0.03 * range) * (0.03 * range);
+    double acc = 0.0;
+    for (Py_ssize_t i = 0; i < n; i++) {
+        double vx = mxx[i] - mux[i] * mux[i];
+        double vy = myy[i] - muy[i] * muy[i];
+        double cov = mxy[i] - mux[i] * muy[i];
+        double num = (2.0 * mux[i] * muy[i] + c1) * (2.0 * cov + c2);
+        double den = (mux[i] * mux[i] + muy[i] * muy[i] + c1)
+                     * (vx + vy + c2);
+        acc += num / den;
+    }
+    PyMem_Free(mem);
+    PyBuffer_Release(&a); PyBuffer_Release(&b);
+    return PyFloat_FromDouble(acc / (double)n);
+}
+
 static PyMethodDef methods[] = {
     {"read_netpbm", read_netpbm, METH_VARARGS,
      "read_netpbm(data) -> (w, h, channels, float64_bytes)"},
@@ -235,12 +324,14 @@ static PyMethodDef methods[] = {
      "add_noise(float64_bytes, sigma, seed) -> float64_bytes"},
     {"psnr", psnr_c, METH_VARARGS,
      "psnr(ref_bytes, test_bytes, data_range) -> dB"},
+    {"ssim", ssim_c, METH_VARARGS,
+     "ssim(ref_bytes, test_bytes, h, w, data_range, sigma) -> mean SSIM"},
     {NULL, NULL, 0, NULL},
 };
 
 static struct PyModuleDef moduledef = {
     PyModuleDef_HEAD_INIT, "_native",
-    "Native netpbm codec + noise + PSNR for graphlap_tpu", -1, methods,
+    "Native netpbm codec + noise + PSNR/SSIM for graphlap_tpu", -1, methods,
 };
 
 PyMODINIT_FUNC PyInit__native(void) { return PyModule_Create(&moduledef); }

@@ -99,3 +99,24 @@ def test_io_routes_netpbm(tmp_path):
     assert load_image(p3).shape == (12, 12, 3)
     gray = load_image(p3, grayscale=True)
     assert gray.shape == (12, 12)
+
+
+def test_ssim_native_matches_numpy():
+    from graphlap_tpu.metrics import ssim
+    from graphlap_tpu.native import ssim_native
+
+    rng = np.random.default_rng(3)
+    a = rng.uniform(0, 1, (48, 40))
+    b = np.clip(a + rng.normal(0, 0.08, a.shape), 0, 1)
+    assert abs(ssim_native(a, b) - ssim(a, b)) < 1e-12
+    assert ssim_native(a, a) == pytest.approx(1.0)
+    # per-channel averaging
+    rgb_a = np.stack([a, np.roll(a, 3, 0), a], axis=-1)
+    rgb_b = np.stack([b, np.roll(b, 3, 0), b], axis=-1)
+    assert abs(ssim_native(rgb_a, rgb_b) - ssim(rgb_a, rgb_b)) < 1e-12
+    # window larger than the image -> actionable error, not UB
+    from graphlap_tpu.native import HAVE_NATIVE, _native
+    if HAVE_NATIVE and hasattr(_native, "ssim"):
+        with pytest.raises(ValueError):
+            _native.ssim(a[:4, :4].tobytes(), a[:4, :4].tobytes(),
+                         4, 4, 1.0, 1.5)
