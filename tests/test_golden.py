@@ -53,3 +53,19 @@ def test_golden_matvec_sharpen_pixels():
         diff = np.abs(got - np.round(expected * 255))
         assert diff.max() <= 1.0, diff.max()
         assert (diff == 0).mean() >= 0.99
+
+
+def test_golden_chebyshev_expdecay_pixels():
+    """Chebyshev-mode golden (fixture from the float64 oracle): the
+    degree-12 heat-kernel series must reproduce the oracle pixels at
+    8-bit quantization through dense AND streaming JAX pipelines."""
+    noisy = read_netpbm(GOLDEN / "input_32.pgm")
+    expected = read_netpbm(GOLDEN / "expdecay_cheb_32.pgm")
+    ccfg = CFG.replace(filter_name="exp_decay", filter_param=2.0,
+                       filter_mode="chebyshev")
+    for cfg in (ccfg, ccfg.replace(streaming=True, block_cols=256)):
+        res = filter_image(noisy, cfg)
+        got = np.round(np.clip(res.image, 0, 1) * 255)
+        diff = np.abs(got - np.round(expected * 255))
+        assert diff.max() <= 1.0, diff.max()
+        assert (diff == 0).mean() >= 0.99
