@@ -164,11 +164,36 @@ def cpu_baseline_for_main():
     return json.loads(BASELINE_CACHE.read_text())["mp_per_s"]
 
 
+def _probe_tpu_alive(timeout_s: int = 120) -> bool:
+    """The remote-TPU tunnel on this box can go down for hours, in which
+    case jax.devices() BLOCKS forever (CLAUDE.md trap; observed
+    2026-08-17). Probe in a subprocess with a hard timeout so a dead
+    tunnel fails this benchmark in ~2 minutes with a diagnosis instead of
+    hanging the driver indefinitely."""
+    import subprocess
+    import sys
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print('ok')"],
+            capture_output=True, text=True, timeout=timeout_s)
+        return proc.returncode == 0 and "ok" in proc.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     if os.environ.get("BENCH_CPU_BASELINE"):        # helper mode for caching
         mps = cpu_baseline_mps(force=True)
         print(json.dumps({"cpu_mp_per_s": mps}))
         return
+
+    if not _probe_tpu_alive():
+        print("bench.py: TPU backend unreachable (jax.devices() blocked "
+              ">120 s — the remote-TPU tunnel is down; see CLAUDE.md "
+              "'tunnel can go down' trap). Refusing to hang; re-run when "
+              "the tunnel recovers.", file=__import__("sys").stderr)
+        raise SystemExit(3)
 
     cpu_mps = cpu_baseline_for_main()
 

@@ -46,6 +46,9 @@ def main():
     from tests.oracle import oracle_filter_image
 
     side = int(sys.argv[1]) if len(sys.argv) > 1 else 192
+    # --operators-only: skip the O(N p^2) f64 identity oracle (15+ min at
+    # 384^2) and run just the cheap operator-mode anchors
+    ops_only = "--operators-only" in sys.argv
     img = gl.make_test_image(side, side)
     noisy = np.clip(gl.add_gaussian_noise(img, 0.1, seed=1), 0, 1)
     base = gl.PipelineConfig(
@@ -54,34 +57,38 @@ def main():
         streaming=True, block_cols=4608 if side % 3 == 0 else 4096)
     plan = make_plan(noisy, base)
 
-    t0 = time.perf_counter()
-    orc, _ = oracle_filter_image(noisy, base.replace(streaming=False))
-    oracle_wall = time.perf_counter() - t0
-    psnr_oracle = gl.psnr(img, orc)
+    recs = []
+    if not ops_only:
+        t0 = time.perf_counter()
+        orc, _ = oracle_filter_image(noisy, base.replace(streaming=False))
+        oracle_wall = time.perf_counter() - t0
+        psnr_oracle = gl.psnr(img, orc)
 
-    recipes = [
-        ("f32_streaming", base),
-        ("bf16_streaming", base.replace(affinity_dtype="bfloat16")),
-        ("bf16_gc4", base.replace(affinity_dtype="bfloat16", gram_coarse=4)),
-        ("bf16_sc16_gc4", base.replace(affinity_dtype="bfloat16",
-                                       sinkhorn_coarse=16, gram_coarse=4)),
-        ("bf16_store_dense", base.replace(streaming=False,
-                                          affinity_dtype="bfloat16_store")),
-    ]
     RESULTS.parent.mkdir(parents=True, exist_ok=True)
-    recs = [{"recipe": "oracle_f64", "side": side, "p": plan.p,
-             "psnr_out_db": round(psnr_oracle, 4),
-             "wall_s": round(oracle_wall, 1), "ts": time.time()}]
-    for name, cfg in recipes:
-        res = gl.filter_image(noisy, cfg, plan=plan)
-        recs.append({
-            "recipe": name, "side": side, "p": plan.p,
-            "psnr_out_db": round(gl.psnr(img, res.image), 4),
-            "dpsnr_vs_oracle_db": round(
-                abs(gl.psnr(img, res.image) - psnr_oracle), 4),
-            "psnr_vs_oracle_db": round(gl.psnr(orc, res.image), 2),
-            "ts": time.time(),
-        })
+    if not ops_only:
+        recipes = [
+            ("f32_streaming", base),
+            ("bf16_streaming", base.replace(affinity_dtype="bfloat16")),
+            ("bf16_gc4", base.replace(affinity_dtype="bfloat16",
+                                      gram_coarse=4)),
+            ("bf16_sc16_gc4", base.replace(affinity_dtype="bfloat16",
+                                           sinkhorn_coarse=16, gram_coarse=4)),
+            ("bf16_store_dense", base.replace(streaming=False,
+                                              affinity_dtype="bfloat16_store")),
+        ]
+        recs.append({"recipe": "oracle_f64", "side": side, "p": plan.p,
+                     "psnr_out_db": round(psnr_oracle, 4),
+                     "wall_s": round(oracle_wall, 1), "ts": time.time()})
+        for name, cfg in recipes:
+            res = gl.filter_image(noisy, cfg, plan=plan)
+            recs.append({
+                "recipe": name, "side": side, "p": plan.p,
+                "psnr_out_db": round(gl.psnr(img, res.image), 4),
+                "dpsnr_vs_oracle_db": round(
+                    abs(gl.psnr(img, res.image) - psnr_oracle), 4),
+                "psnr_vs_oracle_db": round(gl.psnr(orc, res.image), 2),
+                "ts": time.time(),
+            })
     # Operator-mode anchors (round 3): the matvec sharpen semantics (cfg3
     # production) and the chebyshev series — each recipe vs ITS OWN f64
     # oracle (different filter modes are different reference outputs).
