@@ -30,6 +30,7 @@ from .models.pipeline import (
     make_plan,
 )
 from .models.video import filter_video, filter_video_multihost
+from .tune import SureRow, sure_risk, tune_h_sure
 from .parallel.streaming_sharded import filter_image_multihost
 from .utils.checkpoint import filter_with_basis, load_basis, save_basis
 from .utils.sampling import SamplePlan, random_sample, uniform_grid_sample
@@ -46,4 +47,5 @@ __all__ = [
     "filter_image_multihost",
     "save_basis", "load_basis", "filter_with_basis",
     "SamplePlan", "uniform_grid_sample", "random_sample",
+    "SureRow", "sure_risk", "tune_h_sure",
 ]

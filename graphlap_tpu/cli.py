@@ -144,6 +144,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "else estimated from the image (wavelet-MAD, "
                         "metrics.estimate_noise_sigma). Explicit -h_param/"
                         "-spatial_h flags win")
+    p.add_argument("-tune_sure", action="store_true",
+                   help="pick the bandwidth h by minimizing Stein's "
+                        "unbiased risk estimate over a small grid — no "
+                        "clean reference needed (GLIDE's own selection "
+                        "rule; divergence computed EXACTLY through the "
+                        "whole pipeline by jax.jvp, tune.py). sigma = "
+                        "-noise when given, else estimated. Explicit "
+                        "-h_param wins; composes with -tune_denoise "
+                        "(which also sets spatial_h)")
     p.add_argument("-noise", type=float, default=0.0,
                    help="experiment mode: add Gaussian noise of this std "
                         "before filtering and report PSNR vs the clean input")
@@ -291,6 +300,18 @@ def main(argv=None) -> int:
         cfg = denoise_tuned(cfg, sigma, keep=_explicit_fields(argv))
         print(f"tune_denoise: sigma={sigma:.4f} -> h={cfg.h:.3f} "
               f"spatial_h={cfg.spatial_h:.1f}")
+
+    if args.tune_sure:
+        if "h" in _explicit_fields(argv):
+            print("tune_sure: explicit -h_param wins; skipping")
+        else:
+            from graphlap_tpu.tune import tune_h_sure
+            sigma = args.noise if args.noise > 0 else None
+            cfg, rows = tune_h_sure(image, cfg, sigma=sigma)
+            best = min(rows, key=lambda r: r.sure)
+            print(f"tune_sure: h={cfg.h:.4f} (SURE {best.sure:.6f}, "
+                  f"predicted PSNR {best.psnr_pred:.2f} dB) over "
+                  f"{[r.h for r in rows]}")
 
     if args.load_basis:
         from graphlap_tpu.utils.checkpoint import filter_with_basis, load_basis

@@ -134,7 +134,7 @@ class _StripCtx(NamedTuple):
 
 
 def _strip_ctx(img2d: jnp.ndarray, idx_a: jnp.ndarray,
-               cfg: PipelineConfig) -> _StripCtx:
+               cfg: PipelineConfig, bandwidth=None) -> _StripCtx:
     h, w = img2d.shape
     n = h * w
     p = idx_a.shape[0]
@@ -142,7 +142,9 @@ def _strip_ctx(img2d: jnp.ndarray, idx_a: jnp.ndarray,
     block = min(cfg.block_cols, _cdiv(n, 1))
     n_pad = _cdiv(n, block) * block
 
-    feats = extract_features(img2d, cfg)              # NATURAL pixel order
+    # ``bandwidth``: optional TRACED h override (tune.py SURE sweeps run a
+    # whole h-grid through one compiled executable — see extract_features)
+    feats = extract_features(img2d, cfg, h=bandwidth)  # NATURAL pixel order
     feats_a = jnp.take(feats, idx_a, axis=0)          # p-row gather only
     d = feats.shape[1]
     feats_pad = jnp.zeros((n_pad, d), feats.dtype).at[:n].set(feats)

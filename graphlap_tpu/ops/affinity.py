@@ -49,21 +49,28 @@ def _unfold_patches(img: jnp.ndarray, patch: int) -> jnp.ndarray:
     return jnp.stack(views, axis=-1).reshape(h * w, patch * patch)
 
 
-def extract_features(img: jnp.ndarray, cfg: PipelineConfig) -> jnp.ndarray:
+def extract_features(img: jnp.ndarray, cfg: PipelineConfig,
+                     h=None) -> jnp.ndarray:
     """(H, W) image -> (N, d) float32 feature rows with bandwidths folded in.
 
     gaussian: f_i = y_i / h                      (photometric; SURVEY.md §1.2)
     nlm:      f_i = P_i / (h * patch)            (5x5 patch, per-pixel RMS h)
     spatial_h > 0 appends (row, col) / spatial_h (bilateral form).
+
+    ``h`` overrides cfg.h and may be a TRACED scalar: since the bandwidth
+    only enters as this feature scaling, a bandwidth sweep (tune.py SURE
+    grid) can run every candidate through ONE compiled executable instead
+    of recompiling per h (cfg fields are static jit args).
     """
     h_img, w_img = img.shape
     img = img.astype(jnp.float32)
+    h = cfg.h if h is None else h
 
     if cfg.kernel == "nlm":
         d = cfg.patch_size * cfg.patch_size
-        feats = _unfold_patches(img, cfg.patch_size) / (cfg.h * math.sqrt(d))
+        feats = _unfold_patches(img, cfg.patch_size) / (h * math.sqrt(d))
     else:
-        feats = (img / cfg.h).reshape(-1, 1)
+        feats = (img / h).reshape(-1, 1)
 
     if cfg.spatial_h > 0.0:
         yy, xx = jnp.meshgrid(
@@ -103,15 +110,17 @@ def affinity_strip(
 
 
 def affinity_blocks(img: jnp.ndarray, idx_a: jnp.ndarray, perm: jnp.ndarray,
-                    cfg: PipelineConfig):
+                    cfg: PipelineConfig, h=None):
     """Full materialized path: (K_AA (p,p), K_AB (p,N-p)) for one channel.
 
     K_AA and K_AB are built as separate GEMMs rather than slicing one
     (p, N) strip: slices copy, and at config-2 scale (5.4 GB strip) a
     strip + two slice copies exhausts HBM (measured RESOURCE_EXHAUSTED on
     v5 lite). This way exactly one big buffer lives.
+
+    ``h``: optional traced bandwidth override (see extract_features).
     """
-    feats = extract_features(img, cfg)
+    feats = extract_features(img, cfg, h=h)
     feats_perm = jnp.take(feats, perm, axis=0)
     p = idx_a.shape[0]
     feats_a = feats_perm[:p]
@@ -135,9 +144,11 @@ def affinity_blocks(img: jnp.ndarray, idx_a: jnp.ndarray, perm: jnp.ndarray,
 # the two implementations stay in lock-step.
 # ---------------------------------------------------------------------------
 
-def extract_features_np(img: np.ndarray, cfg: PipelineConfig) -> np.ndarray:
+def extract_features_np(img: np.ndarray, cfg: PipelineConfig,
+                        h=None) -> np.ndarray:
     h_img, w_img = img.shape
     img = np.asarray(img, dtype=np.float64)
+    h = cfg.h if h is None else h
     if cfg.kernel == "nlm":
         r = cfg.patch_size // 2
         d = cfg.patch_size * cfg.patch_size
@@ -148,9 +159,9 @@ def extract_features_np(img: np.ndarray, cfg: PipelineConfig) -> np.ndarray:
             for dx in range(cfg.patch_size)
         ]
         feats = np.stack(views, axis=-1).reshape(h_img * w_img, d)
-        feats = feats / (cfg.h * math.sqrt(d))
+        feats = feats / (h * math.sqrt(d))
     else:
-        feats = (img / cfg.h).reshape(-1, 1)
+        feats = (img / h).reshape(-1, 1)
     if cfg.spatial_h > 0.0:
         yy, xx = np.meshgrid(np.arange(h_img, dtype=np.float64),
                              np.arange(w_img, dtype=np.float64), indexing="ij")

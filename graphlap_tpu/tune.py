@@ -1,0 +1,247 @@
+"""No-reference bandwidth selection via Stein's unbiased risk estimate.
+
+The GLIDE line of work this pipeline implements (Talebi & Milanfar,
+*Global Image Denoising*, TIP 2014 §V) selects its filter parameters by
+minimizing SURE — an unbiased estimate of the denoising MSE that needs
+only the NOISY image and the noise level:
+
+    SURE(h) = (1/N) ||z - y||^2  -  sigma^2  +  (2 sigma^2 / N) div_y z(y)
+
+with z(y) the UNCLIPPED filter output. The reference repo has no
+automated selection (bandwidths are thesis-chosen constants); this module
+is the capability its users would reach for next, built the JAX way:
+
+* **Exact divergence by forward-mode autodiff.** The classical GLIDE
+  practice freezes the graph (div = tr f(W), cheap) — but W here is built
+  from the noisy y itself, and that dependence DOMINATES the divergence:
+  measured at 64^2/sigma=0.1/h=0.2, frozen-graph div ~= 24 vs the true
+  ~1615, an estimate so optimistic it inverts the h ranking (SURE kept
+  falling as h shrank while the true MSE rose). Instead the Hutchinson
+  estimator div ~= E_b[b^T (dz/dy) b] runs ``jax.jvp`` through the WHOLE
+  pipeline — affinity kernel, Sinkhorn fixed point, filter matvecs — so
+  the kernel's adaptation to noise is priced in exactly. Measured: SURE
+  matches the float-oracle true MSE within a few percent at every grid
+  point and picks the true-optimal h (tests/test_sure.py).
+* **One executable for the whole grid.** The bandwidth enters the
+  pipeline only as the feature scaling feats = raw / h (ops/affinity.py),
+  so ``h`` is a TRACED scalar here — a 5-point grid costs 5 runs, not
+  5 × ~50 s XLA compiles.
+* **Operator-mode evaluation.** jvp needs a differentiable chain:
+  matvec/chebyshev filtering is GEMMs + exp + fori_loops (all smooth),
+  while the spectral path's eigh has no usable jvp on these collapsed
+  kernel spectra (gaps ~1e-5 make the 1/(l_i - l_j) tangent formula
+  garbage). Spectral configs are therefore tuned through their operator
+  surrogate — same graph, same Sinkhorn, f applied as a polynomial /
+  Chebyshev series — and the chosen h is handed back to the spectral
+  config (the rank-m truncation barely moves the optimum; the parity
+  gates measure the two forms within ~0.01 dB on denoise configs).
+  Pallas is likewise disabled inside the eval (no jvp rule for
+  pallas_call); production keeps it — h transfers, the numerics differ
+  only at the measured parity level.
+
+The estimate targets the unclipped output (clipping zeroes derivatives
+exactly where the signal saturates, which the true MSE barely sees).
+
+Sigma sensitivity (measured, 128^2/sigma=0.1): SURE's minimum in h is
+FLAT — the top two grid points sit ~4% apart — so the sigma^2-weighted
+divergence term makes the pick sensitive to the noise estimate: the
+exact sigma selects the calibrated optimum (h = 0.206, PSNR 25.34), a
+wavelet-MAD estimate 3% high slides it one grid step up (h = 0.309,
+PSNR 24.42 — still +4.2 dB over the noisy input). Pass the known sigma
+when you have it (CLI: -noise does); the estimated-sigma path is the
+honest no-reference fallback.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import (CHEBYSHEV_FILTERS, MATVEC_FILTERS, PipelineConfig)
+from .metrics import estimate_noise_sigma
+from .ops.affinity import affinity_blocks
+from .ops.filters import apply_operator_filter
+from .ops.sinkhorn import normalize_blocks
+
+
+class SureRow(NamedTuple):
+    """One evaluated candidate. ``sure`` estimates mean((z - clean)^2) of
+    the unclipped output; ``psnr_pred`` is the PSNR that MSE implies."""
+
+    h: float
+    sure: float
+    fidelity: float      # mean((z - y)^2): how much the filter moved y
+    div: float           # exact divergence (effective degrees of freedom)
+    psnr_pred: float
+
+
+def _rademacher(key, shape):
+    return (2.0 * jax.random.bernoulli(key, 0.5, shape) - 1.0).astype(
+        jnp.float32)
+
+
+def operator_surrogate(cfg: PipelineConfig) -> PipelineConfig:
+    """The differentiable twin SURE evaluates: same graph/normalization,
+    filter applied in an eigensolve-free operator mode, Pallas off (module
+    docstring). Identity for configs that are already operator-mode +
+    XLA."""
+    if not cfg.operator_filter():
+        name, param = cfg.filter_name, cfg.filter_param
+        if name in MATVEC_FILTERS and (
+                name not in ("power", "twicing")
+                or (param == int(param) and param >= 1)):
+            cfg = cfg.replace(filter_mode="matvec")
+        elif name in CHEBYSHEV_FILTERS:
+            cfg = cfg.replace(filter_mode="chebyshev")
+        else:
+            # lowpass: a rank-m index-set projection has no operator form;
+            # identity (f = lambda on the same graph) is the nearest
+            # full-rank proxy — both are graph smoothers whose strength is
+            # set by the SAME bandwidth, so the h optimum transfers
+            cfg = cfg.replace(filter_name="identity", filter_mode="matvec")
+    if cfg.use_pallas:
+        cfg = cfg.replace(use_pallas=False)
+    return cfg
+
+
+@partial(jax.jit, static_argnames=("cfg", "probes"))
+def _sure_parts(img2d, idx_a, perm, h, key, cfg: PipelineConfig,
+                probes: int):
+    """(mean (z-y)^2, div) for one channel at traced bandwidth ``h``.
+
+    ``cfg`` must be an operator_surrogate() output: operator filter mode,
+    no Pallas — the constraints jax.jvp needs.
+    """
+    n = img2d.shape[0] * img2d.shape[1]
+
+    if cfg.streaming:
+        from .models.streaming import _normalize_streaming, _strip_ctx
+
+        def zfun(im):
+            ctx = _strip_ctx(im, idx_a, cfg, bandwidth=h)
+            s = _normalize_streaming(ctx, cfg)
+            y_pad = jnp.zeros(ctx.n_pad, jnp.float32).at[:n].set(
+                im.astype(jnp.float32).ravel())
+            z = apply_operator_filter(
+                lambda x: s * ctx.ktilde_apply(s * x), y_pad,
+                cfg.filter_name, cfg.filter_param, cfg.filter_mode,
+                cfg.cheb_degree)
+            return z[:n]
+
+        def bvec(b2d):
+            return b2d.ravel()
+
+        y_vec = img2d.astype(jnp.float32).ravel()
+    else:
+        from .models.pipeline import _dense_wapply
+
+        def zfun(im):
+            kaa, kab = affinity_blocks(im, idx_a, perm, cfg, h=h)
+            _, _, s_a, s_b = normalize_blocks(
+                kaa, kab, cfg.normalization, cfg.sinkhorn_iters,
+                cfg.eig_tol, cfg.solver, cfg.sinkhorn_coarse,
+                cfg.sinkhorn_polish)
+            y_perm = jnp.take(im.astype(jnp.float32).ravel(), perm)
+            return apply_operator_filter(
+                _dense_wapply(kaa, kab, s_a, s_b, cfg), y_perm,
+                cfg.filter_name, cfg.filter_param, cfg.filter_mode,
+                cfg.cheb_degree)
+
+        def bvec(b2d):
+            return jnp.take(b2d.ravel(), perm)
+
+        y_vec = jnp.take(img2d.astype(jnp.float32).ravel(), perm)
+
+    z = zfun(img2d)
+
+    def probe(k):
+        b2d = _rademacher(k, img2d.shape)
+        _, dz = jax.jvp(zfun, (img2d,), (b2d,))
+        return jnp.sum(bvec(b2d) * dz)
+
+    div = jnp.mean(jax.vmap(probe)(jax.random.split(key, probes)))
+    fid = jnp.mean((z - y_vec) ** 2)
+    return fid, div
+
+
+def _channel_views(image: np.ndarray):
+    if image.ndim == 2:
+        return [image]
+    return [image[..., c] for c in range(image.shape[-1])]
+
+
+def sure_risk(image: np.ndarray, cfg: PipelineConfig,
+              sigma: float | None = None, plan=None, h: float | None = None,
+              probes: int = 4, seed: int = 0) -> SureRow:
+    """SURE of filtering noisy ``image`` with ``cfg`` at bandwidth ``h``
+    (default cfg.h). sigma (noise std in [0,1] range) is wavelet-MAD
+    estimated when not given. Spectral configs are evaluated through
+    operator_surrogate(); multi-channel images average the per-channel
+    estimates (per_channel semantics — each channel rides its own graph).
+    """
+    from .models.pipeline import check_dense_feasible, make_plan
+
+    image = np.asarray(image)
+    ecfg = operator_surrogate(cfg)
+    if sigma is None:
+        sigma = estimate_noise_sigma(image)
+    if plan is None:
+        plan = make_plan(image, ecfg)
+    check_dense_feasible(ecfg, plan)
+    h_val = cfg.h if h is None else float(h)
+    idx_a = jnp.asarray(plan.idx_a)
+    perm = jnp.asarray(plan.perm)
+    key = jax.random.PRNGKey(seed)
+
+    fids, divs, n = [], [], plan.n
+    for c, ch in enumerate(_channel_views(image)):
+        fid, div = _sure_parts(jnp.asarray(ch, jnp.float32), idx_a, perm,
+                               jnp.float32(h_val), jax.random.fold_in(key, c),
+                               ecfg, probes)
+        fids.append(float(fid))
+        divs.append(float(div))
+    fid = float(np.mean(fids))
+    div = float(np.mean(divs))
+    sure = fid - sigma**2 + 2.0 * sigma**2 * div / n
+    psnr_pred = float(10.0 * np.log10(1.0 / max(sure, 1e-12)))
+    return SureRow(h=h_val, sure=sure, fidelity=fid, div=div,
+                   psnr_pred=psnr_pred)
+
+
+def default_h_grid(cfg: PipelineConfig, sigma: float) -> list[float]:
+    """Candidate bandwidths bracketing the measured cross-sigma optimum
+    (config.denoise_tuned: gaussian h = 2 sigma, nlm h = 1.5 sigma)."""
+    base = 2.0 * sigma if cfg.kernel == "gaussian" else 1.5 * sigma
+    floor = 0.08 if cfg.kernel == "gaussian" else 0.05
+    base = max(base, floor)
+    return [round(base * f, 4) for f in (0.5, 0.75, 1.0, 1.5, 2.0)]
+
+
+def tune_h_sure(image: np.ndarray, cfg: PipelineConfig,
+                sigma: float | None = None, h_grid=None, plan=None,
+                probes: int = 4, seed: int = 0,
+                ) -> tuple[PipelineConfig, list[SureRow]]:
+    """Pick the SURE-minimizing bandwidth from ``h_grid`` (default: a
+    5-point grid bracketing the calibrated h(sigma) rule) and return
+    (cfg with that h, all evaluated rows in grid order).
+
+    Every candidate reuses ONE compiled executable (h is traced — module
+    docstring); each costs one filter run plus ``probes`` jvp runs.
+    """
+    from .models.pipeline import make_plan
+
+    image = np.asarray(image)
+    if sigma is None:
+        sigma = estimate_noise_sigma(image)
+    if h_grid is None:
+        h_grid = default_h_grid(cfg, sigma)
+    if plan is None:
+        plan = make_plan(image, operator_surrogate(cfg))
+    rows = [sure_risk(image, cfg, sigma=sigma, plan=plan, h=hc,
+                      probes=probes, seed=seed) for hc in h_grid]
+    best = min(rows, key=lambda r: r.sure)
+    return cfg.replace(h=best.h), rows
