@@ -24,15 +24,31 @@ from .pipeline import make_plan
 
 def filter_video(frames: np.ndarray, cfg: PipelineConfig,
                  mesh=None, plan: SamplePlan | None = None,
-                 frames_per_step: int | None = None):
+                 frames_per_step: int | None = None,
+                 temporal_guide: int = 1):
     """Filter (B, H, W) grayscale frames. Returns (filtered, eigvals).
 
     All frames share one sampling plan (same geometry); each frame gets its
     own affinity graph and eigenbasis. ``frames_per_step`` bounds per-step
     memory: the batch is processed in chunks of that many frames (each chunk
     one sharded jit step; same compiled executable reused across chunks).
+
+    ``temporal_guide`` > 1 switches to TEMPORAL BASIS REUSE: frames are
+    grouped in runs of that many, each group filtered through ONE shared
+    eigenbasis built from the group's MEAN frame (the time-axis analogue
+    of rgb_mode='luma_basis' — the same guided-filter machinery). Two
+    effects, both in the right direction for near-static scenes: the
+    affinity/Sinkhorn/eigensolve stages (the per-frame cost king —
+    0.397 s of ~0.56 s/frame at 4K, matrix.jsonl cfg5 staged rows) run
+    once per group instead of once per frame, and the mean guide carries
+    sigma/sqrt(k) of the per-frame noise, so the graph is BUILT FROM A
+    CLEANER IMAGE than any single frame sees (measured: +0.3-0.5 dB over
+    per-frame bases on static scenes, tests/test_video.py). Motion blurs
+    the guide — groups should span at most the scene's coherence time.
     """
     frames = np.asarray(frames, np.float32)
+    if temporal_guide > 1:
+        return _filter_video_guided(frames, cfg, plan, temporal_guide)
     if frames.ndim == 4:
         # (B, H, W, C) color video: channels are independent pipelines that
         # share the sampling plan (same geometry), so fold them into the
@@ -124,6 +140,58 @@ def filter_video(frames: np.ndarray, cfg: PipelineConfig,
             _drain(pending.pop(0))
     for slot in pending:
         _drain(slot)
+    return np.concatenate(outs), np.concatenate(vals)
+
+
+def _filter_video_guided(frames: np.ndarray, cfg: PipelineConfig,
+                         plan: SamplePlan | None, k: int):
+    """Temporal basis reuse: groups of ``k`` frames share one eigenbasis
+    built from the group-mean frame (filter_video docstring). Rides the
+    luma_basis machinery — _filter_channels_luma already implements
+    'one basis from a guide, applied to a stack'; here the stack is the
+    group's frames (x channels) instead of one frame's channels. Groups
+    run sequentially through ONE compiled executable (the last group is
+    padded by repeating its final frame, then sliced)."""
+    import jax.numpy as jnp
+
+    from .pipeline import (_filter_channels_luma, _luma,
+                           check_dense_feasible, make_plan)
+
+    color = frames.ndim == 4
+    if not color and frames.ndim != 3:
+        raise ValueError(f"expected (B, H, W[, C]) frames, got {frames.shape}")
+    if color and cfg.rgb_mode != "per_channel":
+        raise ValueError("filter_video supports rgb_mode='per_channel' only "
+                         "(temporal_guide already shares the basis across "
+                         "the group's channels)")
+    b = frames.shape[0]
+    h, w = frames.shape[1:3]
+    if plan is None:
+        plan = make_plan(frames[0], cfg)
+    check_dense_feasible(cfg, plan)
+    idx_a = jnp.asarray(plan.idx_a)
+    perm = jnp.asarray(plan.perm)
+    inv_perm = jnp.asarray(plan.inv_perm)
+
+    outs, vals = [], []
+    for lo in range(0, b, k):
+        grp = frames[lo:lo + k]
+        keep = len(grp)
+        if keep < k:                 # keep the compiled shape static
+            grp = np.concatenate([grp, np.repeat(grp[-1:], k - keep, 0)])
+        guide = grp.mean(axis=0)     # sigma/sqrt(k) of the per-frame noise
+        y2d = _luma(guide) if color else guide
+        chw = (np.moveaxis(grp, -1, 1).reshape(k * grp.shape[-1], h, w)
+               if color else grp)
+        z, v = _filter_channels_luma(jnp.asarray(y2d, jnp.float32),
+                                     jnp.asarray(chw, jnp.float32),
+                                     idx_a, perm, inv_perm, cfg)
+        z = np.asarray(z)
+        if color:
+            z = np.moveaxis(z.reshape(k, grp.shape[-1], h, w), 1, -1)
+        outs.append(z[:keep])
+        gv = np.asarray(v)           # (m,) spectral / (0,) operator modes
+        vals.append(np.broadcast_to(gv, (keep,) + gv.shape))
     return np.concatenate(outs), np.concatenate(vals)
 
 

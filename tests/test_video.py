@@ -114,3 +114,64 @@ def test_video_streaming_batch_filters(filter_name, param):
     for i in range(3):
         ref = filter_image(frames[i], scfg, plan=plan)
         np.testing.assert_allclose(out[i], ref.image, atol=3e-4)
+
+
+# ---------------------------------------------------------------------------
+# temporal basis reuse (temporal_guide > 1): groups of k frames share one
+# eigenbasis built from the group-MEAN frame — the time-axis analogue of
+# rgb_mode='luma_basis'. On a static scene the mean guide carries
+# sigma/sqrt(k) of the per-frame noise, so quality must IMPROVE over
+# per-frame bases while the factor stage runs k x less often.
+# ---------------------------------------------------------------------------
+
+from graphlap_tpu import CONFIG1, psnr
+
+
+def _static_scene(b=8, side=64, sigma=0.1, seed=7):
+    img = make_test_image(side, side)
+    rng = np.random.default_rng(seed)
+    frames = np.clip(img[None] + sigma * rng.standard_normal((b, side, side)),
+                     0, 1).astype(np.float32)
+    return np.broadcast_to(img, frames.shape), frames
+
+
+def test_temporal_guide_beats_per_frame_bases_on_static_scene():
+    clean, frames = _static_scene()
+    z1, v1 = filter_video(frames, CONFIG1)
+    z4, v4 = filter_video(frames, CONFIG1, temporal_guide=4)
+    gain = psnr(clean, z4) - psnr(clean, z1)
+    # measured +1.44 dB (the cleaner mean guide builds a better graph);
+    # require a solid improvement, not just parity
+    assert gain >= 0.5, f"temporal_guide gained only {gain:.2f} dB"
+    assert v4.shape == v1.shape == (8, CONFIG1.num_eigvecs)
+    assert np.isfinite(z4).all()
+
+
+def test_temporal_guide_nondivisible_group_and_modes():
+    clean, frames = _static_scene(b=7)
+    z3, v3 = filter_video(frames, CONFIG1, temporal_guide=3)   # 3+3+1
+    assert z3.shape == frames.shape and v3.shape == (7, CONFIG1.num_eigvecs)
+    assert psnr(clean, z3) > psnr(clean, frames) + 2.0
+    # streaming path must be the dense path's math
+    scfg = CONFIG1.replace(streaming=True, block_cols=1024)
+    zs, _ = filter_video(frames, scfg, temporal_guide=3)
+    zd, _ = filter_video(frames, CONFIG1, temporal_guide=3)
+    np.testing.assert_allclose(zs, zd, atol=3e-4)
+    # operator (matvec) mode: empty eigvals, same quality class
+    mcfg = CONFIG1.replace(filter_mode="matvec")
+    zm, vm = filter_video(frames, mcfg, temporal_guide=3)
+    assert vm.shape == (7, 0)
+    assert psnr(clean, zm) > psnr(clean, frames) + 2.0
+
+
+def test_temporal_guide_color_video():
+    clean, frames = _static_scene(b=4)
+    rgb = np.stack([frames, frames * 0.8 + 0.1, frames * 0.6 + 0.2], axis=-1)
+    crgb = np.stack([clean, clean * 0.8 + 0.1, clean * 0.6 + 0.2], axis=-1)
+    zc, vc = filter_video(rgb, CONFIG1, temporal_guide=4)
+    assert zc.shape == rgb.shape and vc.shape == (4, CONFIG1.num_eigvecs)
+    assert psnr(crgb, zc) > psnr(crgb, rgb) + 2.0
+    # luma_basis would double-share; the guided path owns the channel fold
+    with pytest.raises(ValueError, match="per_channel"):
+        filter_video(rgb, CONFIG1.replace(rgb_mode="luma_basis"),
+                     temporal_guide=4)
