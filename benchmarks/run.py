@@ -235,9 +235,26 @@ def row5x():
     return "cfg5_video_16x4k_streaming", _cfg5_recipe(), frames, frames
 
 
+def row5t():
+    """Temporal basis reuse at 4K (models/video._filter_video_guided):
+    a STATIC scene (one image, per-frame noise — the regime the feature
+    targets) of 8 frames, groups of 4 sharing the mean-frame basis.
+    The A/B bar is the same frames through the per-frame-basis batched
+    path. Expected: factor stage runs 4x less often AND PSNR improves
+    (the mean guide carries sigma/2 of the noise; +1.4 dB measured at
+    64^2, tests/test_video.py)."""
+    import graphlap_tpu as gl
+    img = gl.make_test_image(2160, 3840, seed=0)
+    frames = np.stack([
+        np.clip(gl.add_gaussian_noise(img, 0.1, seed=s), 0, 1)
+        for s in range(8)
+    ])
+    return "cfg5_video_8x4k_temporal_guide", _cfg5_recipe(), img, frames
+
+
 ROWS = {"1": row1, "2": row2, "3": row3, "3l": row3l, "4": row4, "4c": row4c,
         "4g": row4g, "4m": row4m, "4p": row4p, "4x": row4x, "5": row5,
-        "5s": row5s, "5x": row5x, "6": row6}
+        "5s": row5s, "5t": row5t, "5x": row5x, "6": row6}
 # per-video-row harness options: chunk size + timed passes (16x4K moves
 # ~0.5 GB through this box's remote-TPU tunnel per pass — keep passes low)
 VIDEO_ROWS = {"5": {}, "5s": {},
@@ -460,6 +477,62 @@ def run_video_row(name, cfg, frames, frames_per_step=None, n_runs=3,
     print(json.dumps(rec))
 
 
+def run_video_guided_row(name, cfg, clean_img, frames, k=4, n_runs=2,
+                         bar_frames_per_step=2):
+    """Temporal-guide A/B: the SAME static-scene frames through (a) groups
+    of ``k`` sharing the mean-frame basis and (b) per-frame bases (the
+    production batched path). Both legs move identical bytes through the
+    tunnel, so the e2e walls compare fairly on this box."""
+    import graphlap_tpu as gl
+    from graphlap_tpu.models.pipeline import make_plan
+    from graphlap_tpu.models.video import filter_video
+
+    plan = make_plan(frames[0], cfg)
+    b = frames.shape[0]
+    mp = frames.size / 1e6
+
+    filter_video(frames[:k], cfg, plan=plan, temporal_guide=k)      # warm
+    gwalls = []
+    for _ in range(n_runs):
+        t0 = time.perf_counter()
+        zg, _ = filter_video(frames, cfg, plan=plan, temporal_guide=k)
+        gwalls.append(time.perf_counter() - t0)
+
+    fps = min(bar_frames_per_step, b)
+    filter_video(frames[:fps], cfg, plan=plan, frames_per_step=fps)  # warm
+    iwalls = []
+    for _ in range(n_runs):
+        t0 = time.perf_counter()
+        zi, _ = filter_video(frames, cfg, plan=plan, frames_per_step=fps)
+        iwalls.append(time.perf_counter() - t0)
+
+    import jax
+    psnr_g = float(np.mean([gl.psnr(clean_img, zg[s]) for s in range(b)]))
+    psnr_i = float(np.mean([gl.psnr(clean_img, zi[s]) for s in range(b)]))
+    psnr_n = float(np.mean([gl.psnr(clean_img, frames[s]) for s in range(b)]))
+    rec = {
+        "row": name, "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]), "shape": list(frames.shape),
+        "p": plan.p, "m": cfg.num_eigvecs, "config_hash": cfg.config_hash(),
+        "temporal_guide": k,
+        "wall_guided_s": [round(w, 4) for w in sorted(gwalls)],
+        "wall_per_frame_s": [round(w, 4) for w in sorted(iwalls)],
+        "guided_speedup": round(min(iwalls) / min(gwalls), 3),
+        "mp_per_s_guided": round(mp / min(gwalls), 4),
+        "psnr_in_db": round(psnr_n, 3),
+        "psnr_guided_db": round(psnr_g, 3),
+        "psnr_per_frame_db": round(psnr_i, 3),
+        "ts": time.time(),
+    }
+    RESULTS.parent.mkdir(parents=True, exist_ok=True)
+    with RESULTS.open("a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec))
+
+
+GUIDED_ROWS = {"5t": {"k": 4, "n_runs": 2}}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("rows", nargs="*", default=list(ROWS))
@@ -470,7 +543,9 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     for r in args.rows:
         name, cfg, clean, image = ROWS[r]()
-        if r in VIDEO_ROWS:
+        if r in GUIDED_ROWS:
+            run_video_guided_row(name, cfg, clean, image, **GUIDED_ROWS[r])
+        elif r in VIDEO_ROWS:
             run_video_row(name, cfg, image, **VIDEO_ROWS[r])
         else:
             run_row(name, cfg, clean, image)
