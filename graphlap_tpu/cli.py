@@ -107,7 +107,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "mode kills the residual its add-back needs)")
     p.add_argument("-cheb_degree", type=int, default=12,
                    help="chebyshev mode: series degree = number of strip "
-                        "matvecs")
+                        "matvecs; 0 = auto (smallest degree with series "
+                        "tail bound <= 1e-6)")
     p.add_argument("-rgb_mode", choices=["per_channel", "luma_basis"],
                    default="per_channel",
                    help="'per_channel' = C independent pipelines (reference "

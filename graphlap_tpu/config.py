@@ -155,7 +155,13 @@ class PipelineConfig:
     cheb_degree: int = 12          # chebyshev mode: series degree = number
                                    # of strip matvecs (12 reaches ~1e-6
                                    # relative error on exp_decay tau<=4;
-                                   # cost scales linearly)
+                                   # cost scales linearly). 0 = AUTO:
+                                   # smallest degree whose series tail
+                                   # bounds the sup-norm error <= 1e-6
+                                   # (filters.chebyshev_auto_degree —
+                                   # exact polynomials resolve to their
+                                   # true degree; non-smooth f clamps
+                                   # at 64, set an explicit degree there)
 
     # --- color handling ---
     rgb_mode: str = "per_channel"  # "per_channel" (reference behavior:
@@ -226,8 +232,8 @@ class PipelineConfig:
                 raise ValueError(
                     f"filter_mode='chebyshev' needs a lambda-function filter "
                     f"{CHEBYSHEV_FILTERS}, got {self.filter_name!r}")
-            if self.cheb_degree < 1:
-                raise ValueError("cheb_degree must be >= 1")
+            if self.cheb_degree < 0:
+                raise ValueError("cheb_degree must be >= 1, or 0 for auto")
             if self.normalization == "none":
                 # the series is fit on [-1, 1]; the RAW kernel completion's
                 # spectral radius is the max row sum (~1e3-1e4 at MP sizes),

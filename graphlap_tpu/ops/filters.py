@@ -180,16 +180,52 @@ def chebyshev_coeffs(name: str, param: float, degree: int) -> np.ndarray:
     return c
 
 
+# Tail estimates must be fit well PAST the degree they certify: quadrature
+# coefficients near the fit end alias (measured: the 64-node fit read the
+# power-2.5 tail at k=59 as 8.9e-7 when the true value is 2.1e-5). 64 extra
+# terms keep the dominant part of every algebraically-decaying tail in view;
+# for smooth f the extra terms are machine zeros and cost nothing.
+_TAIL_FIT_MARGIN = 64
+
+
+def chebyshev_tail_bound(name: str, param: float, degree: int) -> float:
+    """Sup-norm error bound of the degree-``degree`` series on [-1, 1]:
+    |f - S_K|_inf <= sum_{k>K} |c_k| (since |T_k| <= 1), with the tail
+    taken from a fit extending _TAIL_FIT_MARGIN terms past ``degree``.
+    Validated against dense f(M)y in tests/test_chebyshev.py."""
+    c = chebyshev_coeffs(name, param, degree + _TAIL_FIT_MARGIN)
+    return float(np.sum(np.abs(c[degree + 1:])))
+
+
+def chebyshev_auto_degree(name: str, param: float, tol: float = 1e-6,
+                          max_degree: int = 64) -> int:
+    """Smallest series degree whose tail bound (chebyshev_tail_bound) is
+    <= tol — the cheb_degree=0 ("auto") resolution rule. Host-side numpy
+    on static config, so the pick is a trace-time constant shared by the
+    TPU paths and the float64 oracle (they resolve through the same
+    dispatch). Exact polynomials resolve to their true degree (the
+    quadrature is exact for degree <= the fit degree, so higher
+    coefficients are ~1e-16); non-smooth f (fractional power's
+    |lambda|^p kink at 0) converges only algebraically and clamps to
+    max_degree — an explicit cheb_degree is the escape hatch for cost
+    control there."""
+    c = chebyshev_coeffs(name, param, max_degree + _TAIL_FIT_MARGIN)
+    tails = np.cumsum(np.abs(c[::-1]))[::-1]      # tails[k] = sum_{j>=k} |c_j|
+    ok = np.nonzero(tails[1:max_degree + 1] <= tol)[0]   # degree k <-> tail k+1
+    return max(1, int(ok[0])) if ok.size else max_degree
+
+
 def apply_chebyshev_filter(wapply, y, name: str, param: float, degree: int):
     """z ~= f(W) y by the Chebyshev three-term recurrence — degree strip
     matvecs. Works on jnp and np arrays alike (``wapply`` sets the
     backend); the loop is static (degree is config) so under jit it
-    unrolls into a fixed matvec chain."""
+    unrolls into a fixed matvec chain. degree=0 means AUTO: the smallest
+    degree whose tail bound is <= 1e-6 (chebyshev_auto_degree)."""
+    if degree == 0:
+        degree = chebyshev_auto_degree(name, param)
     c = [float(v) for v in chebyshev_coeffs(name, param, degree)]
     t_prev = y
     z = c[0] * y
-    if degree == 0:
-        return z
     t_cur = wapply(y)
     z = z + c[1] * t_cur
     for j in range(2, degree + 1):

@@ -127,11 +127,60 @@ def test_chebyshev_matches_matvec_on_exact_polynomials():
     assert np.max(np.abs(mv.image - ch.image)) < 1e-4
 
 
+def test_auto_degree_resolves_polynomials_exactly():
+    """cheb_degree=0 picks the TRUE degree for exact polynomials: the
+    64-node quadrature is exact there, so coefficients past the true
+    degree are ~1e-16 and the tail bound collapses immediately."""
+    from graphlap_tpu.ops.filters import chebyshev_auto_degree
+    assert chebyshev_auto_degree("sharpen", 0.6) == 1
+    assert chebyshev_auto_degree("identity", 0.0) == 1
+    assert chebyshev_auto_degree("power", 3.0) == 3
+    assert chebyshev_auto_degree("twicing", 2.0) == 2
+
+
+def test_auto_degree_bound_holds_on_smooth_filters():
+    """The tail bound the auto pick certifies is a real sup-norm bound:
+    check |f - S_K|_inf on a dense grid at the resolved degree."""
+    from graphlap_tpu.ops.filters import (chebyshev_auto_degree,
+                                          chebyshev_tail_bound)
+    x = np.linspace(-1, 1, 2001)
+    for name, param in (("exp_decay", 2.0), ("exp_decay", 4.0),
+                        ("sharpen", 1.5)):
+        k = chebyshev_auto_degree(name, param, tol=1e-6)
+        assert 1 <= k <= 32, (name, k)
+        c = chebyshev_coeffs(name, param, k)
+        tk = np.cos(np.outer(np.arange(k + 1), np.arccos(x)))
+        err = np.max(np.abs(c @ tk - FILTER_REGISTRY[name].fn(x, param)))
+        # grid error <= certified bound + the fit's own aliasing slack
+        assert err < 2e-6, (name, k, err)
+        assert chebyshev_tail_bound(name, param, k) <= 1e-6
+
+
+def test_auto_degree_clamps_on_nonsmooth_filters():
+    # fractional power has a |lambda|^p kink at 0: algebraic convergence,
+    # the 1e-6 tail is unreachable by 64 — auto clamps rather than loops
+    from graphlap_tpu.ops.filters import chebyshev_auto_degree
+    assert chebyshev_auto_degree("power", 2.5) == 64
+
+
+def test_pipeline_auto_degree_matches_explicit():
+    """cheb_degree=0 through the full pipeline == the explicitly resolved
+    degree, bit-for-bit (same static unroll)."""
+    from graphlap_tpu.ops.filters import chebyshev_auto_degree
+    img = make_test_image(48, 48)
+    noisy = np.clip(add_gaussian_noise(img, 0.05, seed=5), 0, 1)
+    k = chebyshev_auto_degree("exp_decay", 2.0)
+    auto = filter_image(noisy, _cfg(cheb_degree=0))
+    expl = filter_image(noisy, _cfg(cheb_degree=k))
+    assert np.array_equal(auto.image, expl.image)
+
+
 def test_chebyshev_config_validation():
     with pytest.raises(ValueError, match="lambda-function"):
         _cfg(filter_name="lowpass")
     with pytest.raises(ValueError, match="cheb_degree"):
-        _cfg(cheb_degree=0)
+        _cfg(cheb_degree=-1)
+    _cfg(cheb_degree=0)                 # 0 = auto (resolved at apply time)
     # the raw (unnormalized) completion's spectral radius is the max row
     # sum (~1e3+): T_k diverges off [-1,1] and the recurrence returns NaNs
     # by degree ~12 — rejected at config time, not discovered as NaN pixels
