@@ -171,6 +171,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="dense path: dtype of the one-shot cross GEMM only "
                         "(bf16 = large eigensolve speedup, near-zero PSNR "
                         "cost)")
+    p.add_argument("-feature_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="storage dtype of the (N, d) feature tensor — the "
+                        "streaming path's capacity ceiling; bf16 halves it "
+                        "(~2x larger single-chip images) at a measured "
+                        "~0.005 dB on bf16 tile recipes. Incompatible with "
+                        "-spatial_h")
     p.add_argument("-solver", default="lobpcg",
                    choices=["lobpcg", "chol", "oneshot", "sketch"],
                    help="eigensolver (see docs/ARCHITECTURE.md section 4)")
@@ -205,7 +212,8 @@ def build_parser() -> argparse.ArgumentParser:
 # field whose flag the user (or the rc file) spelled out
 _PRESET_GUARDED_FLAGS = {
     "bf16": ("affinity_dtype",), "bf16_store": ("affinity_dtype",),
-    "gram_dtype": ("gram_dtype",), "pallas": ("use_pallas",),
+    "gram_dtype": ("gram_dtype",), "feature_dtype": ("feature_dtype",),
+    "pallas": ("use_pallas",),
     "sinkhorn_iters": ("sinkhorn_iters",),
     "sinkhorn_coarse": ("sinkhorn_coarse",),
     "sinkhorn_polish": ("sinkhorn_polish",), "gram_coarse": ("gram_coarse",),
@@ -284,7 +292,7 @@ def main(argv=None) -> int:
         affinity_dtype=("bfloat16" if args.bf16
                         else "bfloat16_store" if args.bf16_store
                         else "float32"),
-        gram_dtype=args.gram_dtype,
+        gram_dtype=args.gram_dtype, feature_dtype=args.feature_dtype,
         solver=args.solver, streaming=args.streaming,
         block_cols=args.block_cols, use_pallas=args.pallas,
     )

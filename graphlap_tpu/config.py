@@ -199,6 +199,22 @@ class PipelineConfig:
                                      # spectrum (parity measured in
                                      # benchmarks/results/). Streaming paths
                                      # ignore it (tile dtype rules there)
+    feature_dtype: str = "float32"   # storage dtype of the (N, d) feature
+                                     # tensor — the capacity ceiling of the
+                                     # STREAMING path (tiles are recomputed;
+                                     # features are the only O(N)-by-d
+                                     # buffer). "bfloat16" halves it,
+                                     # raising single-chip capacity ~2x.
+                                     # Pair with a bf16 tile mode: there the
+                                     # GEMM inputs are rounded to bf16
+                                     # anyway, so the only ADDITIONAL error
+                                     # is in the f32 feature norms
+                                     # (measured — see BASELINE/STATUS).
+                                     # Requires spatial_h == 0: bf16 has 8
+                                     # mantissa bits, and large absolute
+                                     # pixel coordinates lose the
+                                     # neighbor-distance cancellation
+                                     # (validated at config time)
     use_pallas: bool = False         # fused Pallas affinity kernel
     streaming: bool = False          # recompute K tiles blockwise (big images)
     block_cols: int = 65536          # streaming column-block width
@@ -246,6 +262,14 @@ class PipelineConfig:
         if self.affinity_dtype not in DTYPES + ("bfloat16_store",):
             raise ValueError(f"affinity_dtype must be one of "
                              f"{DTYPES + ('bfloat16_store',)}")
+        if self.feature_dtype not in DTYPES:
+            raise ValueError(f"feature_dtype must be one of {DTYPES}")
+        if self.feature_dtype == "bfloat16" and self.spatial_h > 0.0:
+            raise ValueError(
+                "feature_dtype='bfloat16' cannot carry spatial coordinates: "
+                "bf16's 8 mantissa bits lose the neighbor-distance "
+                "cancellation for large absolute (row, col) values — use "
+                "feature_dtype='float32' with spatial_h > 0")
         if self.gram_dtype not in DTYPES + ("auto",):
             raise ValueError(f"gram_dtype must be 'auto' or one of {DTYPES}")
         if self.solver not in SOLVERS:

@@ -61,6 +61,14 @@ def extract_features(img: jnp.ndarray, cfg: PipelineConfig,
     only enters as this feature scaling, a bandwidth sweep (tune.py SURE
     grid) can run every candidate through ONE compiled executable instead
     of recompiling per h (cfg fields are static jit args).
+
+    cfg.feature_dtype="bfloat16" rounds the RETURNED tensor to bf16 — the
+    streaming path's capacity lever (the (N, d) features are its only
+    O(N)-by-d resident buffer; tiles are recomputed). Every consumer
+    upcasts or casts to its own compute dtype, so under a bf16 tile mode
+    the GEMM inputs are bit-identical and only the f32 norms see the
+    rounding. spatial_h > 0 is rejected at config time (coordinate
+    cancellation).
     """
     h_img, w_img = img.shape
     img = img.astype(jnp.float32)
@@ -80,6 +88,8 @@ def extract_features(img: jnp.ndarray, cfg: PipelineConfig,
         )
         coords = jnp.stack([yy.ravel(), xx.ravel()], axis=-1) / cfg.spatial_h
         feats = jnp.concatenate([feats, coords], axis=-1)
+    if cfg.feature_dtype == "bfloat16":
+        feats = feats.astype(jnp.bfloat16)
     return feats
 
 

@@ -78,3 +78,39 @@ def test_bf16_strip_close_to_f32(img):
                                      jnp.asarray(fp, jnp.float32), jnp.bfloat16))
     # bf16 GEMM with f32 accumulate: kernel values still close
     assert np.abs(f32 - bf16).max() < 3e-2
+
+
+def test_feature_dtype_bf16_validation_and_rounding(img):
+    # spatial coordinates cannot survive bf16 (8 mantissa bits lose the
+    # neighbor-distance cancellation at large absolute coords)
+    with pytest.raises(ValueError, match="feature_dtype"):
+        PipelineConfig(kernel="nlm", feature_dtype="bfloat16", spatial_h=8.0)
+    with pytest.raises(ValueError, match="feature_dtype"):
+        PipelineConfig(feature_dtype="float16")
+    cfg = PipelineConfig(kernel="nlm", h=0.25, feature_dtype="bfloat16")
+    feats = extract_features(jnp.asarray(img, jnp.float32), cfg)
+    assert feats.dtype == jnp.bfloat16
+    ref = extract_features_np(img, cfg)
+    # bf16 rounding only: < 0.5% relative on O(1) patch features
+    assert np.abs(np.asarray(feats, np.float64) - ref).max() < 5e-3 * ref.max()
+
+
+def test_feature_dtype_bf16_streaming_parity():
+    """The capacity lever's gate test: a bf16 feature store through the
+    full streaming pipeline stays within the 0.1 dB gate of the exact
+    f32 run, and adds ~nothing on top of the bf16 tile mode it is meant
+    to pair with (measured 0.0045/0.0099 dB at 256^2/96^2 build-time)."""
+    import graphlap_tpu as gl
+    side = 64
+    clean = make_test_image(side, side)
+    noisy = np.clip(gl.add_gaussian_noise(clean, 0.1, seed=1), 0, 1)
+    base = PipelineConfig(kernel="nlm", patch_size=5, h=0.15,
+                          sample_rho=0.03, num_eigvecs=30,
+                          normalization="sinkhorn", sinkhorn_iters=20,
+                          streaming=True, block_cols=1024)
+    p_exact = gl.psnr(clean, gl.filter_image(noisy, base).image)
+    for kw in (dict(affinity_dtype="bfloat16", feature_dtype="bfloat16"),
+               dict(feature_dtype="bfloat16")):
+        r = gl.filter_image(noisy, base.replace(**kw))
+        assert np.isfinite(r.image).all()
+        assert abs(gl.psnr(clean, r.image) - p_exact) <= 0.1, kw
