@@ -140,6 +140,25 @@ def row6():
     return "cfg6_32mp_streaming", cfg, img, noisy
 
 
+def row7():
+    """64 MP (8192x8192) single-chip capacity row — enabled by the bf16
+    feature store (feature_dtype): the (N, 25) features drop 6.4 -> 3.2 GB,
+    the only O(N d) buffer in the streaming regime (ARCHITECTURE §6).
+    Same recipe class as row6 otherwise (XLA scan, Pallas withheld: its
+    lane-padded (128, N) transposed feature copy would be ~16 GB here)."""
+    import graphlap_tpu as gl
+    img = gl.make_test_image(8192, 8192)
+    noisy = np.clip(gl.add_gaussian_noise(img, 0.1, seed=1), 0, 1)
+    base = gl.PipelineConfig(kernel="nlm", h=0.25, sample_rho=0.01,
+                             sample_cap=4096, num_eigvecs=50,
+                             filter_name="identity", streaming=True,
+                             block_cols=131072, use_pallas=False,
+                             feature_dtype="bfloat16")
+    cfg = gl.tuned_config(base, 8192 * 8192, "fast",
+                          keep=frozenset({"use_pallas", "feature_dtype"}))
+    return "cfg7_64mp_streaming_bf16feat", cfg, img, noisy
+
+
 def row4c():
     """8 MP with the coarse (decimated) Sinkhorn accelerator."""
     name, cfg, img, noisy = row4()
@@ -254,7 +273,7 @@ def row5t():
 
 ROWS = {"1": row1, "2": row2, "3": row3, "3l": row3l, "4": row4, "4c": row4c,
         "4g": row4g, "4m": row4m, "4p": row4p, "4x": row4x, "5": row5,
-        "5s": row5s, "5t": row5t, "5x": row5x, "6": row6}
+        "5s": row5s, "5t": row5t, "5x": row5x, "6": row6, "7": row7}
 # per-video-row harness options: chunk size + timed passes (16x4K moves
 # ~0.5 GB through this box's remote-TPU tunnel per pass — keep passes low)
 VIDEO_ROWS = {"5": {}, "5s": {},
@@ -273,7 +292,8 @@ def _parity_cfg(cfg):
     attach a measured parity bound to every accelerated headline row
     (BASELINE.json metric: 'PSNR delta vs CPU reference' — transitively,
     vs the compliant path that IS oracle-gated in tests)."""
-    exact = cfg.replace(affinity_dtype="float32", sinkhorn_coarse=1,
+    exact = cfg.replace(affinity_dtype="float32", feature_dtype="float32",
+                        sinkhorn_coarse=1,
                         sinkhorn_polish=0, gram_coarse=1, gram_dtype="auto",
                         use_pallas=False,
                         # the twin must be CONVERGED full-res Sinkhorn even
