@@ -73,6 +73,8 @@ def main():
                                       gram_coarse=4)),
             ("bf16_sc16_gc4", base.replace(affinity_dtype="bfloat16",
                                            sinkhorn_coarse=16, gram_coarse=4)),
+            ("bf16_feat_bf16", base.replace(affinity_dtype="bfloat16",
+                                            feature_dtype="bfloat16")),
             ("bf16_store_dense", base.replace(streaming=False,
                                               affinity_dtype="bfloat16_store")),
         ]
