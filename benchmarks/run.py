@@ -375,9 +375,20 @@ def run_row(name, cfg, clean, image):
                 if image is not clean else None),
         }
 
+    # peak HBM (capacity rows 6/7 substantiate their fit claims with this;
+    # None where the backend doesn't expose stats, e.g. CPU)
+    peak_hbm = None
+    try:
+        stats = jax.devices()[0].memory_stats()
+        if stats and "peak_bytes_in_use" in stats:
+            peak_hbm = round(stats["peak_bytes_in_use"] / 2**30, 3)
+    except Exception:
+        pass
+
     rec = {
         "row": name, "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
+        "peak_hbm_gib": peak_hbm,
         "shape": list(image.shape), "p": plan.p, "m": cfg.num_eigvecs,
         "config_hash": cfg.config_hash(),
         "wall_s": round(wall, 4), "compile_s": round(compile_wall, 2),
