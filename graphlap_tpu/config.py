@@ -438,6 +438,17 @@ def tuned_config(cfg: PipelineConfig, n_pixels: int, level: str = "fast",
         chosen = dict(affinity_dtype="bfloat16", use_pallas=True,
                       gram_coarse=calibrated_gram_coarse(
                           n_pixels, p, gate=(level == "fast"), max_k=kb))
+        # Capacity scale: past 16 MP the (N, d) feature tensor is the
+        # streaming path's HBM ceiling (3.4 GB f32 at 32 MP for NLM 5x5);
+        # storing it bf16 halves that for ~2x larger single-chip images.
+        # Cost on the bf16-tile recipe this preset already chose is just
+        # the f32 norm rounding: measured 0.0005 dB vs the float64 oracle
+        # at 384^2 (parity_anchor.jsonl bf16_feat_bf16) and 0.0045/0.0099
+        # dB vs the f32-feature twin at 256^2/96^2 (test_affinity pins).
+        # spatial_h > 0 must keep f32 features (config-time invariant:
+        # bf16 coordinates lose the neighbor-distance cancellation).
+        if n_pixels >= 1 << 24 and cfg.spatial_h == 0.0:
+            chosen["feature_dtype"] = "bfloat16"
         k_s = calibrated_sinkhorn_coarse(n_pixels, p, max_k=kb)
         if k_s > 1:
             chosen.update(sinkhorn_coarse=k_s, sinkhorn_iters=6,

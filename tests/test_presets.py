@@ -87,6 +87,23 @@ def test_tuned_config_streaming_turbo_drops_polish():
     assert cfg.sinkhorn_polish == 0 and cfg.gram_coarse == 64
 
 
+def test_tuned_config_feature_store_at_capacity_scale():
+    # >= 16 MP: the (N, d) feature tensor is the streaming HBM ceiling —
+    # fast/turbo pick the bf16 store (oracle-anchored at 0.0005 dB,
+    # parity_anchor.jsonl bf16_feat_bf16). Below 16 MP, or with a spatial
+    # term (bf16 coordinates are invalid), or at level="exact", f32 stays.
+    base = PipelineConfig(kernel="nlm", streaming=True, sample_cap=4096)
+    mp16 = 1 << 24
+    assert tuned_config(base, mp16, "fast").feature_dtype == "bfloat16"
+    assert tuned_config(base, mp16, "turbo").feature_dtype == "bfloat16"
+    assert tuned_config(base, MP8, "fast").feature_dtype == "float32"
+    assert tuned_config(base, mp16, "exact").feature_dtype == "float32"
+    spatial = base.replace(kernel="gaussian", spatial_h=8.0)
+    assert tuned_config(spatial, mp16, "fast").feature_dtype == "float32"
+    kept = tuned_config(base, mp16, "fast", keep={"feature_dtype"})
+    assert kept.feature_dtype == "float32"
+
+
 def test_affine_filter_set_matches_registry():
     # config.AFFINE_FILTERS / MATVEC_FILTERS are dependency-free copies of
     # ops.filters' registry flags (config.py cannot import ops.filters:
