@@ -28,8 +28,8 @@ sys.path.insert(0, str(Path(__file__).parent.parent))   # tests.oracle
 # API takes effect (same trap as JAX_PLATFORMS; CLAUDE.md)
 import jax
 
-jax.config.update("jax_compilation_cache_dir",
-                  str(Path(__file__).parent.parent / ".jax_cache"))
+from graphlap_tpu.utils.cache import setup_compilation_cache
+setup_compilation_cache(Path(__file__).parent.parent)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
 import numpy as np

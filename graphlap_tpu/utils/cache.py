@@ -1,0 +1,52 @@
+"""Persistent-compile-cache location, keyed by the host's CPU features.
+
+XLA:CPU serializes ahead-of-time-compiled executables specialized to the
+COMPILING machine's CPU features, and JAX's persistent-cache key does not
+include them — so after a VM migration, entries written by the previous
+host deserialize into code using unavailable instructions. Observed here
+2026-08-18: the test suite died with SIGSEGV inside
+``compilation_cache.get_executable_and_time`` loading entries whose
+compile features (``+prefer-no-scatter`` era avx512 set) no longer
+matched the host, exactly the "could lead to execution errors such as
+SIGILL" case XLA warns about. Keying the cache directory by a hash of
+``/proc/cpuinfo``'s flags makes a migration start a fresh subdirectory
+(cold recompiles) instead of crashing; TPU entries are re-created too —
+an acceptable one-off cost, and TPU executables must be re-validated on
+a new host pairing anyway.
+
+Every entry point that enables the cache (tests/conftest.py,
+__graft_entry__.py, bench.py, benchmarks/*, scripts/*) routes through
+:func:`setup_compilation_cache`. NB the config API is the only way to
+set this on this box — jax is pre-imported at interpreter startup, so
+``os.environ['JAX_COMPILATION_CACHE_DIR']`` is a silent no-op
+(CLAUDE.md environment traps).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+
+def host_tag() -> str:
+    """Short stable tag of this host's CPU feature set."""
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next((ln for ln in f if ln.startswith("flags")), "")
+    except OSError:
+        pass  # non-procfs platform: one shared subdir, old behavior
+    return hashlib.sha256(flags.encode()).hexdigest()[:10]
+
+
+def cache_dir(repo_root: str | os.PathLike) -> str:
+    return os.path.join(str(repo_root), ".jax_cache", f"host-{host_tag()}")
+
+
+def setup_compilation_cache(repo_root: str | os.PathLike) -> str:
+    """Point JAX's persistent compile cache at the host-keyed subdir."""
+    import jax
+
+    path = cache_dir(repo_root)
+    jax.config.update("jax_compilation_cache_dir", path)
+    return path

@@ -17,7 +17,8 @@ import sys
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+from graphlap_tpu.utils.cache import setup_compilation_cache
+setup_compilation_cache("/root/repo")
 
 import numpy as np  # noqa: E402
 

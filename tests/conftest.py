@@ -20,12 +20,17 @@ import jax  # noqa: E402
 # config API is the only thing that actually forces the CPU backend.
 jax.config.update("jax_platforms", "cpu")
 
-# cache every compile across runs. NB: jax is PRE-IMPORTED at interpreter
-# startup on this box (a .pth hook), so the JAX_COMPILATION_CACHE_DIR env
-# var set from Python is a silent no-op — only the config API works (the
-# same trap as JAX_PLATFORMS).
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+# cache every compile across runs — in the HOST-KEYED subdir (stale
+# cross-host XLA:CPU entries segfault on load; graphlap_tpu/utils/cache.py).
+# NB: jax is PRE-IMPORTED at interpreter startup on this box (a .pth hook),
+# so the JAX_COMPILATION_CACHE_DIR env var set from Python is a silent
+# no-op — only the config API works (the same trap as JAX_PLATFORMS).
+import sys  # noqa: E402
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from graphlap_tpu.utils.cache import setup_compilation_cache  # noqa: E402
+
+setup_compilation_cache(os.path.join(os.path.dirname(__file__), ".."))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
 import numpy as np  # noqa: E402

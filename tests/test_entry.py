@@ -54,6 +54,23 @@ def test_dryrun_multichip_bare_subprocess():
     assert "dryrun_multichip OK" in r.stdout
 
 
+def test_compile_cache_dir_is_host_keyed():
+    """The persistent compile cache must live in a host-feature-keyed
+    subdir: XLA:CPU AOT executables are specialized to the compiling
+    machine and JAX's cache key ignores host features, so after a VM
+    migration stale entries SEGFAULT on deserialization (observed
+    2026-08-18, suite died in compilation_cache.get_executable_and_time).
+    Pins conftest, the package helper, and __graft_entry__ to one dir."""
+    import __graft_entry__  # noqa: F401 — sets the dir at import
+    from graphlap_tpu.utils.cache import cache_dir, host_tag
+
+    root = Path(__file__).parent.parent
+    expect = cache_dir(root)
+    assert f"host-{host_tag()}" in expect
+    assert Path(jax.config.jax_compilation_cache_dir).resolve() \
+        == Path(expect).resolve()
+
+
 def test_make_mesh_validates_device_count():
     import pytest
     from graphlap_tpu.parallel.mesh import make_mesh
