@@ -310,18 +310,6 @@ def main(argv=None) -> int:
         print(f"tune_denoise: sigma={sigma:.4f} -> h={cfg.h:.3f} "
               f"spatial_h={cfg.spatial_h:.1f}")
 
-    if args.tune_sure:
-        if "h" in _explicit_fields(argv):
-            print("tune_sure: explicit -h_param wins; skipping")
-        else:
-            from graphlap_tpu.tune import tune_h_sure
-            sigma = args.noise if args.noise > 0 else None
-            cfg, rows = tune_h_sure(image, cfg, sigma=sigma)
-            best = min(rows, key=lambda r: r.sure)
-            print(f"tune_sure: h={cfg.h:.4f} (SURE {best.sure:.6f}, "
-                  f"predicted PSNR {best.psnr_pred:.2f} dB) over "
-                  f"{[r.h for r in rows]}")
-
     if args.load_basis:
         from graphlap_tpu.utils.checkpoint import filter_with_basis, load_basis
         import time as _time
@@ -372,6 +360,25 @@ def main(argv=None) -> int:
               f"pallas={cfg.use_pallas} sinkhorn={cfg.sinkhorn_iters}"
               f"x{cfg.sinkhorn_coarse}+p{cfg.sinkhorn_polish} "
               f"gram_coarse={cfg.gram_coarse}")
+
+    # AFTER the preset + dense-feasibility fallback, deliberately: the
+    # SURE evaluation runs the pipeline itself, so (a) a dense-infeasible
+    # image must have switched to streaming first (tune.sure_risk
+    # re-raises the library's strip-size ValueError otherwise), and (b)
+    # tuning through the preset's recipe scores the executable the run
+    # will actually use. Only cfg.h changes here — nothing above depends
+    # on the bandwidth.
+    if args.tune_sure:
+        if "h" in _explicit_fields(argv):
+            print("tune_sure: explicit -h_param wins; skipping")
+        else:
+            from graphlap_tpu.tune import tune_h_sure
+            sigma = args.noise if args.noise > 0 else None
+            cfg, rows = tune_h_sure(image, cfg, sigma=sigma)
+            best = min(rows, key=lambda r: r.sure)
+            print(f"tune_sure: h={cfg.h:.4f} (SURE {best.sure:.6f}, "
+                  f"predicted PSNR {best.psnr_pred:.2f} dB) over "
+                  f"{[r.h for r in rows]}")
     from graphlap_tpu.config import AFFINE_FILTERS
     if (cfg.filter_name in AFFINE_FILTERS and cfg.filter_mode == "spectral"
             and (cfg.affinity_dtype != "float32" or cfg.use_pallas

@@ -431,10 +431,12 @@ def tuned_config(cfg: PipelineConfig, n_pixels: int, level: str = "fast",
                       gram_coarse=1,
                       sinkhorn_iters=max(cfg.sinkhorn_iters, 10))
     elif cfg.streaming:
-        # decimation factors must divide the active column-block width —
-        # cap them at block_cols' largest power-of-two divisor so a preset
-        # can never produce a config the streaming path rejects
-        kb = _pow2_divisor(cfg.block_cols)
+        # decimation factors must divide the ACTIVE column-block width,
+        # which is min(block_cols, N) — an image smaller than block_cols
+        # runs as one N-wide block (models/streaming._strip_ctx) — so cap
+        # them at that width's largest power-of-two divisor; a preset can
+        # then never produce a config the streaming path rejects
+        kb = _pow2_divisor(min(cfg.block_cols, n_pixels))
         chosen = dict(affinity_dtype="bfloat16", use_pallas=True,
                       gram_coarse=calibrated_gram_coarse(
                           n_pixels, p, gate=(level == "fast"), max_k=kb))

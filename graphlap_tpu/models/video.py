@@ -48,6 +48,16 @@ def filter_video(frames: np.ndarray, cfg: PipelineConfig,
     """
     frames = np.asarray(frames, np.float32)
     if temporal_guide > 1:
+        # the guided path runs each k-frame group through ONE local jit
+        # (the group is the memory/step unit) and has no sharded builder —
+        # silently dropping a caller's mesh/frames_per_step here would
+        # turn a multi-chip request into an unsharded run, so refuse
+        if mesh is not None or frames_per_step is not None:
+            raise ValueError(
+                "temporal_guide > 1 runs single-device with the group as "
+                "the per-step unit: mesh / frames_per_step are not "
+                "supported (shrink temporal_guide to bound memory, or use "
+                "per-frame bases with a mesh)")
         return _filter_video_guided(frames, cfg, plan, temporal_guide)
     if frames.ndim == 4:
         # (B, H, W, C) color video: channels are independent pipelines that

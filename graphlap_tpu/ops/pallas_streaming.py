@@ -345,6 +345,13 @@ def colstats_v_pallas(feats_a_pad, f_t, gr, y, cols, na, nb,
     dtype = feats_a_pad.dtype
     tp = _emit_tile_p(p_pad)
     tn = EMIT_TN
+    if n_pad % tn != 0:
+        # the floor-divided grid would silently DROP the tail columns
+        # (zeroed V rows, missing norm/coeff contributions) — e.g. the
+        # f32 matvec tiling pads n to 256, not this kernel's 512
+        raise ValueError(
+            f"colstats_v_pallas needs n_pad % {tn} == 0, got {n_pad} "
+            f"(pad the feature tiling to EMIT_TN, not the matvec tile)")
     np_tiles = p_pad // tp
     grid = (n_pad // tn, np_tiles)
     kernel = functools.partial(_colstats_kernel, np_tiles=np_tiles)

@@ -42,8 +42,22 @@ _FLAG_FIELDS = {
 
 def explicit_keep(argv) -> frozenset:
     typed = {t.split("=", 1)[0] for t in argv if t.startswith("--")}
-    return frozenset(f for flag, fields in _FLAG_FIELDS.items()
-                     if flag in typed for f in fields)
+    fields = set()
+    for name in typed:
+        if name in _FLAG_FIELDS:
+            fields.update(_FLAG_FIELDS[name])
+        elif name != "--":
+            # argparse resolves unambiguous PREFIXES to the full flag
+            # (--filter_mo -> --filter_mode); pin those too, or the
+            # abbreviation would silently lose to --preset — the exact
+            # bug class the CLI's _explicit_fields abbreviation branch
+            # guards against. If argparse accepted the prefix, exactly
+            # one parser flag matches it, so a single guarded hit IS
+            # that flag.
+            hits = [f for f in _FLAG_FIELDS if f.startswith(name)]
+            if len(hits) == 1:
+                fields.update(_FLAG_FIELDS[hits[0]])
+    return frozenset(fields)
 
 
 def main(argv=None):

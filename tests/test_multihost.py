@@ -321,3 +321,12 @@ def test_launcher_explicit_keep():
                              "--solver", "chol"])
     assert {"affinity_dtype", "solver"} <= keep
     assert "filter_mode" not in keep
+    # argparse prefix abbreviations must pin too (--filter_mo resolves to
+    # --filter_mode): the exact-spelling-only version missed them
+    keep = ml.explicit_keep(["--filter_mo", "spectral", "--preset", "fast"])
+    assert "filter_mode" in keep
+    keep = ml.explicit_keep(["--filter_mo=spectral"])
+    assert "filter_mode" in keep
+    # ambiguous prefixes (argparse would reject the argv) pin nothing
+    assert ml.explicit_keep(["--sinkhorn_", "4"]) == frozenset()
+    assert ml.explicit_keep(["--", "x"]) == frozenset()

@@ -102,3 +102,16 @@ def test_colstats_v_pallas_matches_xla():
         np.testing.assert_allclose(np.asarray(co_p[:m]), np.asarray(coeffs_x),
                                    rtol=100 * atol, atol=10 * atol)
         assert float(jnp.abs(v_p[:, m:]).max()) == 0.0   # pad cols exact 0
+
+    # a width the grid would FLOOR past (n_pad % EMIT_TN != 0 — e.g. the
+    # f32 matvec tiling's 256-padding) must raise, not silently zero the
+    # tail columns
+    f_t_odd = (jnp.zeros((pst.D_PAD, n_pad + 256), jnp.float32)
+               .at[:d, :n_pad].set(feats_pad.astype(jnp.float32).T))
+    fa32 = (jnp.zeros((p_pad, pst.D_PAD), jnp.float32)
+            .at[:p, :d].set(feats_a))
+    import pytest
+    with pytest.raises(ValueError, match="EMIT_TN"):
+        pst.colstats_v_pallas(fa32, f_t_odd,
+                              gr, jnp.zeros(n_pad + 256), jnp.zeros(n_pad + 256),
+                              na, jnp.zeros(n_pad + 256))

@@ -258,14 +258,19 @@ def test_tuned_config_divisibility_property():
         np.array([1, 2, 3, 7, 64, 65_536, 99_991,            # primes/pow2
                   2 ** 17, 2 ** 17 - 1, 2 ** 17 + 1]),
     ])
-    sizes = [4_096, 262_144, MP8, 4 * MP8]
+    # the streaming path validates against the ACTIVE block width,
+    # min(block_cols, N) — an image smaller than block_cols runs as one
+    # N-wide block, so include sizes below/at/above the widths (the
+    # N=58,081=241^2 odd case crashed the preset before the min() fix)
+    sizes = [4_096, 58_081, 262_144, MP8, 4 * MP8]
     base = PipelineConfig(kernel="nlm", sample_cap=4096, streaming=True)
     for bc in widths:
         for n in sizes:
             for level in ("fast", "turbo", "exact"):
                 cfg = tuned_config(base.replace(block_cols=int(bc)), n, level)
-                assert cfg.block_cols % cfg.sinkhorn_coarse == 0, (bc, n, level)
-                assert cfg.block_cols % cfg.gram_coarse == 0, (bc, n, level)
+                block = min(cfg.block_cols, n)
+                assert block % cfg.sinkhorn_coarse == 0, (bc, n, level)
+                assert block % cfg.gram_coarse == 0, (bc, n, level)
 
 
 def test_tuned_config_exact_restores_converged_sinkhorn():

@@ -194,3 +194,22 @@ def test_cli_tune_sure(tmp_path, capsys):
                    "-noise", "0.1", "-tune_sure", "-h_param", "0.33"])
     assert rc == 0
     assert "explicit -h_param wins" in capsys.readouterr().out
+
+
+def test_cli_tune_sure_dense_infeasible_auto_streams(tmp_path, capsys,
+                                                     monkeypatch):
+    # regression: -tune_sure used to run BEFORE the dense-feasibility
+    # fallback, so a dense-infeasible image crashed with the library's
+    # raw strip-size ValueError instead of auto-enabling streaming
+    from graphlap_tpu import save_image
+    from graphlap_tpu.cli import main as cli_main
+    from graphlap_tpu.models import pipeline as pl
+    path = str(tmp_path / "in.png")
+    save_image(path, make_test_image(64, 64))
+    monkeypatch.setattr(pl, "DENSE_STRIP_BYTES_LIMIT", 1e5)
+    rc = cli_main(["-f", path, "-grayscale", "-cpu", "-sample", "0.02",
+                   "-eigvals", "24", "-noise", "0.1", "-tune_sure"])
+    assert rc == 0
+    captured = capsys.readouterr().out
+    assert "auto-enabling -streaming" in captured
+    assert "tune_sure: h=" in captured

@@ -175,3 +175,14 @@ def test_temporal_guide_color_video():
     with pytest.raises(ValueError, match="per_channel"):
         filter_video(rgb, CONFIG1.replace(rgb_mode="luma_basis"),
                      temporal_guide=4)
+
+
+def test_temporal_guide_rejects_mesh_and_chunking():
+    # regression: mesh / frames_per_step used to be SILENTLY dropped on
+    # the guided path — a multi-chip request ran single-device instead
+    from graphlap_tpu.parallel.mesh import make_mesh
+    _, frames = _static_scene(b=4)
+    with pytest.raises(ValueError, match="temporal_guide"):
+        filter_video(frames, CONFIG1, mesh=make_mesh(), temporal_guide=4)
+    with pytest.raises(ValueError, match="temporal_guide"):
+        filter_video(frames, CONFIG1, frames_per_step=2, temporal_guide=4)
