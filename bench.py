@@ -26,8 +26,17 @@ from pathlib import Path
 import jax
 
 from graphlap_tpu.utils.cache import setup_compilation_cache
-setup_compilation_cache(Path(__file__).parent)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+
+
+def _enable_tpu_cache():
+    """Only for the __main__ bench run (TPU). NOT at import: the test
+    suite imports this module for the baseline-cache contract, and
+    re-enabling the persistent cache mid-suite re-armed the XLA:CPU AOT
+    serialize segfault the conftest policy exists to avoid
+    (graphlap_tpu/utils/cache.py)."""
+    setup_compilation_cache(Path(__file__).parent)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+
 
 import numpy as np
 
@@ -253,4 +262,5 @@ def main():
 
 
 if __name__ == "__main__":
+    _enable_tpu_cache()
     main()

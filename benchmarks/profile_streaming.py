@@ -43,6 +43,7 @@ def main():
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_compilation_cache_dir", None)  # CPU: cache off (utils/cache.py)
 
     import jax
     import jax.numpy as jnp

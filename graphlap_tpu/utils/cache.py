@@ -43,10 +43,27 @@ def cache_dir(repo_root: str | os.PathLike) -> str:
     return os.path.join(str(repo_root), ".jax_cache", f"host-{host_tag()}")
 
 
-def setup_compilation_cache(repo_root: str | os.PathLike) -> str:
-    """Point JAX's persistent compile cache at the host-keyed subdir."""
+def setup_compilation_cache(repo_root: str | os.PathLike,
+                            cpu: bool = False) -> str | None:
+    """Point JAX's persistent compile cache at the host-keyed subdir.
+
+    ``cpu=True`` (callers that force the CPU backend: tests/conftest.py,
+    CPU-side scripts) DISABLES the persistent cache instead: jaxlib's
+    XLA:CPU AOT executable (de)serialization segfaulted this box's full
+    test suite three times at the ~90% mark — in ``executable.serialize()``
+    once and ``backend.deserialize_executable()`` twice, always ~200
+    tests into one process while the same entries (de)serialize fine in
+    a fresh process — so the cache's C++ AOT path appears to exhaust a
+    per-process resource under many live executables. The CPU suite
+    predates the working cache (it was silently disabled until round 3)
+    and runs in the same ~8 min without it; TPU runs keep the cache —
+    their executables never touch the XLA:CPU AOT loader, and the 512^2
+    entry's 50 s cold compile is exactly what the cache is for."""
     import jax
 
+    if cpu:
+        jax.config.update("jax_compilation_cache_dir", None)
+        return None
     path = cache_dir(repo_root)
     jax.config.update("jax_compilation_cache_dir", path)
     return path

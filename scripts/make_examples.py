@@ -18,7 +18,7 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 from graphlap_tpu.utils.cache import setup_compilation_cache
-setup_compilation_cache("/root/repo")
+setup_compilation_cache("/root/repo", cpu=True)  # CPU run: cache off (utils/cache.py)
 
 import numpy as np  # noqa: E402
 

@@ -20,18 +20,21 @@ import jax  # noqa: E402
 # config API is the only thing that actually forces the CPU backend.
 jax.config.update("jax_platforms", "cpu")
 
-# cache every compile across runs — in the HOST-KEYED subdir (stale
-# cross-host XLA:CPU entries segfault on load; graphlap_tpu/utils/cache.py).
-# NB: jax is PRE-IMPORTED at interpreter startup on this box (a .pth hook),
-# so the JAX_COMPILATION_CACHE_DIR env var set from Python is a silent
-# no-op — only the config API works (the same trap as JAX_PLATFORMS).
+# NO persistent compile cache for the CPU suite: jaxlib's XLA:CPU AOT
+# (de)serialization segfaulted the run at ~90% three times on this box
+# (rationale + evidence in graphlap_tpu/utils/cache.py). The suite ran
+# at the same ~8 min before the cache ever worked, so this costs nothing.
+# NB: jax is PRE-IMPORTED at interpreter startup on this box (a .pth
+# hook), so the JAX_COMPILATION_CACHE_DIR env var set from Python is a
+# silent no-op — only the config API works (the same trap as
+# JAX_PLATFORMS).
 import sys  # noqa: E402
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from graphlap_tpu.utils.cache import setup_compilation_cache  # noqa: E402
 
-setup_compilation_cache(os.path.join(os.path.dirname(__file__), ".."))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+setup_compilation_cache(os.path.join(os.path.dirname(__file__), ".."),
+                        cpu=True)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
@@ -67,3 +70,21 @@ _ensure_native_built()
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _release_executables_per_module():
+    """XLA:CPU segfaults this box once ~200 compiled executables are
+    live in one process (reproduced 4x at the ~90% mark of a full run,
+    in backend_compile_and_load with the persistent cache disabled and
+    in the cache's AOT serialize/deserialize with it enabled — the same
+    programs compile fine in a fresh process, and RAM is not the limit).
+    Dropping JAX's in-memory jit caches at each module boundary frees
+    the loaded executables and keeps one pytest process — the driver's
+    invocation — under the threshold. Costs only cross-module compile
+    reuse, which is near zero here (modules use distinct configs)."""
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()

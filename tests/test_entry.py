@@ -18,6 +18,10 @@ def test_entry_compiles():
     (same graph, same recipe)."""
     import __graft_entry__ as ge
     fwd, args = ge.entry()
+    # entry() enables the TPU-facing persistent cache; restore the CPU
+    # suite's cache-off policy immediately (conftest rationale) instead
+    # of relying on a later dryrun test to do it
+    jax.config.update("jax_compilation_cache_dir", None)
     lowered = jax.jit(fwd).lower(*args)
     out_shapes = jax.tree_util.tree_leaves(lowered.out_info)
     assert out_shapes[0].shape == args[0].shape
@@ -54,21 +58,24 @@ def test_dryrun_multichip_bare_subprocess():
     assert "dryrun_multichip OK" in r.stdout
 
 
-def test_compile_cache_dir_is_host_keyed():
-    """The persistent compile cache must live in a host-feature-keyed
-    subdir: XLA:CPU AOT executables are specialized to the compiling
-    machine and JAX's cache key ignores host features, so after a VM
-    migration stale entries SEGFAULT on deserialization (observed
-    2026-08-18, suite died in compilation_cache.get_executable_and_time).
-    Pins conftest, the package helper, and __graft_entry__ to one dir."""
-    import __graft_entry__  # noqa: F401 — sets the dir at import
+def test_compile_cache_policy():
+    """Two-part cache policy (graphlap_tpu/utils/cache.py):
+    (1) the TPU-facing cache dir is HOST-FEATURE-KEYED — after a VM
+    migration, stale XLA:CPU AOT entries segfaulted on deserialization
+    (2026-08-18); a keyed dir cold-recompiles instead;
+    (2) CPU runs (this suite, the dryrun) DISABLE the persistent cache —
+    jaxlib's XLA:CPU AOT (de)serialize segfaulted three suite runs at
+    the ~90% mark, always deep into one long process."""
     from graphlap_tpu.utils.cache import cache_dir, host_tag
 
     root = Path(__file__).parent.parent
     expect = cache_dir(root)
     assert f"host-{host_tag()}" in expect
-    assert Path(jax.config.jax_compilation_cache_dir).resolve() \
-        == Path(expect).resolve()
+    # conftest disabled the cache for the suite; importing __graft_entry__
+    # points it at the host-keyed dir (its TPU entry contract), and any
+    # dryrun re-disables it — both states are policy-conforming
+    cur = jax.config.jax_compilation_cache_dir
+    assert cur is None or Path(cur).resolve() == Path(expect).resolve()
 
 
 def test_make_mesh_validates_device_count():
