@@ -48,17 +48,24 @@ def filter_video(frames: np.ndarray, cfg: PipelineConfig,
     """
     frames = np.asarray(frames, np.float32)
     if temporal_guide > 1:
-        # the guided path runs each k-frame group through ONE local jit
-        # (the group is the memory/step unit) and has no sharded builder —
-        # silently dropping a caller's mesh/frames_per_step here would
-        # turn a multi-chip request into an unsharded run, so refuse
-        if mesh is not None or frames_per_step is not None:
+        # the guided path's per-step unit IS the k-frame group (shrink
+        # temporal_guide to bound memory) — refuse frames_per_step rather
+        # than silently ignoring it. A mesh is honored on the streaming
+        # path via the rows-sharded guided builder; dense guided has no
+        # sharded builder (small-image territory), so that combination
+        # refuses too.
+        if frames_per_step is not None:
             raise ValueError(
-                "temporal_guide > 1 runs single-device with the group as "
-                "the per-step unit: mesh / frames_per_step are not "
-                "supported (shrink temporal_guide to bound memory, or use "
-                "per-frame bases with a mesh)")
-        return _filter_video_guided(frames, cfg, plan, temporal_guide)
+                "temporal_guide > 1 processes one group per step: "
+                "frames_per_step is not supported (shrink temporal_guide "
+                "to bound memory, or use per-frame bases)")
+        if mesh is not None and not cfg.streaming:
+            raise ValueError(
+                "temporal_guide with a mesh requires cfg.streaming=True "
+                "(the rows-sharded guided builder is strip-free; the "
+                "dense guided path runs single-device)")
+        return _filter_video_guided(frames, cfg, plan, temporal_guide,
+                                    mesh=mesh)
     if frames.ndim == 4:
         # (B, H, W, C) color video: channels are independent pipelines that
         # share the sampling plan (same geometry), so fold them into the
@@ -154,14 +161,17 @@ def filter_video(frames: np.ndarray, cfg: PipelineConfig,
 
 
 def _filter_video_guided(frames: np.ndarray, cfg: PipelineConfig,
-                         plan: SamplePlan | None, k: int):
+                         plan: SamplePlan | None, k: int, mesh=None):
     """Temporal basis reuse: groups of ``k`` frames share one eigenbasis
     built from the group-mean frame (filter_video docstring). Rides the
     luma_basis machinery — _filter_channels_luma already implements
     'one basis from a guide, applied to a stack'; here the stack is the
     group's frames (x channels) instead of one frame's channels. Groups
     run sequentially through ONE compiled executable (the last group is
-    padded by repeating its final frame, then sliced)."""
+    padded by repeating its final frame, then sliced). With a ``mesh``
+    (streaming configs), each group runs through the rows-sharded guided
+    builder instead — same factor-once/apply-stack structure, pixel
+    blocks sharded over 'rows'."""
     import jax.numpy as jnp
 
     from .pipeline import (_filter_channels_luma, _luma,
@@ -182,6 +192,11 @@ def _filter_video_guided(frames: np.ndarray, cfg: PipelineConfig,
     idx_a = jnp.asarray(plan.idx_a)
     perm = jnp.asarray(plan.perm)
     inv_perm = jnp.asarray(plan.inv_perm)
+    grun = None
+    if mesh is not None:
+        from ..parallel.streaming_sharded import build_streaming_sharded_guided
+        n_stack = k * (frames.shape[-1] if color else 1)
+        grun = build_streaming_sharded_guided(mesh, cfg, n_stack)
 
     outs, vals = [], []
     for lo in range(0, b, k):
@@ -193,9 +208,13 @@ def _filter_video_guided(frames: np.ndarray, cfg: PipelineConfig,
         y2d = _luma(guide) if color else guide
         chw = (np.moveaxis(grp, -1, 1).reshape(k * grp.shape[-1], h, w)
                if color else grp)
-        z, v = _filter_channels_luma(jnp.asarray(y2d, jnp.float32),
-                                     jnp.asarray(chw, jnp.float32),
-                                     idx_a, perm, inv_perm, cfg)
+        if grun is not None:
+            z, v = grun(jnp.asarray(y2d, jnp.float32),
+                        jnp.asarray(chw, jnp.float32), idx_a)
+        else:
+            z, v = _filter_channels_luma(jnp.asarray(y2d, jnp.float32),
+                                         jnp.asarray(chw, jnp.float32),
+                                         idx_a, perm, inv_perm, cfg)
         z = np.asarray(z)
         if color:
             z = np.moveaxis(z.reshape(k, grp.shape[-1], h, w), 1, -1)
@@ -205,8 +224,72 @@ def _filter_video_guided(frames: np.ndarray, cfg: PipelineConfig,
     return np.concatenate(outs), np.concatenate(vals)
 
 
+def _filter_video_guided_multihost(local_frames: np.ndarray,
+                                   cfg: PipelineConfig, mesh,
+                                   plan: SamplePlan | None, k: int):
+    """Temporal basis reuse ACROSS PROCESSES: the global batch is
+    reassembled on every process (groups span process shard boundaries),
+    each group's guide + stack are placed replicated on the global mesh,
+    and the rows-sharded guided builder runs once across all processes
+    (one factor from the group-mean guide; per-frame sharded apply).
+    Returns the GLOBAL (B_global, H, W[, C]) result on every process."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.streaming_sharded import build_streaming_sharded_guided
+    from .pipeline import _luma, make_plan
+
+    if not cfg.streaming:
+        raise ValueError("temporal_guide across processes requires "
+                         "cfg.streaming=True (the guided builder is "
+                         "strip-free)")
+    color = local_frames.ndim == 4
+    if not color and local_frames.ndim != 3:
+        raise ValueError(f"expected (B_local, H, W[, C]) frames, "
+                         f"got {local_frames.shape}")
+    if color and cfg.rgb_mode != "per_channel":
+        raise ValueError("filter_video_multihost supports "
+                         "rgb_mode='per_channel' only")
+    frames = np.asarray(multihost_utils.process_allgather(local_frames,
+                                                          tiled=True))
+    b = frames.shape[0]
+    h, w = frames.shape[1:3]
+    if plan is None:
+        plan = make_plan(frames[0], cfg)
+    c = frames.shape[-1] if color else 1
+    grun = build_streaming_sharded_guided(mesh, cfg, k * c)
+    idx_a = jnp.asarray(plan.idx_a)
+    rep = NamedSharding(mesh, P())
+
+    def _rep(x):
+        x = np.ascontiguousarray(x, np.float32)
+        return jax.make_array_from_process_local_data(rep, x, x.shape)
+
+    outs, vals = [], []
+    for lo in range(0, b, k):
+        grp = frames[lo:lo + k]
+        keep = len(grp)
+        if keep < k:                 # keep the compiled shape static
+            grp = np.concatenate([grp, np.repeat(grp[-1:], k - keep, 0)])
+        guide = grp.mean(axis=0)
+        y2d = _luma(guide) if color else guide
+        chw = (np.moveaxis(grp, -1, 1).reshape(k * c, h, w)
+               if color else grp)
+        z, v = grun(_rep(y2d), _rep(chw), idx_a)
+        z = np.asarray(multihost_utils.process_allgather(z, tiled=True))
+        gv = np.asarray(multihost_utils.process_allgather(v, tiled=True))
+        if color:
+            z = np.moveaxis(z.reshape(k, c, h, w), 1, -1)
+        outs.append(z[:keep])
+        vals.append(np.broadcast_to(gv, (keep,) + gv.shape))
+    return np.concatenate(outs), np.concatenate(vals)
+
+
 def filter_video_multihost(local_frames: np.ndarray, cfg: PipelineConfig,
-                           mesh, plan: SamplePlan | None = None):
+                           mesh, plan: SamplePlan | None = None,
+                           temporal_guide: int = 1):
     """Multi-process entry (DCN analogue of the reference's MPI launch,
     SURVEY.md §5 comm-backend row): every process passes its LOCAL
     (B_local, H, W) frame shard; the shards are assembled into one global
@@ -218,13 +301,21 @@ def filter_video_multihost(local_frames: np.ndarray, cfg: PipelineConfig,
     Requires ``jax.distributed.initialize()`` to have run (see
     scripts/multihost_launch.py) and the mesh to span all processes'
     devices. B_global = B_local * process_count must be divisible by the
-    mesh's data-axis size. Returns (frames (B_global, H, W), vals)."""
+    mesh's data-axis size. Returns (frames (B_global, H, W), vals).
+
+    ``temporal_guide=k`` (streaming configs) switches to temporal basis
+    reuse with the group's pixel rows sharded across ALL processes'
+    devices (_filter_video_guided_multihost) — groups may span process
+    shard boundaries; use a rows-dominant mesh (n_data=1)."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import multihost_utils
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     local_frames = np.asarray(local_frames, np.float32)
+    if temporal_guide > 1:
+        return _filter_video_guided_multihost(local_frames, cfg, mesh,
+                                              plan, temporal_guide)
     if local_frames.ndim == 4:
         # color video: fold channels into the local batch (see filter_video)
         if cfg.rgb_mode != "per_channel":

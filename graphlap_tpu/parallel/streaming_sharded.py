@@ -593,6 +593,304 @@ def build_streaming_sharded_batch(mesh, cfg: PipelineConfig):
     return run
 
 
+@lru_cache(maxsize=None)
+def build_streaming_sharded_guided(mesh, cfg: PipelineConfig, n_stack: int):
+    """ONE factor from a GUIDE image, applied to an ``n_stack``-frame
+    stack — the rows-sharded twin of the temporal-guide / luma_basis
+    machinery (models/video._filter_video_guided, pipeline.
+    _filter_channels_luma): the affinity/Sinkhorn/eigensolve stages run
+    once on the guide, and the per-frame cost is the O(N m) spectral
+    apply (or the operator-mode strip matvecs). The factor section
+    mirrors build_streaming_sharded / the batched builder's coarse
+    branch — same operators, same psum placement; only the y-tail is
+    per-frame. Tests pin guided-sharded == guided-single-device
+    (tests/test_sharded.py).
+
+    Returns a jitted fn (guide2d (H, W) f32, stack (n_stack, H, W) f32,
+    idx_a (p,)) -> (z (n_stack, H, W), vals (m,) — empty in operator
+    modes)."""
+
+    dtype = jnp.bfloat16 if cfg.affinity_dtype == "bfloat16" else jnp.float32
+    n_rows = int(np.prod([s for name, s in zip(mesh.axis_names,
+                                               mesh.devices.shape)
+                          if name == "rows"]))
+
+    def smap(fn, in_specs, out_specs):
+        # check_vma policy: see build_streaming_sharded
+        return shard_map(fn, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=not cfg.use_pallas)
+
+    VARY = ("rows",)
+
+    if cfg.use_pallas:
+        from ..ops import pallas_streaming as pst
+
+    def _mv(fa, f_loc, v_loc, block):
+        if cfg.use_pallas:
+            fa_pad, f_t, p, nl, nl_pad = _pallas_pads(fa, f_loc, dtype)
+            vv = jnp.zeros(nl_pad, jnp.float32).at[:nl].set(v_loc)
+            u = pst.matvec_pallas(fa_pad, f_t, vv, vma=VARY)[:p]
+        else:
+            u = st.matvec(fa, f_loc, v_loc,
+                          jnp.ones(fa.shape[0], jnp.float32),
+                          jnp.ones_like(v_loc), block, dtype, vary=VARY)
+        return jax.lax.psum(u, "rows")
+
+    def _rmv(fa, f_loc, t, block):
+        if cfg.use_pallas:
+            fa_pad, f_t, p, nl, _ = _pallas_pads(fa, f_loc, dtype)
+            tt = jnp.zeros(fa_pad.shape[0], jnp.float32).at[:p].set(t)
+            return pst.rmatvec_pallas(fa_pad, f_t, tt, vma=VARY)[:nl]
+        return st.rmatvec(fa, f_loc, t, jnp.ones(fa.shape[0], jnp.float32),
+                          jnp.ones_like(f_loc[:, 0]), block, dtype)
+
+    def _gram(fa, f_loc, s_a, cols_loc, block):
+        g = st.gram(fa, f_loc, s_a, cols_loc, block, dtype, vary=VARY)
+        return jax.lax.psum(g, "rows")
+
+    def _colstats(fa, f_loc, basis, y_loc, s_a, cols_loc, block):
+        norms, coeffs, v_loc = st.rmatmat_colstats_v(
+            fa, f_loc, basis, y_loc, s_a, cols_loc, block, dtype, vary=VARY)
+        return (jax.lax.psum(norms, "rows"), jax.lax.psum(coeffs, "rows"),
+                v_loc)
+
+    def _colstats_nov(fa, f_loc, basis, y_loc, s_a, cols_loc, block):
+        norms, coeffs = st.rmatmat_colstats(fa, f_loc, basis, y_loc, s_a,
+                                            cols_loc, block, dtype,
+                                            vary=VARY)
+        return jax.lax.psum(norms, "rows"), jax.lax.psum(coeffs, "rows")
+
+    def _apply(fa, f_loc, basis, w, s_a, cols_loc, block):
+        return st.rmat_apply(fa, f_loc, basis, w, s_a, cols_loc, block, dtype)
+
+    def _coarse(fa, fc_loc, t, mc_loc, block):
+        u = st.sinkhorn_coarse_step(fa, fc_loc, t, mc_loc, 1.0, block,
+                                    dtype, vary=VARY)
+        return jax.lax.psum(u, "rows")
+
+    def _rmv2(fa, f_loc, t2, block):
+        return st.rmatvec2(fa, f_loc, t2, jnp.ones_like(f_loc[:, 0]),
+                           block, dtype)
+
+    def _vt_dot(v_loc, ys_loc):
+        # (nl, m) local V rows x (n_stack, nl) local frame slices ->
+        # replicated (n_stack, m) coefficients: the per-frame vecs^T y
+        return jax.lax.psum(ys_loc @ v_loc, "rows")
+
+    def _v_apply(v_loc, wvs):
+        # (nl, m), (n_stack, m) -> (n_stack, nl) local output rows
+        return wvs @ v_loc.T
+
+    @jax.jit
+    def run(guide2d, stack, idx_a):
+        h, w = guide2d.shape
+        n = h * w
+        p = idx_a.shape[0]
+        block = cfg.block_cols
+        chunk = block * n_rows
+        n_pad = _cdiv(n, chunk) * chunk
+        ns = n_stack
+
+        feats = extract_features(guide2d, cfg)        # replicated, natural
+        feats_a = jnp.take(feats, idx_a, axis=0)
+        d = feats.shape[1]
+        feats_pad = jnp.zeros((n_pad, d), feats.dtype).at[:n].set(feats)
+
+        idx = jnp.arange(n_pad)
+        valid = (idx < n).astype(jnp.float32)
+        a_mask = jnp.zeros(n_pad, jnp.float32).at[idx_a].set(1.0)
+        b_mask = valid * (1.0 - a_mask)
+
+        kaa = affinity_strip(feats_a, feats_a, dtype)
+        kaa_solve = _make_kaa_solve(kaa, cfg.eig_tol, cfg.solver)
+
+        pN, pNd = P("rows"), P("rows", None)
+        rep, rep2 = P(), P(None, None)
+        sN = P(None, "rows")                          # stack: frames x rows
+        mv = smap(partial(_mv, block=block), (rep2, pNd, pN), rep)
+        rmv = smap(partial(_rmv, block=block), (rep2, pNd, rep), pN)
+        gramf = smap(partial(_gram, block=block), (rep2, pNd, rep, pN), rep2)
+        mat_v = n_pad * cfg.num_eigvecs * 4 <= _V_BYTES_CAP * n_rows
+        if mat_v:
+            colstats = smap(partial(_colstats, block=block),
+                            (rep2, pNd, rep2, pN, rep, pN), (rep, rep, pNd))
+            vtdot = smap(_vt_dot, (pNd, sN), rep2)
+            vapply = smap(_v_apply, (pNd, rep2), sN)
+        else:
+            colstats_nov = smap(partial(_colstats_nov, block=block),
+                                (rep2, pNd, rep2, pN, rep, pN), (rep, rep))
+            applyf = smap(partial(_apply, block=block),
+                          (rep2, pNd, rep2, rep, rep, pN), pN)
+
+        def ktilde_apply(s):
+            s_a = jnp.take(s, idx_a)
+            u = mv(feats_a, feats_pad, s * b_mask)
+            top = kaa @ s_a + u
+            t = s_a + kaa_solve(u)
+            bottom = rmv(feats_a, feats_pad, t) * b_mask
+            return bottom.at[idx_a].set(top)
+
+        if cfg.normalization == "sinkhorn" and cfg.sinkhorn_coarse > 1:
+            # unbatched twin of the batched builder's decimated fixed
+            # point (models/streaming.py coarse branch for the rationale)
+            k = cfg.sinkhorn_coarse
+            if block % k != 0:
+                raise ValueError("sinkhorn_coarse must divide block_cols")
+            feats_c = shard(feats_pad[::k], mesh, "rows", None)
+            mask_c = b_mask[::k]
+            block_c = block // k
+            ratio = jnp.sum(b_mask) / jnp.maximum(jnp.sum(mask_c), 1.0)
+            coarse = smap(partial(_coarse, block=block_c),
+                          (rep2, pNd, rep, pN), rep)
+            mvc = smap(partial(_mv, block=block_c), (rep2, pNd, pN), rep)
+            u0 = ratio * mvc(feats_a, feats_c, mask_c)
+            r0 = jnp.ones(p, jnp.float32)
+
+            def cbody(_, carry):
+                r_a, u_r, *_ = carry
+                c_a = 1.0 / jnp.maximum(kaa @ r_a + u_r, _EPS)
+                t_r = r_a + kaa_solve(u_r)
+                u_c = ratio * coarse(feats_a, feats_c, t_r, mask_c)
+                r_a2 = 1.0 / jnp.maximum(kaa @ c_a + u_c, _EPS)
+                t_c = c_a + kaa_solve(u_c)
+                u_r2 = ratio * coarse(feats_a, feats_c, t_c, mask_c)
+                return (r_a2, u_r2, c_a, t_r, t_c)
+
+            zero_p = jnp.zeros(p, jnp.float32)
+            r_a, u_r, c_a, t_r, t_c = jax.lax.fori_loop(
+                0, cfg.sinkhorn_iters, cbody, (r0, u0, r0, zero_p, zero_p))
+            s_a_coarse = jnp.sqrt(jnp.maximum(r_a * c_a, 0.0))
+            rmv2 = smap(partial(_rmv2, block=block), (rep2, pNd, rep2),
+                        pNd)
+            kbt = rmv2(feats_a, feats_pad,
+                       jnp.stack([t_r, t_c], axis=1)) * b_mask[:, None]
+            prod = jnp.maximum(kbt[:, 0] * kbt[:, 1], _EPS)
+            s = jnp.where(b_mask > 0, b_mask / jnp.sqrt(prod), 0.0)
+            s = s.at[idx_a].set(s_a_coarse)
+            if cfg.sinkhorn_polish > 0:
+                def pbody(_, sp):
+                    ks = jnp.maximum(ktilde_apply(sp), _EPS)
+                    return jnp.sqrt(sp / ks) * valid
+                s = jax.lax.fori_loop(0, cfg.sinkhorn_polish, pbody,
+                                      s * valid)
+        elif cfg.normalization == "sinkhorn":
+            def body(_, s):
+                ks = jnp.maximum(ktilde_apply(s), _EPS)
+                return jnp.sqrt(s / ks) * valid
+            s = jax.lax.fori_loop(0, cfg.sinkhorn_iters, body,
+                                  jnp.ones(n_pad, jnp.float32) * valid)
+        elif cfg.normalization == "symmetric":
+            s = jax.lax.rsqrt(jnp.maximum(ktilde_apply(valid), _EPS)) * valid
+        else:
+            s = valid
+
+        ys_pad = jnp.zeros((ns, n_pad), jnp.float32).at[:, :n].set(
+            stack.astype(jnp.float32).reshape(ns, n))
+
+        if cfg.operator_filter():
+            # per-frame operator apply through the ONE guide-derived
+            # operator (the stack is small and static, so the unrolled
+            # loop stays a handful of strip-pass programs)
+            from ..ops.filters import apply_operator_filter
+            wapply = lambda x: s * ktilde_apply(s * x)
+            z_full = jnp.stack([
+                apply_operator_filter(wapply, ys_pad[f], cfg.filter_name,
+                                      cfg.filter_param, cfg.filter_mode,
+                                      cfg.cheb_degree)
+                for f in range(ns)])
+            z = z_full[:, :n].reshape(ns, h, w)
+            return jnp.clip(z, 0.0, 1.0), jnp.zeros((0,), jnp.float32)
+
+        s_a = jnp.take(s, idx_a)
+        s_b_cols = s * b_mask
+
+        waa = kaa * (s_a[:, None] * s_a[None, :])
+        if cfg.gram_coarse > 1:
+            kg = cfg.gram_coarse
+            if block % kg != 0:
+                raise ValueError("gram_coarse must divide block_cols")
+            jidx = jnp.asarray(gram_sample_idx(n_pad, kg,
+                                               cfg.gram_jitter_seed))
+            feats_g = shard(jnp.take(feats_pad, jidx, axis=0), mesh,
+                            "rows", None)
+            cols_g = jnp.take(s_b_cols, jidx)
+            ratio_g = (jnp.sum(s_b_cols * s_b_cols)
+                       / jnp.maximum(jnp.sum(cols_g * cols_g), _EPS))
+            gramg = smap(partial(_gram, block=block // kg),
+                         (rep2, pNd, rep, pN), rep2)
+            cross = ratio_g * gramg(feats_a, feats_g, s_a, cols_g)
+        else:
+            cross = gramf(feats_a, feats_pad, s_a, s_b_cols)
+        m = cfg.num_eigvecs
+        if cfg.solver in ("chol", "lobpcg"):
+            method = "lobpcg" if cfg.solver == "lobpcg" else "eigh"
+            vals_m, basis0 = nystrom_chol_factor(waa, cross, m, cfg.eig_tol,
+                                                 method, cfg.lobpcg_iters)
+        else:
+            whalf = psd_pinv_sqrt(waa, cfg.eig_tol)
+            s_mat = waa + whalf @ cross @ whalf
+            s_mat = 0.5 * (s_mat + s_mat.T)
+            vals, vecs = jnp.linalg.eigh(s_mat)
+            vals_m = vals[::-1][:m]
+            basis0 = whalf @ (vecs[:, ::-1][:, :m]
+                              * trunc_inv_sqrt_vals(vals_m,
+                                                    cfg.eig_tol)[None, :])
+
+        v_a = waa @ basis0
+        ys_a = jnp.take(ys_pad, idx_a, axis=1)        # (ns, p)
+
+        if mat_v:
+            # one colstats pass for the y-independent pieces (norms + the
+            # materialized V rows; the zero-y coeffs output is discarded),
+            # then per-frame coefficients as ONE skinny sharded GEMM —
+            # the same vecs^T y the single-device guided path computes
+            # (models/streaming.basis_channel_streaming + ops/filters.
+            # apply_spectral_filter)
+            norms_b, _, v_b = colstats(feats_a, feats_pad, basis0,
+                                       jnp.zeros(n_pad, jnp.float32),
+                                       s_a, s_b_cols)
+            dnorm = jnp.sum(v_a * v_a, axis=0) + norms_b
+            live = dnorm > _LIVE_NORM2
+            scale = jnp.where(live,
+                              1.0 / jnp.sqrt(jnp.where(live, dnorm, 1.0)),
+                              0.0)
+            coeffs = scale * (ys_a @ v_a + vtdot(v_b, ys_pad))   # (ns, m)
+        else:
+            norms_b = None
+            coeffs_rows = []
+            for f in range(ns):
+                nb_f, cb_f = colstats_nov(feats_a, feats_pad, basis0,
+                                          ys_pad[f], s_a, s_b_cols)
+                norms_b = nb_f if norms_b is None else norms_b
+                coeffs_rows.append(cb_f)
+            dnorm = jnp.sum(v_a * v_a, axis=0) + norms_b
+            live = dnorm > _LIVE_NORM2
+            scale = jnp.where(live,
+                              1.0 / jnp.sqrt(jnp.where(live, dnorm, 1.0)),
+                              0.0)
+            coeffs = scale * (ys_a @ v_a + jnp.stack(coeffs_rows))
+
+        filt = FILTER_REGISTRY[cfg.filter_name]
+        fvals = filt.fn(vals_m, cfg.filter_param)
+        g = (fvals - 1.0) if filt.affine else fvals
+        wvecs = scale[None, :] * g[None, :] * coeffs  # (ns, m)
+
+        z_a = wvecs @ v_a.T                           # (ns, p)
+        if mat_v:
+            z_full = vapply(v_b, wvecs)
+        else:
+            z_full = jnp.stack([
+                applyf(feats_a, feats_pad, basis0, wvecs[f], s_a, s_b_cols)
+                for f in range(ns)])
+        z_full = z_full.at[:, idx_a].set(z_a)
+        if filt.affine:
+            z_full = z_full + ys_pad
+        z = z_full[:, :n].reshape(ns, h, w)
+        return jnp.clip(z, 0.0, 1.0), vals_m
+
+    return run
+
+
 def filter_image_streaming_sharded(image: np.ndarray, cfg: PipelineConfig,
                                    plan, mesh):
     """Host entry: one grayscale image through the rows-sharded streaming

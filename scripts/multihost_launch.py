@@ -106,6 +106,11 @@ def main(argv=None):
                     help="derive the measured production recipe from (N, p) "
                          "(config.tuned_config); explicit flags above are "
                          "overridden by it — pass either, not both")
+    ap.add_argument("--temporal_guide", type=int, default=1,
+                    help="frames mode: groups of k frames share one "
+                         "eigenbasis from the group-mean guide, rows "
+                         "sharded across ALL processes (streaming only; "
+                         "pair with --n_data 1)")
     ap.add_argument("--n_data", type=int, default=None,
                     help="mesh data-axis size (default: #processes)")
     ap.add_argument("--cpu_devices", type=int, default=0,
@@ -189,10 +194,11 @@ def main(argv=None):
                             filter_mode=args.filter_mode)
     if args.preset:
         cfg = gl.tuned_config(cfg, frames[0].size, args.preset, keep=keep)
-    n_data = args.n_data or nproc
+    n_data = args.n_data or (1 if args.temporal_guide > 1 else nproc)
     mesh = make_mesh(n_data=n_data,
                      n_rows=len(jax.devices()) // n_data)
-    out, _ = filter_video_multihost(local, cfg, mesh)
+    out, _ = filter_video_multihost(local, cfg, mesh,
+                                    temporal_guide=args.temporal_guide)
     if jax.process_index() == 0:
         np.save(args.out, out)
         print(f"wrote {args.out} {out.shape}")

@@ -304,6 +304,59 @@ def test_two_process_matvec_sharpen_recipe(tmp_path):
     assert abs(psnr(clean, got) - psnr(clean, want)) < 0.02
 
 
+def test_two_process_temporal_guide_matches_single(tmp_path):
+    """Temporal basis reuse ACROSS PROCESSES: groups of 3 frames — the
+    first group spans the 2-process shard boundary (shards are 2+2) —
+    share one guide-built basis with pixel rows sharded over both
+    processes' devices; pixels must match the single-process guided
+    path."""
+    from graphlap_tpu import add_gaussian_noise, make_test_image
+    from graphlap_tpu.config import PipelineConfig
+    from graphlap_tpu.models.video import filter_video
+
+    frames = np.stack([
+        np.clip(add_gaussian_noise(make_test_image(32, 32, seed=s), 0.1,
+                                   seed=s), 0, 1)
+        for s in range(4)
+    ]).astype(np.float32)
+    fpath = tmp_path / "frames.npy"
+    np.save(fpath, frames)
+
+    port = _free_port()
+    procs = []
+    env_base = {k: v for k, v in os.environ.items()
+                if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env_base["PYTHONPATH"] = str(ROOT) + (
+        os.pathsep + env_base["PYTHONPATH"] if env_base.get("PYTHONPATH") else "")
+    for pid in range(2):
+        out = tmp_path / f"out{pid}.npy"
+        cmd = [sys.executable, str(ROOT / "scripts" / "multihost_launch.py"),
+               "--frames", str(fpath), "--out", str(out),
+               "--coordinator", f"127.0.0.1:{port}",
+               "--num_processes", "2", "--process_id", str(pid),
+               "--cpu_devices", "4", "--sample", "0.03", "--eigvals", "8",
+               "--sinkhorn_iters", "8", "--dtype", "float32",
+               "--block_cols", "128", "--streaming",
+               "--temporal_guide", "3", "--n_data", "1"]
+        procs.append(subprocess.Popen(cmd, cwd=str(ROOT), env=env_base,
+                                      stdout=subprocess.PIPE,
+                                      stderr=subprocess.STDOUT, text=True))
+    logs = []
+    for p in procs:
+        out_text, _ = p.communicate(timeout=600)
+        logs.append(out_text)
+    assert all(p.returncode == 0 for p in procs), \
+        "\n---\n".join(t[-3000:] for t in logs)
+
+    got = np.load(tmp_path / "out0.npy")
+    cfg = PipelineConfig(kernel="nlm", sample_rho=0.03, num_eigvecs=8,
+                         sinkhorn_iters=8, affinity_dtype="float32",
+                         streaming=True, block_cols=128)
+    want, _ = filter_video(frames, cfg, temporal_guide=3)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=3e-4)
+
+
 def test_launcher_explicit_keep():
     """--preset must not override flags the caller typed (the launcher
     twin of the CLI's _explicit_fields contract): an explicit

@@ -179,10 +179,51 @@ def test_temporal_guide_color_video():
 
 def test_temporal_guide_rejects_mesh_and_chunking():
     # regression: mesh / frames_per_step used to be SILENTLY dropped on
-    # the guided path — a multi-chip request ran single-device instead
+    # the guided path — a multi-chip request ran single-device instead.
+    # A mesh is supported on the STREAMING guided path (test below);
+    # dense-guided + mesh and frames_per_step still refuse loudly.
     from graphlap_tpu.parallel.mesh import make_mesh
     _, frames = _static_scene(b=4)
-    with pytest.raises(ValueError, match="temporal_guide"):
+    with pytest.raises(ValueError, match="streaming"):
         filter_video(frames, CONFIG1, mesh=make_mesh(), temporal_guide=4)
     with pytest.raises(ValueError, match="temporal_guide"):
         filter_video(frames, CONFIG1, frames_per_step=2, temporal_guide=4)
+
+
+def test_temporal_guide_sharded_matches_single_device():
+    """The rows-sharded guided builder == the single-device guided path
+    (one factor from the group mean, per-frame apply), for the spectral,
+    operator-matvec, and coarse+polish recipes, incl. a non-divisible
+    group count and color frames."""
+    from graphlap_tpu.parallel.mesh import make_mesh
+    mesh = make_mesh(n_rows=4, n_data=2)
+    scfg = CONFIG1.replace(streaming=True, block_cols=1024)
+    clean, frames = _static_scene(b=7)
+    z1, v1 = filter_video(frames, scfg, temporal_guide=3)
+    z2, v2 = filter_video(frames, scfg, mesh=mesh, temporal_guide=3)
+    np.testing.assert_allclose(z2, z1, atol=3e-4)
+    np.testing.assert_allclose(v2, v1, atol=1e-4)
+    # operator mode (no eigensolve) through the sharded guided matvecs
+    mcfg = scfg.replace(filter_name="sharpen", filter_param=0.15,
+                        filter_mode="matvec")
+    zm1, vm1 = filter_video(frames, mcfg, temporal_guide=3)
+    zm2, vm2 = filter_video(frames, mcfg, mesh=mesh, temporal_guide=3)
+    np.testing.assert_allclose(zm2, zm1, atol=3e-4)
+    assert vm2.shape == vm1.shape == (7, 0)
+    # the production accelerator stack compiles + matches
+    ccfg = scfg.replace(sinkhorn_coarse=2, sinkhorn_polish=1, gram_coarse=2)
+    zc1, _ = filter_video(frames[:3], ccfg, temporal_guide=3)
+    zc2, _ = filter_video(frames[:3], ccfg, mesh=mesh, temporal_guide=3)
+    np.testing.assert_allclose(zc2, zc1, atol=3e-4)
+
+
+def test_temporal_guide_sharded_color():
+    from graphlap_tpu.parallel.mesh import make_mesh
+    mesh = make_mesh(n_rows=4, n_data=2)
+    scfg = CONFIG1.replace(streaming=True, block_cols=1024)
+    _, frames = _static_scene(b=4)
+    rgb = np.stack([frames, frames * 0.8 + 0.1, frames * 0.6 + 0.2], axis=-1)
+    z1, v1 = filter_video(rgb, scfg, temporal_guide=4)
+    z2, v2 = filter_video(rgb, scfg, mesh=mesh, temporal_guide=4)
+    np.testing.assert_allclose(z2, z1, atol=3e-4)
+    assert v2.shape == v1.shape
