@@ -215,6 +215,13 @@ def test_temporal_guide_sharded_matches_single_device():
     zc1, _ = filter_video(frames[:3], ccfg, temporal_guide=3)
     zc2, _ = filter_video(frames[:3], ccfg, mesh=mesh, temporal_guide=3)
     np.testing.assert_allclose(zc2, zc1, atol=3e-4)
+    # Pallas mode (interpret on CPU): the unchecked-vma shard_map path —
+    # this equivalence is its psum-placement guard (see the check_vma
+    # note in parallel/streaming_sharded.py)
+    pcfg = scfg.replace(use_pallas=True)
+    zp1, _ = filter_video(frames[:3], pcfg, temporal_guide=3)
+    zp2, _ = filter_video(frames[:3], pcfg, mesh=mesh, temporal_guide=3)
+    np.testing.assert_allclose(zp2, zp1, atol=3e-4)
 
 
 def test_temporal_guide_sharded_color():
