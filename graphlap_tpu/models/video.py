@@ -44,7 +44,10 @@ def filter_video(frames: np.ndarray, cfg: PipelineConfig,
     sigma/sqrt(k) of the per-frame noise, so the graph is BUILT FROM A
     CLEANER IMAGE than any single frame sees (measured: +0.3-0.5 dB over
     per-frame bases on static scenes, tests/test_video.py). Motion blurs
-    the guide — groups should span at most the scene's coherence time.
+    the guide — the measured boundary (benchmarks/motion_guide.py) is a
+    per-group displacement of ~0.5-1 px: pick k <= 1 + 0.75/v px/frame,
+    or register frames first; at >= 1 px/frame even k=2 loses to
+    per-frame bases.
     """
     frames = np.asarray(frames, np.float32)
     if temporal_guide > 1:

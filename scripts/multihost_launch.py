@@ -97,10 +97,15 @@ def main(argv=None):
                              "exp_decay", "twicing"))
     ap.add_argument("--filter_param", type=float, default=1.0)
     ap.add_argument("--filter_mode", default="spectral",
-                    choices=("spectral", "matvec"),
+                    choices=("spectral", "matvec", "chebyshev"),
                     help="'matvec' = exact polynomial f(W) by strip "
                          "matvecs, no eigensolve (the production sharpen "
-                         "path; presets pick it for sharpen)")
+                         "path; presets pick it for sharpen); 'chebyshev' "
+                         "= degree-cheb_degree series for non-polynomial "
+                         "f, also eigensolve-free")
+    ap.add_argument("--cheb_degree", type=int, default=12,
+                    help="chebyshev series degree (0 = auto-pick the "
+                         "smallest certified degree)")
     ap.add_argument("--preset", default=None,
                     choices=("exact", "fast", "turbo"),
                     help="derive the measured production recipe from (N, p) "
@@ -156,7 +161,8 @@ def main(argv=None):
                                 gram_coarse=args.gram_coarse,
                                 filter_name=args.filter_name,
                                 filter_param=args.filter_param,
-                                filter_mode=args.filter_mode)
+                                filter_mode=args.filter_mode,
+                                cheb_degree=args.cheb_degree)
         from graphlap_tpu.parallel.streaming_sharded import (
             filter_image_multihost)
         image = np.load(args.image)
@@ -191,7 +197,8 @@ def main(argv=None):
                             gram_coarse=args.gram_coarse,
                             filter_name=args.filter_name,
                             filter_param=args.filter_param,
-                            filter_mode=args.filter_mode)
+                            filter_mode=args.filter_mode,
+                            cheb_degree=args.cheb_degree)
     if args.preset:
         cfg = gl.tuned_config(cfg, frames[0].size, args.preset, keep=keep)
     n_data = args.n_data or (1 if args.temporal_guide > 1 else nproc)

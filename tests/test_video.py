@@ -224,6 +224,29 @@ def test_temporal_guide_sharded_matches_single_device():
     np.testing.assert_allclose(zp2, zp1, atol=3e-4)
 
 
+def test_temporal_guide_motion_boundary():
+    """Pins the measured motion rule (benchmarks/motion_guide.py): on a
+    static scene grouped reuse beats per-frame bases, and at 1 px/frame
+    of motion it must NOT (the group-mean guide smears) — the basis for
+    the documented k <= 1 + 0.75/v guidance."""
+    from scipy.ndimage import shift as nd_shift
+    side, b, v = 64, 8, 1.0
+    base = make_test_image(side + 24, side + 24)
+    rng = np.random.default_rng(3)
+    clean = np.stack([
+        nd_shift(base, (-v * t, -v * t), order=3,
+                 mode="reflect")[12:12 + side, 12:12 + side]
+        for t in range(b)
+    ]).astype(np.float32)
+    clean = np.clip(clean, 0, 1)
+    noisy = np.clip(clean + 0.1 * rng.standard_normal(clean.shape),
+                    0, 1).astype(np.float32)
+    z1, _ = filter_video(noisy, CONFIG1)
+    z4, _ = filter_video(noisy, CONFIG1, temporal_guide=4)
+    # measured: k=4 at v=1 px/frame loses ~3 dB to per-frame bases
+    assert psnr(clean, z4) < psnr(clean, z1) - 1.0
+
+
 def test_temporal_guide_sharded_color():
     from graphlap_tpu.parallel.mesh import make_mesh
     mesh = make_mesh(n_rows=4, n_data=2)
