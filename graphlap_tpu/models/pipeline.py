@@ -238,12 +238,21 @@ def check_dense_feasible(cfg: PipelineConfig, plan: SamplePlan) -> None:
 
 
 def filter_image(image: np.ndarray, cfg: PipelineConfig,
-                 plan: SamplePlan | None = None) -> FilterResult:
-    """Filter a (H, W) or (H, W, C) float [0,1] image. Fused jit path."""
+                 plan: SamplePlan | None = None,
+                 mesh=None) -> FilterResult:
+    """Filter a (H, W) or (H, W, C) float [0,1] image. Fused jit path.
+
+    ``mesh`` (streaming configs): pixel rows shard over the mesh's
+    ``rows`` axis — grayscale and per-channel RGB route through the
+    rows-sharded streaming builders, luma_basis RGB through the guided
+    builder (ONE sharded factor from the luma graph, channels applied
+    through it). Equivalence-tested vs the single-device paths."""
     image = np.asarray(image)
     if plan is None:
         plan = make_plan(image, cfg)
     check_dense_feasible(cfg, plan)
+    if mesh is not None:
+        return _filter_image_sharded(image, cfg, plan, mesh)
     idx_a = jnp.asarray(plan.idx_a)
     perm = jnp.asarray(plan.perm)
     inv_perm = jnp.asarray(plan.inv_perm)
@@ -280,6 +289,42 @@ def filter_image(image: np.ndarray, cfg: PipelineConfig,
                                   idx_a, perm, inv_perm, cfg)
         outs.append(np.asarray(jax.block_until_ready(z)))
         all_vals.append(np.asarray(vals))
+    return FilterResult(image=np.stack(outs, axis=-1),
+                        eigvals=np.stack(all_vals), timings={})
+
+
+def _filter_image_sharded(image: np.ndarray, cfg: PipelineConfig,
+                          plan: SamplePlan, mesh) -> FilterResult:
+    """filter_image's mesh route (single-controller; for multi-process
+    use filter_image_multihost)."""
+    from ..parallel.streaming_sharded import (
+        build_streaming_sharded_guided,
+        filter_image_streaming_sharded,
+    )
+
+    if not cfg.streaming:
+        raise ValueError(
+            "filter_image(mesh=...) requires cfg.streaming=True — the "
+            "rows-sharded single-image builders are strip-free (dense "
+            "multi-image DP lives in parallel.sharded.filter_frames_"
+            "sharded)")
+    if image.ndim == 2:
+        z, vals = filter_image_streaming_sharded(image, cfg, plan, mesh)
+        return FilterResult(image=z, eigvals=vals, timings={})
+    channels = image.shape[-1]
+    if cfg.rgb_mode == "luma_basis":
+        grun = build_streaming_sharded_guided(mesh, cfg, channels)
+        chw = jnp.asarray(np.moveaxis(image, -1, 0), jnp.float32)
+        y2d = jnp.asarray(_luma(image), jnp.float32)
+        z, vals = grun(y2d, chw, jnp.asarray(plan.idx_a))
+        out = np.moveaxis(np.asarray(jax.block_until_ready(z)), 0, -1)
+        return FilterResult(image=out, eigvals=np.asarray(vals), timings={})
+    outs, all_vals = [], []
+    for c in range(channels):          # same compiled executable each time
+        z, vals = filter_image_streaming_sharded(image[..., c], cfg, plan,
+                                                 mesh)
+        outs.append(z)
+        all_vals.append(vals)
     return FilterResult(image=np.stack(outs, axis=-1),
                         eigvals=np.stack(all_vals), timings={})
 

@@ -185,3 +185,32 @@ def test_streaming_sharded_bf16_features_matches_single(frames):
     # under 2e-4). Same-class, not a sharding defect.
     np.testing.assert_allclose(z, ref.image, atol=1e-3)
     np.testing.assert_allclose(vals, ref.eigvals, atol=1e-3)
+
+
+def test_filter_image_mesh_route(frames):
+    """filter_image(mesh=...) — the unified single-image multi-chip
+    entry: grayscale, per-channel RGB, and luma_basis RGB (the guided
+    builder with the channel stack) all match their single-device
+    twins; dense + mesh refuses with guidance."""
+    scfg = CFG.replace(streaming=True, block_cols=128, sinkhorn_iters=10)
+    img = np.asarray(frames[0])
+    rgb = np.stack([img, img * 0.8 + 0.1, img * 0.6 + 0.2], axis=-1)
+    mesh = make_mesh(8, 1)
+
+    ref = filter_image(img, scfg)
+    got = filter_image(img, scfg, mesh=mesh)
+    np.testing.assert_allclose(got.image, ref.image, atol=2e-4)
+
+    ref3 = filter_image(rgb, scfg)
+    got3 = filter_image(rgb, scfg, mesh=mesh)
+    assert got3.image.shape == rgb.shape
+    np.testing.assert_allclose(got3.image, ref3.image, atol=2e-4)
+    assert got3.eigvals.shape == ref3.eigvals.shape
+
+    lcfg = scfg.replace(rgb_mode="luma_basis")
+    refl = filter_image(rgb, lcfg)
+    gotl = filter_image(rgb, lcfg, mesh=mesh)
+    np.testing.assert_allclose(gotl.image, refl.image, atol=2e-4)
+
+    with pytest.raises(ValueError, match="streaming"):
+        filter_image(img, CFG, mesh=mesh)
