@@ -29,6 +29,7 @@ from .models.pipeline import (
     filter_image_staged,
     make_plan,
 )
+from .models.tiled import filter_image_tiled
 from .models.video import filter_video, filter_video_multihost
 from .tune import SureRow, sure_risk, tune_h_sure
 from .parallel.streaming_sharded import filter_image_multihost
@@ -42,7 +43,8 @@ __all__ = [
     "denoise_tuned", "estimate_noise_sigma",
     "load_image", "save_image", "add_gaussian_noise", "make_test_image",
     "psnr", "ssim",
-    "FilterResult", "filter_image", "filter_image_staged", "make_plan",
+    "FilterResult", "filter_image", "filter_image_staged",
+    "filter_image_tiled", "make_plan",
     "compute_basis", "filter_video", "filter_video_multihost",
     "filter_image_multihost",
     "save_basis", "load_basis", "filter_with_basis",

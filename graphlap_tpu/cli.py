@@ -193,6 +193,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="replay -filter/-filter_param through a saved basis "
                         "(skips sampling/affinity/Sinkhorn/eigensolve; "
                         "O(N m) apply)")
+    p.add_argument("-tile", type=int, default=0,
+                   help="out-of-core mode: filter in overlapping square "
+                        "tiles of this side, Hann-blended — unbounded "
+                        "image size (0 = whole image; models/tiled.py)")
+    p.add_argument("-tile_overlap", type=int, default=256,
+                   help="inter-tile overlap / blend-ramp width in px")
     p.add_argument("-log_view", action="store_true",
                    help="print per-stage wall-clock timings (PETSc-style)")
     p.add_argument("-trace_dir", default=None,
@@ -405,7 +411,15 @@ def main(argv=None) -> int:
           f"config={cfg.config_hash()}")
 
     with maybe_profile(args.trace_dir):
-        res = gl.filter_image_staged(image, cfg, plan=plan)
+        if args.tile > 0:
+            import time as _time
+            t0 = _time.perf_counter()
+            res = gl.filter_image_tiled(image, cfg, tile=args.tile,
+                                        overlap=args.tile_overlap)
+            res = res._replace(
+                timings={"tiled_total": _time.perf_counter() - t0})
+        else:
+            res = gl.filter_image_staged(image, cfg, plan=plan)
 
     record = {
         "input": args.input, "shape": list(image.shape),
