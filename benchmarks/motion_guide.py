@@ -25,7 +25,10 @@ from pathlib import Path
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", None)  # CPU: cache off
+
+from graphlap_tpu.utils.cache import setup_compilation_cache
+
+setup_compilation_cache(Path(__file__).parent.parent, cpu=True)
 
 import numpy as np
 from scipy.ndimage import shift as nd_shift

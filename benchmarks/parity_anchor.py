@@ -40,7 +40,7 @@ RESULTS = Path(__file__).parent / "results" / "parity_anchor.jsonl"
 def main():
     import jax
     jax.config.update("jax_platforms", "cpu")   # env var ignored by axon
-    jax.config.update("jax_compilation_cache_dir", None)  # CPU: cache off (utils/cache.py)
+    setup_compilation_cache(Path(__file__).parent.parent, cpu=True)
 
     import graphlap_tpu as gl
     from graphlap_tpu.models.pipeline import make_plan

@@ -572,7 +572,7 @@ def main():
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
-        jax.config.update("jax_compilation_cache_dir", None)  # CPU: cache off (utils/cache.py)
+        setup_compilation_cache(Path(__file__).parent.parent, cpu=True)
     for r in args.rows:
         name, cfg, clean, image = ROWS[r]()
         if r in GUIDED_ROWS:

@@ -307,7 +307,7 @@ def main():
     if not args.tpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
-        jax.config.update("jax_compilation_cache_dir", None)  # CPU: cache off (utils/cache.py)
+        setup_compilation_cache(Path(__file__).parent.parent, cpu=True)
     RESULTS.parent.mkdir(parents=True, exist_ok=True)
     for s in args.sweeps:
         SWEEPS[s]()

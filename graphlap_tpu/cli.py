@@ -334,7 +334,20 @@ def main(argv=None) -> int:
             print(f"wrote {args.output}")
         return 0
 
-    plan = make_plan(image, cfg)
+    # -tile: every decision below (preset recipe calibration, the
+    # dense-feasibility auto-switch, SURE tuning) must see the PER-TILE
+    # problem size, not the full image's — the (N, p) calibration rules
+    # behind the parity gate are per-executable, and in tiled mode the
+    # executable runs on tile-shaped inputs. A full-image plan here once
+    # picked 8 MP-calibrated decimations for 0.26 MP tiles and forced
+    # streaming on tile-dense-feasible runs (review finding).
+    tiled = args.tile > 0
+    if tiled:
+        plan_img = image[:min(args.tile, image.shape[0]),
+                         :min(args.tile, image.shape[1])]
+    else:
+        plan_img = image
+    plan = make_plan(plan_img, cfg)
     base_cfg = cfg
 
     def _tuned(c):
@@ -380,9 +393,13 @@ def main(argv=None) -> int:
         else:
             from graphlap_tpu.tune import tune_h_sure
             sigma = args.noise if args.noise > 0 else None
-            cfg, rows = tune_h_sure(image, cfg, sigma=sigma)
+            # tiled mode: tune on ONE tile-sized crop (the executable's
+            # real shape; the full image may be past the single-chip
+            # ceiling — exactly what -tile exists for)
+            cfg, rows = tune_h_sure(plan_img, cfg, sigma=sigma)
             best = min(rows, key=lambda r: r.sure)
-            print(f"tune_sure: h={cfg.h:.4f} (SURE {best.sure:.6f}, "
+            where = " (on a tile-sized crop)" if tiled else ""
+            print(f"tune_sure: h={cfg.h:.4f}{where} (SURE {best.sure:.6f}, "
                   f"predicted PSNR {best.psnr_pred:.2f} dB) over "
                   f"{[r.h for r in rows]}")
     from graphlap_tpu.config import AFFINE_FILTERS
@@ -405,10 +422,12 @@ def main(argv=None) -> int:
               f"collapsed kernel spectra (whole-dB deviations measured); "
               f"-filter_mode matvec applies the filter exactly without an "
               f"eigensolve", file=sys.stderr)
-    n = plan.n
+    n = image.shape[0] * image.shape[1]
+    tile_note = (f"  tile={args.tile}+{args.tile_overlap} "
+                 f"(p, recipe per tile)" if tiled else "")
     print(f"image {image.shape}  N={n}  p={plan.p}  m={cfg.num_eigvecs}  "
           f"kernel={cfg.kernel}  filter={cfg.filter_name}  "
-          f"config={cfg.config_hash()}")
+          f"config={cfg.config_hash()}{tile_note}")
 
     with maybe_profile(args.trace_dir):
         if args.tile > 0:
@@ -448,6 +467,14 @@ def main(argv=None) -> int:
     if args.save_basis:
         from graphlap_tpu.utils.checkpoint import save_basis
         from graphlap_tpu.models.pipeline import compute_basis
+        if tiled:
+            # every tile has its OWN basis; there is no single replayable
+            # global basis, and computing one would run the full untiled
+            # image through the pipeline — the regime -tile exists to avoid
+            print("error: -save_basis is per-image, -tile is per-tile — "
+                  "run without -tile (or filter tiles via the API and "
+                  "save per-tile bases)", file=sys.stderr)
+            return 2
         if cfg.operator_filter():
             print("error: -save_basis needs an eigenbasis, but "
                   f"-filter_mode {cfg.filter_mode} never forms one — rerun with "

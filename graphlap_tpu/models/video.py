@@ -255,13 +255,14 @@ def _filter_video_guided_multihost(local_frames: np.ndarray,
     if color and cfg.rgb_mode != "per_channel":
         raise ValueError("filter_video_multihost supports "
                          "rgb_mode='per_channel' only")
-    frames = np.asarray(multihost_utils.process_allgather(local_frames,
-                                                          tiled=True))
-    b = frames.shape[0]
-    h, w = frames.shape[1:3]
+    nproc = jax.process_count()
+    b_local = local_frames.shape[0]
+    b = b_local * nproc
+    lo0 = jax.process_index() * b_local
+    h, w = local_frames.shape[1:3]
     if plan is None:
-        plan = make_plan(frames[0], cfg)
-    c = frames.shape[-1] if color else 1
+        plan = make_plan(local_frames[0], cfg)
+    c = local_frames.shape[-1] if color else 1
     grun = build_streaming_sharded_guided(mesh, cfg, k * c)
     idx_a = jnp.asarray(plan.idx_a)
     rep = NamedSharding(mesh, P())
@@ -270,12 +271,32 @@ def _filter_video_guided_multihost(local_frames: np.ndarray,
         x = np.ascontiguousarray(x, np.float32)
         return jax.make_array_from_process_local_data(rep, x, x.shape)
 
+    def _gather_group(g0: int) -> tuple[np.ndarray, int]:
+        """Assemble frames [g0, g0+k) from the owning process shards —
+        ONE k-frame allgather per group (transient O(nproc * k) frames
+        per host), never the full batch: the module's no-replicated-
+        copies contract (a group may span shard boundaries, so each
+        process contributes its padded intersection and exactly one
+        process owns each position)."""
+        g1 = min(g0 + k, b)
+        sel = np.zeros((k,) + local_frames.shape[1:], np.float32)
+        msk = np.zeros((k,), np.float32)
+        i0, i1 = max(g0, lo0), min(g1, lo0 + b_local)
+        if i1 > i0:
+            sel[i0 - g0:i1 - g0] = local_frames[i0 - lo0:i1 - lo0]
+            msk[i0 - g0:i1 - g0] = 1.0
+        all_sel = np.asarray(multihost_utils.process_allgather(
+            sel[None], tiled=True))                    # (nproc, k, ...)
+        all_msk = np.asarray(multihost_utils.process_allgather(
+            msk[None], tiled=True))
+        shape = (nproc, k) + (1,) * (sel.ndim - 1)
+        return (all_sel * all_msk.reshape(shape)).sum(0), g1 - g0
+
     outs, vals = [], []
     for lo in range(0, b, k):
-        grp = frames[lo:lo + k]
-        keep = len(grp)
+        grp, keep = _gather_group(lo)
         if keep < k:                 # keep the compiled shape static
-            grp = np.concatenate([grp, np.repeat(grp[-1:], k - keep, 0)])
+            grp[keep:] = grp[keep - 1]
         guide = grp.mean(axis=0)
         y2d = _luma(guide) if color else guide
         chw = (np.moveaxis(grp, -1, 1).reshape(k * c, h, w)

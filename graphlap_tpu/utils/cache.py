@@ -29,14 +29,25 @@ import os
 
 
 def host_tag() -> str:
-    """Short stable tag of this host's CPU feature set."""
-    flags = ""
+    """Short stable tag of this host's CPU feature set. x86 cpuinfo
+    carries ``flags``, aarch64 carries ``Features``; the machine/model
+    lines fold in too so hosts that expose neither (some hypervisors)
+    still separate by CPU model rather than sharing one subdir."""
+    import platform
+
+    lines = []
     try:
         with open("/proc/cpuinfo") as f:
-            flags = next((ln for ln in f if ln.startswith("flags")), "")
+            for ln in f:
+                if ln.startswith(("flags", "Features", "model name",
+                                  "CPU implementer", "CPU part")):
+                    lines.append(ln.strip())
+                    if len(lines) >= 4:
+                        break
     except OSError:
-        pass  # non-procfs platform: one shared subdir, old behavior
-    return hashlib.sha256(flags.encode()).hexdigest()[:10]
+        pass  # non-procfs platform: machine arch still separates below
+    key = "|".join([platform.machine()] + lines)
+    return hashlib.sha256(key.encode()).hexdigest()[:10]
 
 
 def cache_dir(repo_root: str | os.PathLike) -> str:

@@ -45,7 +45,7 @@ def main():
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
-        jax.config.update("jax_compilation_cache_dir", None)  # CPU: cache off (utils/cache.py)
+        setup_compilation_cache(Path(__file__).parent.parent, cpu=True)
 
     import graphlap_tpu as gl
     from graphlap_tpu.models.pipeline import make_plan
