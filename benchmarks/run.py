@@ -159,6 +159,64 @@ def row7():
     return "cfg7_64mp_streaming_bf16feat", cfg, img, noisy
 
 
+def row8():
+    """128 MP (16384x8192) — PAST the single-chip feature-buffer ceiling
+    (64 MP bf16-feat, row7): the tiled out-of-core mode (models/tiled.py)
+    runs 4096^2 tiles (16.8 MP each, comfortably in-capacity) through ONE
+    compiled executable with normalized-Hann blending. No same-size
+    untiled twin can exist on one chip; the per-tile recipe carries the
+    preset's measured parity bounds, and the blend is exactness-pinned by
+    tests/test_tiled.py."""
+    import graphlap_tpu as gl
+    img = gl.make_test_image(8192, 16384)
+    noisy = np.clip(gl.add_gaussian_noise(img, 0.1, seed=1), 0, 1)
+    base = gl.PipelineConfig(kernel="nlm", h=0.25, sample_rho=0.01,
+                             sample_cap=4096, num_eigvecs=50,
+                             filter_name="identity", streaming=True,
+                             block_cols=131072, use_pallas=False)
+    # preset calibrated at the TILE size — that is the executable's shape
+    cfg = gl.tuned_config(base, 4096 * 4096, "fast",
+                          keep=frozenset({"use_pallas"}))
+    return "cfg8_128mp_tiled", cfg, img, noisy
+
+
+def run_tiled_row(name, cfg, clean, image, tile, overlap):
+    import jax
+    import graphlap_tpu as gl
+
+    t0 = time.perf_counter()
+    gl.filter_image_tiled(image, cfg, tile=tile, overlap=overlap)  # warm
+    compile_wall = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    res = gl.filter_image_tiled(image, cfg, tile=tile, overlap=overlap)
+    wall = time.perf_counter() - t0
+    mp = image.shape[0] * image.shape[1] / 1e6
+    peak_hbm = None
+    try:
+        stats = jax.devices()[0].memory_stats()
+        if stats and "peak_bytes_in_use" in stats:
+            peak_hbm = round(stats["peak_bytes_in_use"] / 2**30, 3)
+    except Exception:
+        pass
+    rec = {
+        "row": name, "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]), "peak_hbm_gib": peak_hbm,
+        "shape": list(image.shape), "tile": tile, "overlap": overlap,
+        "n_tiles": int(res.eigvals.shape[0]),
+        "config_hash": cfg.config_hash(),
+        "wall_s": round(wall, 2), "compile_s": round(compile_wall, 2),
+        "mp_per_s": round(mp / wall, 3),
+        "psnr_in_db": round(gl.psnr(clean, image), 3),
+        "psnr_out_db": round(gl.psnr(clean, res.image), 3),
+        "ts": time.time(),
+    }
+    RESULTS.parent.mkdir(parents=True, exist_ok=True)
+    with RESULTS.open("a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec))
+    return rec
+
+
 def row4c():
     """8 MP with the coarse (decimated) Sinkhorn accelerator."""
     name, cfg, img, noisy = row4()
@@ -273,7 +331,8 @@ def row5t():
 
 ROWS = {"1": row1, "2": row2, "3": row3, "3l": row3l, "4": row4, "4c": row4c,
         "4g": row4g, "4m": row4m, "4p": row4p, "4x": row4x, "5": row5,
-        "5s": row5s, "5t": row5t, "5x": row5x, "6": row6, "7": row7}
+        "5s": row5s, "5t": row5t, "5x": row5x, "6": row6, "7": row7,
+        "8": row8}
 # per-video-row harness options: chunk size + timed passes (16x4K moves
 # ~0.5 GB through this box's remote-TPU tunnel per pass — keep passes low)
 VIDEO_ROWS = {"5": {}, "5s": {},
@@ -562,6 +621,7 @@ def run_video_guided_row(name, cfg, clean_img, frames, k=4, n_runs=2,
 
 
 GUIDED_ROWS = {"5t": {"k": 4, "n_runs": 2}}
+TILED_ROWS = {"8": {"tile": 4096, "overlap": 256}}
 
 
 def main():
@@ -575,7 +635,9 @@ def main():
         setup_compilation_cache(Path(__file__).parent.parent, cpu=True)
     for r in args.rows:
         name, cfg, clean, image = ROWS[r]()
-        if r in GUIDED_ROWS:
+        if r in TILED_ROWS:
+            run_tiled_row(name, cfg, clean, image, **TILED_ROWS[r])
+        elif r in GUIDED_ROWS:
             run_video_guided_row(name, cfg, clean, image, **GUIDED_ROWS[r])
         elif r in VIDEO_ROWS:
             run_video_row(name, cfg, image, **VIDEO_ROWS[r])
