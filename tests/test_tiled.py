@@ -85,3 +85,14 @@ def test_cli_tile_flag(tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "tiled_total" in out and "PSNR" in out
+
+
+def test_tiled_with_mesh_matches_unsharded():
+    # -tile composes with the mesh route: each tile runs rows-sharded
+    from graphlap_tpu.parallel.mesh import make_mesh
+    clean, noisy = _noisy(160)
+    scfg = CFG.replace(streaming=True, block_cols=1024)
+    ref = filter_image_tiled(noisy, scfg, tile=96, overlap=32)
+    got = filter_image_tiled(noisy, scfg, tile=96, overlap=32,
+                             mesh=make_mesh(8, 1))
+    np.testing.assert_allclose(got.image, ref.image, atol=3e-4)
