@@ -33,7 +33,16 @@ def read_netpbm(path_or_bytes) -> np.ndarray:
 
 
 def write_netpbm(path, img: np.ndarray) -> None:
-    """float [0,1] (H, W) or (H, W, 3) -> binary PGM/PPM file."""
+    """float [0,1] (H, W) or (H, W, 3) -> binary PGM/PPM file.
+
+    Integer arrays are rejected rather than silently saturating: a
+    uint8 image scaled 0-255 would write as all-white (every value
+    >= 1.0 clips) — found by a property test passing quantized ints."""
+    img = np.asarray(img)
+    if np.issubdtype(img.dtype, np.integer):
+        raise TypeError(
+            f"write_netpbm expects float values in [0, 1], got dtype "
+            f"{img.dtype} — divide by 255 (or 65535) first")
     img = np.asarray(img, np.float64)
     c = 1 if img.ndim == 2 else img.shape[2]
     if c not in (1, 3):
