@@ -86,6 +86,15 @@ def main():
             row["by_k"][str(k)] = round(p, 3)
             print(f"  v={v:4.2f} k={k}: PSNR {p:6.3f} "
                   f"({p - base_psnr:+.2f} dB vs noisy, {wall:.1f} s)")
+            if k > 1:
+                # registered variant: phase-align the group first —
+                # pure pan should recover the static-scene win
+                zr, _ = filter_video(noisy, cfg, temporal_guide=k,
+                                     register_guide=True)
+                pr = float(gl.psnr(clean, zr))
+                row["by_k"][f"{k}r"] = round(pr, 3)
+                print(f"  v={v:4.2f} k={k} registered: PSNR {pr:6.3f} "
+                      f"({pr - base_psnr:+.2f} dB vs noisy)")
         with RESULTS.open("a") as f:
             f.write(json.dumps(row) + "\n")
 

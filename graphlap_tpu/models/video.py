@@ -25,7 +25,7 @@ from .pipeline import make_plan
 def filter_video(frames: np.ndarray, cfg: PipelineConfig,
                  mesh=None, plan: SamplePlan | None = None,
                  frames_per_step: int | None = None,
-                 temporal_guide: int = 1):
+                 temporal_guide: int = 1, register_guide: bool = False):
     """Filter (B, H, W) grayscale frames. Returns (filtered, eigvals).
 
     All frames share one sampling plan (same geometry); each frame gets its
@@ -45,9 +45,12 @@ def filter_video(frames: np.ndarray, cfg: PipelineConfig,
     CLEANER IMAGE than any single frame sees (measured: +0.3-0.5 dB over
     per-frame bases on static scenes, tests/test_video.py). Motion blurs
     the guide — the measured boundary (benchmarks/motion_guide.py) is a
-    per-group displacement of ~0.5-1 px: pick k <= 1 + 0.75/v px/frame,
-    or register frames first; at >= 1 px/frame even k=2 loses to
-    per-frame bases.
+    per-group displacement of ~0.5-1 px: pick k <= 1 + 0.75/v px/frame
+    — or set ``register_guide=True``, which phase-correlates each frame
+    against the group's first (utils/register.py), builds the guide from
+    the REGISTERED mean, filters in registered coordinates, and shifts
+    outputs back: pure camera pan then behaves like a static scene
+    (the v=1 px/frame case flips from a 3 dB loss to a win; tested).
     """
     frames = np.asarray(frames, np.float32)
     if temporal_guide > 1:
@@ -68,7 +71,7 @@ def filter_video(frames: np.ndarray, cfg: PipelineConfig,
                 "(the rows-sharded guided builder is strip-free; the "
                 "dense guided path runs single-device)")
         return _filter_video_guided(frames, cfg, plan, temporal_guide,
-                                    mesh=mesh)
+                                    mesh=mesh, register=register_guide)
     if frames.ndim == 4:
         # (B, H, W, C) color video: channels are independent pipelines that
         # share the sampling plan (same geometry), so fold them into the
@@ -164,7 +167,8 @@ def filter_video(frames: np.ndarray, cfg: PipelineConfig,
 
 
 def _filter_video_guided(frames: np.ndarray, cfg: PipelineConfig,
-                         plan: SamplePlan | None, k: int, mesh=None):
+                         plan: SamplePlan | None, k: int, mesh=None,
+                         register: bool = False):
     """Temporal basis reuse: groups of ``k`` frames share one eigenbasis
     built from the group-mean frame (filter_video docstring). Rides the
     luma_basis machinery — _filter_channels_luma already implements
@@ -207,6 +211,23 @@ def _filter_video_guided(frames: np.ndarray, cfg: PipelineConfig,
         keep = len(grp)
         if keep < k:                 # keep the compiled shape static
             grp = np.concatenate([grp, np.repeat(grp[-1:], k - keep, 0)])
+        shifts = None
+        if register:
+            # align every frame to the group's FIRST (phase correlation
+            # on luma): the mean guide is then built from a registered
+            # stack, the filter runs in registered coordinates, and each
+            # output is shifted back below — camera pan becomes a static
+            # scene (utils/register.py; filter_video docstring)
+            from ..utils.register import estimate_shift, shift_image
+            ref2d = _luma(grp[0]) if color else grp[0]
+            shifts = [(0.0, 0.0)]
+            reg = [grp[0]]
+            for f in range(1, k):
+                dy, dx = estimate_shift(ref2d,
+                                        _luma(grp[f]) if color else grp[f])
+                shifts.append((dy, dx))
+                reg.append(shift_image(grp[f], -dy, -dx))
+            grp = np.stack(reg)
         guide = grp.mean(axis=0)     # sigma/sqrt(k) of the per-frame noise
         y2d = _luma(guide) if color else guide
         chw = (np.moveaxis(grp, -1, 1).reshape(k * grp.shape[-1], h, w)
@@ -221,6 +242,11 @@ def _filter_video_guided(frames: np.ndarray, cfg: PipelineConfig,
         z = np.asarray(z)
         if color:
             z = np.moveaxis(z.reshape(k, grp.shape[-1], h, w), 1, -1)
+        if shifts is not None:
+            from ..utils.register import shift_image
+            # the spline unshift can overshoot [0,1] by interpolation
+            z = np.clip(np.stack([shift_image(z[f], *shifts[f])
+                                  for f in range(k)]), 0.0, 1.0)
         outs.append(z[:keep])
         gv = np.asarray(v)           # (m,) spectral / (0,) operator modes
         vals.append(np.broadcast_to(gv, (keep,) + gv.shape))

@@ -257,3 +257,43 @@ def test_temporal_guide_sharded_color():
     z2, v2 = filter_video(rgb, scfg, mesh=mesh, temporal_guide=4)
     np.testing.assert_allclose(z2, z1, atol=3e-4)
     assert v2.shape == v1.shape
+
+
+def test_register_guide_recovers_motion_loss():
+    """register_guide=True phase-aligns each group to its first frame:
+    pure camera pan behaves like a static scene — at v=1 px/frame (where
+    unregistered k=4 loses ~3 dB to per-frame bases, the motion-boundary
+    test above) the registered guide must WIN instead."""
+    from scipy.ndimage import shift as nd_shift
+    side, b, v = 64, 8, 1.0
+    base = make_test_image(side + 24, side + 24)
+    rng = np.random.default_rng(3)
+    clean = np.clip(np.stack([
+        nd_shift(base, (-v * t, -v * t), order=3,
+                 mode="reflect")[12:12 + side, 12:12 + side]
+        for t in range(b)
+    ]), 0, 1).astype(np.float32)
+    noisy = np.clip(clean + 0.1 * rng.standard_normal(clean.shape),
+                    0, 1).astype(np.float32)
+    z1, _ = filter_video(noisy, CONFIG1)
+    zr, _ = filter_video(noisy, CONFIG1, temporal_guide=4,
+                         register_guide=True)
+    p1, pr = psnr(clean, z1), psnr(clean, zr)
+    assert pr > p1 + 0.3, f"registered guide {pr:.2f} vs per-frame {p1:.2f}"
+
+
+def test_register_guide_estimator_and_static_noop():
+    from graphlap_tpu.utils.register import estimate_shift, shift_image
+    base = np.asarray(make_test_image(96, 96), np.float64)
+    moved = np.roll(np.roll(base, -4, axis=0), 7, axis=1)
+    dy, dx = estimate_shift(base, moved)
+    assert abs(dy + 4) < 0.05 and abs(dx - 7) < 0.05
+    # aligning undoes the motion
+    rec = shift_image(np.asarray(moved, np.float32), -dy, -dx)
+    assert np.abs(rec[8:-8, 8:-8] - base[8:-8, 8:-8]).max() < 0.02
+    # on a truly static scene registration must not hurt the guide win
+    clean, frames = _static_scene(b=4)
+    z, _ = filter_video(frames, CONFIG1, temporal_guide=4)
+    zr, _ = filter_video(frames, CONFIG1, temporal_guide=4,
+                         register_guide=True)
+    assert abs(psnr(clean, zr) - psnr(clean, z)) < 0.3
