@@ -255,7 +255,8 @@ def _filter_video_guided(frames: np.ndarray, cfg: PipelineConfig,
 
 def _filter_video_guided_multihost(local_frames: np.ndarray,
                                    cfg: PipelineConfig, mesh,
-                                   plan: SamplePlan | None, k: int):
+                                   plan: SamplePlan | None, k: int,
+                                   register: bool = False):
     """Temporal basis reuse ACROSS PROCESSES: the global batch is
     reassembled on every process (groups span process shard boundaries),
     each group's guide + stack are placed replicated on the global mesh,
@@ -323,6 +324,19 @@ def _filter_video_guided_multihost(local_frames: np.ndarray,
         grp, keep = _gather_group(lo)
         if keep < k:                 # keep the compiled shape static
             grp[keep:] = grp[keep - 1]
+        shifts = None
+        if register:
+            # identical on every process (same gathered group, same
+            # deterministic estimator) — no extra collective needed
+            from ..utils.register import estimate_shift, shift_image
+            ref2d = _luma(grp[0]) if color else grp[0]
+            shifts, reg = [(0.0, 0.0)], [grp[0]]
+            for f in range(1, k):
+                dy, dx = estimate_shift(ref2d,
+                                        _luma(grp[f]) if color else grp[f])
+                shifts.append((dy, dx))
+                reg.append(shift_image(grp[f], -dy, -dx))
+            grp = np.stack(reg)
         guide = grp.mean(axis=0)
         y2d = _luma(guide) if color else guide
         chw = (np.moveaxis(grp, -1, 1).reshape(k * c, h, w)
@@ -332,6 +346,10 @@ def _filter_video_guided_multihost(local_frames: np.ndarray,
         gv = np.asarray(multihost_utils.process_allgather(v, tiled=True))
         if color:
             z = np.moveaxis(z.reshape(k, c, h, w), 1, -1)
+        if shifts is not None:
+            from ..utils.register import shift_image
+            z = np.clip(np.stack([shift_image(z[f], *shifts[f])
+                                  for f in range(k)]), 0.0, 1.0)
         outs.append(z[:keep])
         vals.append(np.broadcast_to(gv, (keep,) + gv.shape))
     return np.concatenate(outs), np.concatenate(vals)
@@ -339,7 +357,8 @@ def _filter_video_guided_multihost(local_frames: np.ndarray,
 
 def filter_video_multihost(local_frames: np.ndarray, cfg: PipelineConfig,
                            mesh, plan: SamplePlan | None = None,
-                           temporal_guide: int = 1):
+                           temporal_guide: int = 1,
+                           register_guide: bool = False):
     """Multi-process entry (DCN analogue of the reference's MPI launch,
     SURVEY.md §5 comm-backend row): every process passes its LOCAL
     (B_local, H, W) frame shard; the shards are assembled into one global
@@ -365,7 +384,8 @@ def filter_video_multihost(local_frames: np.ndarray, cfg: PipelineConfig,
     local_frames = np.asarray(local_frames, np.float32)
     if temporal_guide > 1:
         return _filter_video_guided_multihost(local_frames, cfg, mesh,
-                                              plan, temporal_guide)
+                                              plan, temporal_guide,
+                                              register=register_guide)
     if local_frames.ndim == 4:
         # color video: fold channels into the local batch (see filter_video)
         if cfg.rgb_mode != "per_channel":

@@ -116,6 +116,9 @@ def main(argv=None):
                          "eigenbasis from the group-mean guide, rows "
                          "sharded across ALL processes (streaming only; "
                          "pair with --n_data 1)")
+    ap.add_argument("--register_guide", action="store_true",
+                    help="phase-align each guided group to its first "
+                         "frame (extends reuse ~8x under camera pan)")
     ap.add_argument("--n_data", type=int, default=None,
                     help="mesh data-axis size (default: #processes)")
     ap.add_argument("--cpu_devices", type=int, default=0,
@@ -205,7 +208,8 @@ def main(argv=None):
     mesh = make_mesh(n_data=n_data,
                      n_rows=len(jax.devices()) // n_data)
     out, _ = filter_video_multihost(local, cfg, mesh,
-                                    temporal_guide=args.temporal_guide)
+                                    temporal_guide=args.temporal_guide,
+                                    register_guide=args.register_guide)
     if jax.process_index() == 0:
         np.save(args.out, out)
         print(f"wrote {args.out} {out.shape}")
