@@ -329,10 +329,28 @@ def row5t():
     return "cfg5_video_8x4k_temporal_guide", _cfg5_recipe(), img, frames
 
 
+def row5tr():
+    """Registered temporal guide at 4K under CAMERA PAN (1 px/frame,
+    integer crops of one oversized scene so the clean trajectory is
+    exact): groups of 4 span 3 px — past the unregistered ~0.5-1 px
+    boundary — and register_guide=True must recover the static-scene
+    class (the 64^2 calibration: -3.2 -> +1.4 dB vs per-frame bases,
+    docs/plots/motion_guide.png)."""
+    import graphlap_tpu as gl
+    b = 8
+    base = gl.make_test_image(2160 + b, 3840 + b, seed=0)
+    clean = np.stack([base[t:t + 2160, t:t + 3840] for t in range(b)])
+    frames = np.stack([
+        np.clip(gl.add_gaussian_noise(clean[t], 0.1, seed=t), 0, 1)
+        for t in range(b)
+    ]).astype(np.float32)
+    return "cfg5_video_8x4k_pan_registered", _cfg5_recipe(), clean, frames
+
+
 ROWS = {"1": row1, "2": row2, "3": row3, "3l": row3l, "4": row4, "4c": row4c,
         "4g": row4g, "4m": row4m, "4p": row4p, "4x": row4x, "5": row5,
-        "5s": row5s, "5t": row5t, "5x": row5x, "6": row6, "7": row7,
-        "8": row8}
+        "5s": row5s, "5t": row5t, "5tr": row5tr, "5x": row5x, "6": row6,
+        "7": row7, "8": row8}
 # per-video-row harness options: chunk size + timed passes (16x4K moves
 # ~0.5 GB through this box's remote-TPU tunnel per pass — keep passes low)
 VIDEO_ROWS = {"5": {}, "5s": {},
@@ -568,7 +586,7 @@ def run_video_row(name, cfg, frames, frames_per_step=None, n_runs=3,
 
 
 def run_video_guided_row(name, cfg, clean_img, frames, k=4, n_runs=2,
-                         bar_frames_per_step=2):
+                         bar_frames_per_step=2, register=False):
     """Temporal-guide A/B: the SAME static-scene frames through (a) groups
     of ``k`` sharing the mean-frame basis and (b) per-frame bases (the
     production batched path). Both legs move identical bytes through the
@@ -581,11 +599,13 @@ def run_video_guided_row(name, cfg, clean_img, frames, k=4, n_runs=2,
     b = frames.shape[0]
     mp = frames.size / 1e6
 
-    filter_video(frames[:k], cfg, plan=plan, temporal_guide=k)      # warm
+    filter_video(frames[:k], cfg, plan=plan, temporal_guide=k,
+                 register_guide=register)                            # warm
     gwalls = []
     for _ in range(n_runs):
         t0 = time.perf_counter()
-        zg, _ = filter_video(frames, cfg, plan=plan, temporal_guide=k)
+        zg, _ = filter_video(frames, cfg, plan=plan, temporal_guide=k,
+                             register_guide=register)
         gwalls.append(time.perf_counter() - t0)
 
     fps = min(bar_frames_per_step, b)
@@ -597,14 +617,17 @@ def run_video_guided_row(name, cfg, clean_img, frames, k=4, n_runs=2,
         iwalls.append(time.perf_counter() - t0)
 
     import jax
-    psnr_g = float(np.mean([gl.psnr(clean_img, zg[s]) for s in range(b)]))
-    psnr_i = float(np.mean([gl.psnr(clean_img, zi[s]) for s in range(b)]))
-    psnr_n = float(np.mean([gl.psnr(clean_img, frames[s]) for s in range(b)]))
+    # clean may be one static image or a per-frame trajectory stack
+    cref = (lambda s: clean_img) if clean_img.ndim == 2 else \
+        (lambda s: clean_img[s])
+    psnr_g = float(np.mean([gl.psnr(cref(s), zg[s]) for s in range(b)]))
+    psnr_i = float(np.mean([gl.psnr(cref(s), zi[s]) for s in range(b)]))
+    psnr_n = float(np.mean([gl.psnr(cref(s), frames[s]) for s in range(b)]))
     rec = {
         "row": name, "backend": jax.default_backend(),
         "device": str(jax.devices()[0]), "shape": list(frames.shape),
         "p": plan.p, "m": cfg.num_eigvecs, "config_hash": cfg.config_hash(),
-        "temporal_guide": k,
+        "temporal_guide": k, "register_guide": register,
         "wall_guided_s": [round(w, 4) for w in sorted(gwalls)],
         "wall_per_frame_s": [round(w, 4) for w in sorted(iwalls)],
         "guided_speedup": round(min(iwalls) / min(gwalls), 3),
@@ -620,7 +643,8 @@ def run_video_guided_row(name, cfg, clean_img, frames, k=4, n_runs=2,
     print(json.dumps(rec))
 
 
-GUIDED_ROWS = {"5t": {"k": 4, "n_runs": 2}}
+GUIDED_ROWS = {"5t": {"k": 4, "n_runs": 2},
+               "5tr": {"k": 4, "n_runs": 2, "register": True}}
 TILED_ROWS = {"8": {"tile": 4096, "overlap": 256}}
 
 
