@@ -284,6 +284,20 @@ class PipelineConfig:
         if self.rgb_mode not in ("per_channel", "luma_basis"):
             raise ValueError(f"rgb_mode must be 'per_channel' or "
                              f"'luma_basis', got {self.rgb_mode!r}")
+        if self.sinkhorn_iters < 1:
+            # iters=0 is sane for the full-res loop (s=1, raw kernel) but
+            # the COARSE fixed point would divide by its zeroed carries
+            # and emit ~3e14 scales (review finding) — reject uniformly
+            raise ValueError("sinkhorn_iters must be >= 1 (use "
+                             "normalization='none' for the raw kernel)")
+        if self.streaming and self.solver == "sketch":
+            # the randomized sketch is a DENSE-path solver (thin passes
+            # against the materialized strip); the streaming eigensolve
+            # would silently fall back to the slow one-shot formulation
+            # with a mismatched K_AA regularization (review finding)
+            raise ValueError(
+                "solver='sketch' is dense-path only — streaming configs "
+                "use solver='lobpcg' (default) or 'chol'")
         if self.sinkhorn_coarse < 1:
             raise ValueError("sinkhorn_coarse must be >= 1")
         if self.gram_coarse < 1:

@@ -219,7 +219,13 @@ def _normalize_streaming(ctx: _StripCtx, cfg: PipelineConfig) -> jnp.ndarray:
         # sinkhorn_coarse_step), then ONE full-resolution extension pass.
         k = cfg.sinkhorn_coarse
         if block % k != 0:
-            raise ValueError("sinkhorn_coarse must divide block_cols")
+            raise ValueError(
+                f"sinkhorn_coarse={k} must divide the active "
+                f"block width min(block_cols, N)={block}")
+        # KEEP IN SYNC with ops/sinkhorn.sinkhorn_scaling_coarse — the
+        # same alternating fixed point against the materialized strip
+        # (deliberate twin, not shared code: this one runs through
+        # streaming closures; a fix to either body applies to both).
         # deliberately STRIDED (unlike the gram): a jittered sample was
         # measured 0.021-0.037 dB on 4 image instances but 0.104 dB on a
         # 5th (cfg4_sweep.jsonl jitsc_* vs the matrix row) — the coarse
@@ -319,7 +325,9 @@ def _eigensolve_streaming(img2d: jnp.ndarray, ctx: _StripCtx, s: jnp.ndarray,
         # norms / coefficients exact; only the p x p spectrum is estimated.
         kg = cfg.gram_coarse
         if block % kg != 0:
-            raise ValueError("gram_coarse must divide block_cols")
+            raise ValueError(
+            f"gram_coarse={kg} must divide the active block "
+            f"width min(block_cols, N)={block}")
         jidx = jnp.asarray(gram_sample_idx(n_pad, kg, cfg.gram_jitter_seed))
         cols_g = jnp.take(s_b_cols, jidx)
         ratio_g = (jnp.sum(s_b_cols * s_b_cols)
@@ -485,8 +493,9 @@ def stage_apply_streaming(fac: StreamFactor, idx_a, cfg: PipelineConfig,
     reshape/slice shapes stay compile-time static."""
     n = h * w
     fac = fac._replace(n=n, block=min(cfg.block_cols, n))
+    n_arrays = len(StreamFactor._fields) - 2   # all but n, block
     fn = _stage_apply_jit(cfg, fac.n, fac.block, h, w)
-    return fn(tuple(fac[:11]), idx_a)
+    return fn(tuple(fac[:n_arrays]), idx_a)
 
 
 @lru_cache(maxsize=32)

@@ -92,7 +92,10 @@ def sinkhorn_scaling(kaa, kab, iters: int, eig_tol: float,
 
 def sinkhorn_scaling_coarse(kaa, kab, iters: int, coarse: int, polish: int,
                             eig_tol: float, solver: str = "oneshot"):
-    """Decimated-column Sinkhorn on the dense strip + full-res polish.
+    """KEEP IN SYNC with models/streaming._normalize_streaming's
+    coarse branch (the streaming twin of this fixed point).
+
+    Decimated-column Sinkhorn on the dense strip + full-res polish.
 
     Same fixed-point structure as the streaming coarse loop
     (models/streaming._normalize_streaming, PAPERS.md "massively scalable

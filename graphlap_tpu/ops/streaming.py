@@ -9,11 +9,16 @@ to O(N d + p^2).
 
 Performance note (measured at 8 MP, p=4096): the pipeline is VPU-bound on
 the elementwise ``exp`` over N*p kernel evaluations per sweep, not on the
-GEMMs. In bf16 mode the ENTIRE tile stays bf16 — distances, exp, scaling
-multiplies, and the consuming dot inputs — halving the VPU elementwise cost
-and keeping the MXU single-pass; the small vectors/factors entering the
-dots are cast to bf16 at the call site so XLA never materializes an f32
-upcast of a tile. Accumulation is always f32.
+GEMMs. In bf16 mode the tile STORAGE and every consuming dot input are
+bf16 (the small vectors/factors entering the dots are cast at the call
+site so XLA never materializes an f32 upcast of a tile); accumulation is
+always f32. NB the distance arithmetic and the exp here run in f32 and
+only the RESULT rounds to bf16 — the production Pallas kernels
+(ops/pallas_streaming.py) additionally evaluate exp on a bf16 input,
+which is where the measured VPU-cost halving comes from. The two are
+therefore slightly different numeric classes: the headline streaming
+parity figures (0.0014-0.0025 dB) were measured on the Pallas path;
+this XLA fallback is if anything CLOSER to f32 (exp-then-round).
 
 Conventions:
 * Features arrive permuted [A; B] and zero-padded to a multiple of the
@@ -57,7 +62,8 @@ def _acc(shape, vary):
 
 
 def _kernel_blk(feats_a, fb, dtype):
-    """(p, block) kernel tile; in bf16 mode the exp itself runs in bf16."""
+    """(p, block) kernel tile; f32 distances/exp, result rounded to
+    ``dtype`` (the Pallas kernels are the bf16-exp path — module note)."""
     k = affinity_strip(feats_a, fb, dtype)
     return k.astype(dtype)
 

@@ -279,3 +279,17 @@ def test_tuned_config_exact_restores_converged_sinkhorn():
     assert fast.sinkhorn_iters == 6               # tuned for the coarse loop
     exact = tuned_config(fast, MP8, "exact")
     assert exact.sinkhorn_iters >= 10             # converged full-res
+
+
+def test_config_rejects_streaming_sketch_and_zero_iters():
+    # review findings: streaming + solver='sketch' silently fell back to
+    # the slow one-shot eigensolve with a mismatched K_AA ridge, and
+    # sinkhorn_iters=0 under the COARSE fixed point emitted ~3e14 scales
+    import pytest
+    with pytest.raises(ValueError, match="dense-path only"):
+        PipelineConfig(streaming=True, solver="sketch")
+    with pytest.raises(ValueError, match="sinkhorn_iters"):
+        PipelineConfig(sinkhorn_iters=0)
+    # dense sketch and normalization='none' remain valid
+    PipelineConfig(solver="sketch")
+    PipelineConfig(normalization="none")
