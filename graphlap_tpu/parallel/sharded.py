@@ -33,7 +33,6 @@ import numpy as np
 from ..config import PipelineConfig
 from ..ops.affinity import affinity_strip, extract_features
 from ..ops.filters import apply_spectral_filter
-from ..ops.nystrom import nystrom_eigh, nystrom_eigh_chol
 from ..ops.sinkhorn import normalize_blocks
 from ..utils.sampling import SamplePlan
 from .mesh import shard
@@ -113,21 +112,12 @@ def build_sharded_pipeline(mesh, cfg: PipelineConfig):
             z = shard(jnp.clip(z, 0.0, 1.0), mesh, "data")
             return z, jnp.zeros((b, 0), jnp.float32)
 
-        if cfg.solver == "sketch":
-            from ..ops.nystrom import nystrom_eigh_sketch
-            eig_fn = lambda a, b_: nystrom_eigh_sketch(
-                a, b_, cfg.num_eigvecs, cfg.eig_tol, cfg.sketch_oversample,
-                cfg.sketch_power)
-        elif cfg.solver in ("chol", "lobpcg"):
-            method = "lobpcg" if cfg.solver == "lobpcg" else "eigh"
-            eig_fn = lambda a, b_: nystrom_eigh_chol(
-                a, b_, cfg.num_eigvecs, cfg.eig_tol, method,
-                jnp.float32 if cfg.gram_gemm_dtype() != "bfloat16"
-                else jnp.bfloat16, cfg.lobpcg_iters)
-        else:
-            eig_fn = lambda a, b_: nystrom_eigh(
-                a, b_, cfg.num_eigvecs, cfg.eig_tol)
-        basis = jax.vmap(eig_fn)(waa, wab)
+        # _solve_basis is the ONE home of the solver/gram-dtype policy
+        # (models/pipeline.py docstring); this batch path vmaps it rather
+        # than re-implementing the dispatch (review finding: the inline
+        # copy here had already started to drift)
+        from ..models.pipeline import _solve_basis
+        basis = jax.vmap(lambda a, b_: _solve_basis(a, b_, cfg))(waa, wab)
         vecs = shard(basis.vecs, mesh, "data", "rows", None)  # (B, N, m)
 
         y_perm = jnp.take(frames.reshape(b, h * w), perm, axis=1)

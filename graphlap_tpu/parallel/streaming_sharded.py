@@ -63,36 +63,16 @@ def _pallas_pads(a, f, dtype):
     return fa_pad, f_t, p, nl, nl_pad
 
 
-@lru_cache(maxsize=None)
-def build_streaming_sharded(mesh, cfg: PipelineConfig):
-    """Returns a jitted fn (img2d (H,W) f32, idx_a (p,)) -> (z2d, vals)
-    with the pixel axis sharded over mesh axis 'rows'. Memoized on
-    (mesh, cfg) — see build_sharded_pipeline."""
-
-    dtype = jnp.bfloat16 if cfg.affinity_dtype == "bfloat16" else jnp.float32
-    n_rows = int(np.prod([s for name, s in zip(mesh.axis_names,
-                                               mesh.devices.shape)
-                          if name == "rows"]))
-
-    def smap(fn, in_specs, out_specs):
-        # check_vma ON: shard_map's varying-axis type checker actively
-        # validates every psum placement (a missing/extra psum is a compile
-        # error, not silently-wrong pixels). The streaming operators take
-        # vary=("rows",) so their scan-carry accumulators are typed as
-        # rows-varying like the kernel tiles they accumulate. Pallas mode
-        # must run unchecked (see the batched builder's note); the psum
-        # placement is identical and the equivalence tests pin the outputs.
-        return shard_map(fn, mesh=mesh, in_specs=in_specs,
-                         out_specs=out_specs, check_vma=not cfg.use_pallas)
-
-    VARY = ("rows",)
-
-    # fused Pallas matvecs for the local row-slice (same kernels as the
-    # single-device path; _pallas_pads for the layout notes)
+def _rows_prims(cfg: PipelineConfig, dtype, VARY):
+    """The sharded streaming primitives over a LOCAL row-slice, shared by
+    the single-frame and guided builders (identical bodies were
+    copy-pasted before — review finding; the batched builder keeps its
+    own set because every op there is vmapped over the frame axis).
+    Returned functions are meant to be shard_map-wrapped by the caller;
+    each accumulating op psums over 'rows' itself."""
     if cfg.use_pallas:
         from ..ops import pallas_streaming as pst
 
-    # --- sharded primitives over local row-slices -------------------------
     def _mv(fa, f_loc, v_loc, block):
         if cfg.use_pallas:
             fa_pad, f_t, p, nl, nl_pad = _pallas_pads(fa, f_loc, dtype)
@@ -131,12 +111,51 @@ def build_streaming_sharded(mesh, cfg: PipelineConfig):
     def _apply(fa, f_loc, basis, w, s_a, cols_loc, block):
         return st.rmat_apply(fa, f_loc, basis, w, s_a, cols_loc, block, dtype)
 
+    def _coarse(fa, fc_loc, t, mc_loc, block):
+        u = st.sinkhorn_coarse_step(fa, fc_loc, t, mc_loc, 1.0, block,
+                                    dtype, vary=VARY)
+        return jax.lax.psum(u, "rows")
+
+    def _rmv2(fa, f_loc, t2, block):
+        return st.rmatvec2(fa, f_loc, t2, jnp.ones_like(f_loc[:, 0]),
+                           block, dtype)
+
+    return _mv, _rmv, _gram, _colstats, _colstats_nov, _apply, _coarse, _rmv2
+
+
+
+@lru_cache(maxsize=None)
+def build_streaming_sharded(mesh, cfg: PipelineConfig):
+    """Returns a jitted fn (img2d (H,W) f32, idx_a (p,)) -> (z2d, vals)
+    with the pixel axis sharded over mesh axis 'rows'. Memoized on
+    (mesh, cfg) — see build_sharded_pipeline."""
+
+    dtype = jnp.bfloat16 if cfg.affinity_dtype == "bfloat16" else jnp.float32
+    n_rows = int(mesh.shape["rows"])   # KeyError on a rows-less mesh is
+                                       # clearer than a late spec failure
+
+    def smap(fn, in_specs, out_specs):
+        # check_vma ON: shard_map's varying-axis type checker actively
+        # validates every psum placement (a missing/extra psum is a compile
+        # error, not silently-wrong pixels). The streaming operators take
+        # vary=("rows",) so their scan-carry accumulators are typed as
+        # rows-varying like the kernel tiles they accumulate. Pallas mode
+        # must run unchecked (see the batched builder's note); the psum
+        # placement is identical and the equivalence tests pin the outputs.
+        return shard_map(fn, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=not cfg.use_pallas)
+
+    VARY = ("rows",)
+    _mv, _rmv, _gram, _colstats, _colstats_nov, _apply, _, _ = \
+        _rows_prims(cfg, dtype, VARY)
+
     @jax.jit
     def run(img2d, idx_a):
         h, w = img2d.shape
         n = h * w
         p = idx_a.shape[0]
-        block = cfg.block_cols
+        block = min(cfg.block_cols, n)   # the single-device twin's
+                                         # ACTIVE width (preset contract)
         chunk = block * n_rows
         n_pad = _cdiv(n, chunk) * chunk
 
@@ -212,7 +231,9 @@ def build_streaming_sharded(mesh, cfg: PipelineConfig):
             # gram_coarse + gram_sample_idx anti-aliasing note)
             kg = cfg.gram_coarse
             if block % kg != 0:
-                raise ValueError("gram_coarse must divide block_cols")
+                raise ValueError(
+                f"gram_coarse={kg} must divide the active block "
+                f"width min(block_cols, N)={block}")
             jidx = jnp.asarray(gram_sample_idx(n_pad, kg,
                                                cfg.gram_jitter_seed))
             feats_g = shard(jnp.take(feats_pad, jidx, axis=0), mesh,
@@ -290,9 +311,8 @@ def build_streaming_sharded_batch(mesh, cfg: PipelineConfig):
     Returns a jitted fn (frames (B, H, W) f32, idx_a (p,)) -> (z, vals)."""
 
     dtype = jnp.bfloat16 if cfg.affinity_dtype == "bfloat16" else jnp.float32
-    n_rows = int(np.prod([s for name, s in zip(mesh.axis_names,
-                                               mesh.devices.shape)
-                          if name == "rows"]))
+    n_rows = int(mesh.shape["rows"])   # KeyError on a rows-less mesh is
+                                       # clearer than a late spec failure
 
     def smap(fn, in_specs, out_specs):
         # check_vma ON — see the single-frame wrapper; here the kernel
@@ -386,7 +406,8 @@ def build_streaming_sharded_batch(mesh, cfg: PipelineConfig):
         bsz, h, w = frames.shape
         n = h * w
         p = idx_a.shape[0]
-        block = cfg.block_cols
+        block = min(cfg.block_cols, n)   # the single-device twin's
+                                         # ACTIVE width (preset contract)
         chunk = block * n_rows
         n_pad = _cdiv(n, chunk) * chunk
 
@@ -402,7 +423,11 @@ def build_streaming_sharded_batch(mesh, cfg: PipelineConfig):
         b_mask = valid * (1.0 - a_mask)
 
         kaa = jax.vmap(lambda a: affinity_strip(a, a, dtype))(feats_a)
-        if cfg.solver in ("chol", "lobpcg"):
+        # KEEP the solver tuple in sync with ops/sinkhorn._make_kaa_solve
+        # ("sketch" uses the same ridge-chol solve for normalization;
+        # streaming+sketch is config-rejected today, but a drift here
+        # would silently change the fixed point if that ever relaxes)
+        if cfg.solver in ("chol", "lobpcg", "sketch"):
             import jax.scipy.linalg as jsl
             eps = cfg.eig_tol * jnp.max(jnp.sum(jnp.abs(kaa), axis=2), axis=1)
             lchol = jnp.linalg.cholesky(
@@ -420,7 +445,11 @@ def build_streaming_sharded_batch(mesh, cfg: PipelineConfig):
         rmv = smap(partial(_rmv, block=block), (dB2, pBd, dB3), pB)
         gramf = smap(partial(_gram, block=block), (dB2, pBd, dB3, pB), dB2)
         # V materialization gate — see build_streaming_sharded
-        mat_v = bsz * n_pad * cfg.num_eigvecs * 4 <= _V_BYTES_CAP * n_rows
+        # v_b is sharded over BOTH axes (out spec P('data','rows',None)):
+        # gate on per-DEVICE bytes, not per-rows-group (review finding —
+        # /n_rows alone forced the slow recompute apply at config-5 scale)
+        mat_v = (bsz * n_pad * cfg.num_eigvecs * 4
+                 <= _V_BYTES_CAP * mesh.devices.size)
         if mat_v:
             colstats = smap(partial(_colstats, block=block),
                             (dB2, pBd, dB2, pB, dB3, pB), (dB3, dB3, pBd))
@@ -444,7 +473,9 @@ def build_streaming_sharded_batch(mesh, cfg: PipelineConfig):
             # every k-th column, then ONE full-res extension pass
             k = cfg.sinkhorn_coarse
             if block % k != 0:
-                raise ValueError("sinkhorn_coarse must divide block_cols")
+                raise ValueError(
+                    f"sinkhorn_coarse={k} must divide the active "
+                    f"block width min(block_cols, N)={block}")
             # deliberately strided — see models/streaming.py sinkhorn note
             feats_c = shard(feats_pad[:, ::k], mesh, "data", "rows", None)
             mask_c = b_mask[::k]
@@ -524,7 +555,9 @@ def build_streaming_sharded_batch(mesh, cfg: PipelineConfig):
             # gram_coarse + gram_sample_idx anti-aliasing note)
             kg = cfg.gram_coarse
             if block % kg != 0:
-                raise ValueError("gram_coarse must divide block_cols")
+                raise ValueError(
+                f"gram_coarse={kg} must divide the active block "
+                f"width min(block_cols, N)={block}")
             jidx = jnp.asarray(gram_sample_idx(n_pad, kg,
                                                cfg.gram_jitter_seed))
             feats_g = shard(jnp.take(feats_pad, jidx, axis=1), mesh,
@@ -611,9 +644,8 @@ def build_streaming_sharded_guided(mesh, cfg: PipelineConfig, n_stack: int):
     modes)."""
 
     dtype = jnp.bfloat16 if cfg.affinity_dtype == "bfloat16" else jnp.float32
-    n_rows = int(np.prod([s for name, s in zip(mesh.axis_names,
-                                               mesh.devices.shape)
-                          if name == "rows"]))
+    n_rows = int(mesh.shape["rows"])   # KeyError on a rows-less mesh is
+                                       # clearer than a late spec failure
 
     def smap(fn, in_specs, out_specs):
         # check_vma policy: see build_streaming_sharded
@@ -621,56 +653,8 @@ def build_streaming_sharded_guided(mesh, cfg: PipelineConfig, n_stack: int):
                          out_specs=out_specs, check_vma=not cfg.use_pallas)
 
     VARY = ("rows",)
-
-    if cfg.use_pallas:
-        from ..ops import pallas_streaming as pst
-
-    def _mv(fa, f_loc, v_loc, block):
-        if cfg.use_pallas:
-            fa_pad, f_t, p, nl, nl_pad = _pallas_pads(fa, f_loc, dtype)
-            vv = jnp.zeros(nl_pad, jnp.float32).at[:nl].set(v_loc)
-            u = pst.matvec_pallas(fa_pad, f_t, vv, vma=VARY)[:p]
-        else:
-            u = st.matvec(fa, f_loc, v_loc,
-                          jnp.ones(fa.shape[0], jnp.float32),
-                          jnp.ones_like(v_loc), block, dtype, vary=VARY)
-        return jax.lax.psum(u, "rows")
-
-    def _rmv(fa, f_loc, t, block):
-        if cfg.use_pallas:
-            fa_pad, f_t, p, nl, _ = _pallas_pads(fa, f_loc, dtype)
-            tt = jnp.zeros(fa_pad.shape[0], jnp.float32).at[:p].set(t)
-            return pst.rmatvec_pallas(fa_pad, f_t, tt, vma=VARY)[:nl]
-        return st.rmatvec(fa, f_loc, t, jnp.ones(fa.shape[0], jnp.float32),
-                          jnp.ones_like(f_loc[:, 0]), block, dtype)
-
-    def _gram(fa, f_loc, s_a, cols_loc, block):
-        g = st.gram(fa, f_loc, s_a, cols_loc, block, dtype, vary=VARY)
-        return jax.lax.psum(g, "rows")
-
-    def _colstats(fa, f_loc, basis, y_loc, s_a, cols_loc, block):
-        norms, coeffs, v_loc = st.rmatmat_colstats_v(
-            fa, f_loc, basis, y_loc, s_a, cols_loc, block, dtype, vary=VARY)
-        return (jax.lax.psum(norms, "rows"), jax.lax.psum(coeffs, "rows"),
-                v_loc)
-
-    def _colstats_nov(fa, f_loc, basis, y_loc, s_a, cols_loc, block):
-        norms, coeffs = st.rmatmat_colstats(fa, f_loc, basis, y_loc, s_a,
-                                            cols_loc, block, dtype,
-                                            vary=VARY)
-        return jax.lax.psum(norms, "rows"), jax.lax.psum(coeffs, "rows")
-
-    def _apply(fa, f_loc, basis, w, s_a, cols_loc, block):
-        return st.rmat_apply(fa, f_loc, basis, w, s_a, cols_loc, block, dtype)
-
-    def _coarse(fa, fc_loc, t, mc_loc, block):
-        u = st.sinkhorn_coarse_step(fa, fc_loc, t, mc_loc, 1.0, block,
-                                    dtype, vary=VARY)
-        return jax.lax.psum(u, "rows")
-
-    def _rmv2(fa, f_loc, t2, block):
-        return st.rmatvec2(fa, f_loc, t2, jnp.ones_like(f_loc[:, 0]),
-                           block, dtype)
+    (_mv, _rmv, _gram, _colstats, _colstats_nov, _apply, _coarse,
+     _rmv2) = _rows_prims(cfg, dtype, VARY)
 
     def _vt_dot(v_loc, ys_loc):
         # (nl, m) local V rows x (n_stack, nl) local frame slices ->
@@ -686,7 +670,8 @@ def build_streaming_sharded_guided(mesh, cfg: PipelineConfig, n_stack: int):
         h, w = guide2d.shape
         n = h * w
         p = idx_a.shape[0]
-        block = cfg.block_cols
+        block = min(cfg.block_cols, n)   # the single-device twin's
+                                         # ACTIVE width (preset contract)
         chunk = block * n_rows
         n_pad = _cdiv(n, chunk) * chunk
         ns = n_stack
@@ -735,7 +720,9 @@ def build_streaming_sharded_guided(mesh, cfg: PipelineConfig, n_stack: int):
             # point (models/streaming.py coarse branch for the rationale)
             k = cfg.sinkhorn_coarse
             if block % k != 0:
-                raise ValueError("sinkhorn_coarse must divide block_cols")
+                raise ValueError(
+                    f"sinkhorn_coarse={k} must divide the active "
+                    f"block width min(block_cols, N)={block}")
             feats_c = shard(feats_pad[::k], mesh, "rows", None)
             mask_c = b_mask[::k]
             block_c = block // k
@@ -808,7 +795,9 @@ def build_streaming_sharded_guided(mesh, cfg: PipelineConfig, n_stack: int):
         if cfg.gram_coarse > 1:
             kg = cfg.gram_coarse
             if block % kg != 0:
-                raise ValueError("gram_coarse must divide block_cols")
+                raise ValueError(
+                f"gram_coarse={kg} must divide the active block "
+                f"width min(block_cols, N)={block}")
             jidx = jnp.asarray(gram_sample_idx(n_pad, kg,
                                                cfg.gram_jitter_seed))
             feats_g = shard(jnp.take(feats_pad, jidx, axis=0), mesh,
@@ -894,9 +883,17 @@ def build_streaming_sharded_guided(mesh, cfg: PipelineConfig, n_stack: int):
 def filter_image_streaming_sharded(image: np.ndarray, cfg: PipelineConfig,
                                    plan, mesh):
     """Host entry: one grayscale image through the rows-sharded streaming
-    pipeline. Coarse-Sinkhorn configs route through the batched builder
+    pipeline. Coarse-SINKHORN configs route through the batched builder
     (B=1) — the single-frame builder implements only full-res Sinkhorn."""
-    if cfg.sinkhorn_coarse > 1:
+    if cfg.sinkhorn_coarse > 1 and cfg.normalization == "sinkhorn":
+        if "data" in mesh.shape and mesh.shape["data"] > 1:
+            # the batched builder shards frames over 'data'; B=1 cannot
+            # split over data>1 (shard_map divisibility error — review
+            # finding, reproduced). Re-mesh the SAME devices rows-only:
+            # strictly more parallelism for one image anyway.
+            from .mesh import make_mesh
+            mesh = make_mesh(n_rows=mesh.devices.size, n_data=1,
+                             devices=mesh.devices.reshape(-1))
         run = build_streaming_sharded_batch(mesh, cfg)
         z, vals = run(jnp.asarray(image, jnp.float32)[None],
                       jnp.asarray(plan.idx_a))

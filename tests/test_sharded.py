@@ -214,3 +214,20 @@ def test_filter_image_mesh_route(frames):
 
     with pytest.raises(ValueError, match="streaming"):
         filter_image(img, CFG, mesh=mesh)
+
+
+def test_coarse_single_image_on_data_mesh(frames):
+    """Regression (review finding, reproduced): the coarse-Sinkhorn
+    single-image route goes through the BATCHED builder with B=1, whose
+    'data'-axis specs cannot split one frame over n_data>1 — the entry
+    now re-meshes the same devices rows-only instead of crashing."""
+    from graphlap_tpu.parallel.streaming_sharded import (
+        filter_image_streaming_sharded,
+    )
+    ccfg = CFG.replace(streaming=True, block_cols=256, sinkhorn_coarse=2,
+                       sinkhorn_polish=1, sinkhorn_iters=6)
+    plan = make_plan(frames[0], ccfg)
+    ref = filter_image(frames[0], ccfg, plan=plan)
+    z, _ = filter_image_streaming_sharded(frames[0], ccfg, plan,
+                                          make_mesh(4, 2))   # data=2
+    np.testing.assert_allclose(z, ref.image, atol=2e-4)
