@@ -248,6 +248,14 @@ class PipelineConfig:
                 raise ValueError(
                     f"filter_mode='chebyshev' needs a lambda-function filter "
                     f"{CHEBYSHEV_FILTERS}, got {self.filter_name!r}")
+            if (self.filter_name in ("power", "twicing")
+                    and self.filter_param < 0):
+                # mirror ops/filters.check_chebyshev_filter — config-time
+                # and apply-time validation are pinned equal by
+                # tests/test_filters.py::test_config_and_ops_validation_agree
+                raise ValueError(
+                    f"{self.filter_name!r} needs filter_param >= 0, got "
+                    f"{self.filter_param!r}")
             if self.cheb_degree < 0:
                 raise ValueError("cheb_degree must be >= 1, or 0 for auto")
             if self.normalization == "none":
@@ -270,6 +278,18 @@ class PipelineConfig:
                 "bf16's 8 mantissa bits lose the neighbor-distance "
                 "cancellation for large absolute (row, col) values — use "
                 "feature_dtype='float32' with spatial_h > 0")
+        if self.affinity_dtype == "bfloat16" and self.spatial_h > 0.0:
+            # same cancellation, different entry point: the bf16 GEMM-trick
+            # cross against f32 norms is catastrophic for coordinate
+            # features (verified: adjacent 8 MP pixels, true d2=0.026 ->
+            # bf16-cross d2=87.6, K collapses 0.975 -> 1e-38). 'bfloat16_
+            # store' stays valid: it computes distances/exp in f32 and
+            # only STORES the result rounded.
+            raise ValueError(
+                "affinity_dtype='bfloat16' (bf16 GEMM inputs) cannot carry "
+                "spatial coordinates — the distance cancellation fails "
+                "catastrophically at image-scale (row, col) magnitudes. "
+                "Use 'float32' or 'bfloat16_store' with spatial_h > 0")
         if self.gram_dtype not in DTYPES + ("auto",):
             raise ValueError(f"gram_dtype must be 'auto' or one of {DTYPES}")
         if self.solver not in SOLVERS:
@@ -451,7 +471,12 @@ def tuned_config(cfg: PipelineConfig, n_pixels: int, level: str = "fast",
         # them at that width's largest power-of-two divisor; a preset can
         # then never produce a config the streaming path rejects
         kb = _pow2_divisor(min(cfg.block_cols, n_pixels))
-        chosen = dict(affinity_dtype="bfloat16", use_pallas=True,
+        # bilateral (spatial_h > 0) configs must keep f32 GEMM inputs:
+        # bf16 tiles catastrophically cancel on coordinate features
+        # (__post_init__ guard above) — the preset loses the bf16 tile
+        # speedup there rather than the output
+        tile_dtype = "bfloat16" if cfg.spatial_h == 0.0 else "float32"
+        chosen = dict(affinity_dtype=tile_dtype, use_pallas=True,
                       gram_coarse=calibrated_gram_coarse(
                           n_pixels, p, gate=(level == "fast"), max_k=kb))
         # Capacity scale: past 16 MP the (N, d) feature tensor is the

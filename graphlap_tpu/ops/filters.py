@@ -35,7 +35,15 @@ def _identity(lam, param):
 
 
 def _power(lam, param):
-    # k-step diffusion W^k; non-integer k via sign-safe power (lam can dip <0)
+    # k-step diffusion W^k. INTEGER k uses the true power so every
+    # application mode agrees (matvec applies true W^k by repeated
+    # matvecs; the sign-safe form sign(l)|l|^k equals -l^k for EVEN k on
+    # the slightly-negative tail eigenvalues the Nystrom completion can
+    # produce — review finding). Non-integer k keeps the sign-safe
+    # branch (a real power of a negative value is undefined; param is a
+    # static config field, so the branch resolves at trace time).
+    if float(param) == int(param):
+        return lam ** int(param)
     return jnp.sign(lam) * jnp.abs(lam) ** param if isinstance(
         lam, jnp.ndarray) else np.sign(lam) * np.abs(lam) ** param
 
@@ -66,8 +74,11 @@ def _twicing(lam, param):
     # subspace) toward the unfiltered input (k -> inf). Affine application:
     # the out-of-basis residual must pass through untouched (that is the
     # point of twicing), hence z = y - V (1-L)^k V^T y.
+    r = 1.0 - lam                      # in [0, 2]; r<0 only for lam ~ 1+eps
+    if float(param) == int(param):
+        # true power for integer k (matvec-mode agreement — _power note)
+        return 1.0 - r ** int(param)
     mod = jnp if isinstance(lam, jnp.ndarray) else np
-    r = 1.0 - lam                      # in [0, 2]; sign-safe for lam ~ 1+eps
     return 1.0 - mod.sign(r) * mod.abs(r) ** param
 
 

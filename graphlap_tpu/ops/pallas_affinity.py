@@ -61,9 +61,17 @@ def affinity_strip_pallas(feats_a: jnp.ndarray, feats_all: jnp.ndarray,
                           interpret: bool | None = None):
     """K strip (p, N) = exp(-|f_Ai - f_j|^2), fused tile emitter.
 
-    Drop-in for ops.affinity.affinity_strip. ``dtype`` controls the GEMM
-    input precision (bf16 inputs -> native MXU passes, f32 accumulate);
-    ``store_dtype`` narrows only the EMITTED tile (bfloat16_store policy).
+    Drop-in for ops.affinity.affinity_strip at f32/bfloat16_store; in
+    plain bf16 mode the NORMS here come from the bf16-ROUNDED tiles
+    (in-tile recompute) while the XLA twin uses f32-feature norms — a
+    deliberate divergence, not an oversight: the streaming production
+    kernels (pallas_streaming._kb_tile) share this structure and measure
+    gate-compliant (0.0014-0.0025 dB), and plain bf16 on the DENSE strip
+    is documented-noncompliant regardless (0.135 dB GEMM-trick
+    cancellation — BASELINE.md; bfloat16_store supersedes it).
+    ``dtype`` controls the GEMM input precision (bf16 inputs -> native
+    MXU passes, f32 accumulate); ``store_dtype`` narrows only the
+    EMITTED tile (bfloat16_store policy).
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"

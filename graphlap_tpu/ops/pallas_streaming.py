@@ -143,6 +143,10 @@ def kb_strip_pallas(feats_a_pad, f_t_block, cols, interpret: bool | None = None)
     dtype = feats_a_pad.dtype
     tp = _emit_tile_p(p_pad)
     tn = EMIT_TN
+    if s % tn != 0:
+        # a floor-divided grid would leave tail columns UNINITIALIZED
+        # (colstats_v_pallas guard note — same hazard class)
+        raise ValueError(f"kb_strip_pallas needs width % {tn} == 0, got {s}")
     grid = (p_pad // tp, s // tn)
     return pl.pallas_call(
         _kb_emit_kernel,
@@ -177,6 +181,11 @@ def gram_pallas(feats_a_pad, f_t, cols, block: int,
     p_pad = feats_a_pad.shape[0]
     n_pad = f_t.shape[1]
     prec = "default" if dtype == jnp.bfloat16 else "highest"
+    if n_pad % block != 0:
+        # the scan covers n_pad // block superblocks; a remainder would
+        # silently drop the tail columns' gram contribution
+        raise ValueError(
+            f"gram_pallas needs n_pad % block == 0, got {n_pad} % {block}")
 
     def body(acc, i):
         bt = jax.lax.dynamic_slice_in_dim(f_t, i * block, block, axis=1)
@@ -205,6 +214,10 @@ def matvec_pallas(feats_a_pad, feats_t, v, interpret: bool | None = None,
     dtype = feats_a_pad.dtype
     tp = _tile_p_of(p_pad)
     tn = _tile_n(dtype)
+    if n_pad % tn != 0:
+        raise ValueError(
+            f"matvec_pallas needs n_pad % {tn} == 0 (tile of {dtype}), "
+            f"got {n_pad} — pad with _tile_n, not a fixed width")
     grid = (p_pad // tp, n_pad // tn)
     out_shape = (jax.ShapeDtypeStruct((p_pad, 1), jnp.float32, vma=frozenset(vma))
                  if vma else jax.ShapeDtypeStruct((p_pad, 1), jnp.float32))
@@ -246,6 +259,10 @@ def rmatvec_pallas(feats_a_pad, feats_t, t, interpret: bool | None = None,
     dtype = feats_a_pad.dtype
     tp = _tile_p_of(p_pad)
     tn = _tile_n(dtype)
+    if n_pad % tn != 0:
+        raise ValueError(
+            f"rmatvec_pallas needs n_pad % {tn} == 0 (tile of {dtype}), "
+            f"got {n_pad} — pad with _tile_n, not a fixed width")
     grid = (n_pad // tn, p_pad // tp)
     out_shape = (jax.ShapeDtypeStruct((1, n_pad), jnp.float32, vma=frozenset(vma))
                  if vma else jax.ShapeDtypeStruct((1, n_pad), jnp.float32))

@@ -115,3 +115,37 @@ def test_jax_matches_numpy(basis):
             jnp.asarray(y, jnp.float32), jnp.asarray(vals, jnp.float32),
             jnp.asarray(q, jnp.float32), name, par))
         np.testing.assert_allclose(z_j, z_np, atol=1e-5)
+
+
+def test_config_and_ops_validation_agree():
+    """config.__post_init__ re-implements ops/filters' operator-mode
+    checkers (config cannot import jax-bearing modules) — this pin keeps
+    the two validations accepting EXACTLY the same (name, param, mode)
+    space, so config-time and apply-time never disagree (review finding:
+    the chebyshev param>=0 rule had drifted out of config)."""
+    import numpy as np
+    import pytest
+
+    from graphlap_tpu.config import FILTERS, PipelineConfig
+    from graphlap_tpu.ops.filters import (check_chebyshev_filter,
+                                          check_matvec_filter)
+
+    def accepts(fn, *a):
+        try:
+            fn(*a)
+            return True
+        except ValueError:
+            return False
+
+    for name in FILTERS:
+        for param in (-1.0, 0.0, 0.5, 1.0, 2.0, 2.5, 3.0):
+            cfg_ok = accepts(lambda: PipelineConfig(
+                filter_name=name, filter_param=param,
+                filter_mode="matvec"))
+            ops_ok = accepts(check_matvec_filter, name, param)
+            assert cfg_ok == ops_ok, ("matvec", name, param, cfg_ok, ops_ok)
+            cfg_ok = accepts(lambda: PipelineConfig(
+                filter_name=name, filter_param=param,
+                filter_mode="chebyshev"))
+            ops_ok = accepts(check_chebyshev_filter, name, param)
+            assert cfg_ok == ops_ok, ("cheb", name, param, cfg_ok, ops_ok)

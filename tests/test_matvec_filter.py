@@ -119,7 +119,11 @@ def test_matvec_matches_exact_dense_operator():
     m_op = np.stack([wapply(np.eye(n)[:, i]) for i in range(n)], axis=1)
     vals, vecs = np.linalg.eigh(0.5 * (m_op + m_op.T))
     y = img.ravel()[plan.perm]
-    for name, param in (("identity", 1.0), ("power", 3.0),
+    # power=2.0 is the EVEN-k regression: the sign-safe registry form
+    # used to return -lam^2 on the completion's negative tail
+    # eigenvalues while the matvec mode applied true W^2 (review
+    # finding) — integer powers now use the true power in both
+    for name, param in (("identity", 1.0), ("power", 3.0), ("power", 2.0),
                         ("sharpen", 0.6), ("twicing", 2.0)):
         exact = vecs @ (FILTER_REGISTRY[name].fn(vals, param)
                         * (vecs.T @ y))

@@ -293,3 +293,23 @@ def test_config_rejects_streaming_sketch_and_zero_iters():
     # dense sketch and normalization='none' remain valid
     PipelineConfig(solver="sketch")
     PipelineConfig(normalization="none")
+
+
+def test_bf16_tiles_rejected_with_spatial_features():
+    # review finding (verified numerically): the bf16 GEMM-trick cross
+    # against f32 norms cancels catastrophically on image-scale
+    # coordinates (adjacent 8 MP pixels: true d2=0.026 -> bf16 d2=87.6,
+    # K 0.975 -> 1e-38). Plain 'bfloat16' is rejected with spatial_h>0;
+    # 'bfloat16_store' (f32 math, rounded storage) stays valid, and the
+    # streaming presets keep f32 tiles on bilateral configs.
+    with pytest.raises(ValueError, match="spatial"):
+        PipelineConfig(kernel="gaussian", spatial_h=8.0,
+                       affinity_dtype="bfloat16")
+    PipelineConfig(kernel="gaussian", spatial_h=8.0,
+                   affinity_dtype="bfloat16_store")
+    bilateral = PipelineConfig(kernel="gaussian", spatial_h=8.0,
+                               sample_cap=4096, streaming=True)
+    cfg = tuned_config(bilateral, MP8, "fast")
+    assert cfg.affinity_dtype == "float32" and cfg.use_pallas
+    nospatial = tuned_config(bilateral.replace(spatial_h=0.0), MP8, "fast")
+    assert nospatial.affinity_dtype == "bfloat16"
