@@ -86,8 +86,11 @@ def test_netpbm_roundtrip(h, w, c):
         write_netpbm(path, img)
         back = read_netpbm(path)
     assert back.shape == img.shape
-    np.testing.assert_allclose(back, np.round(img * 255) / 255,
-                               atol=0.6 / 255)
+    # quantization model: the native writer rounds HALF-UP, numpy's
+    # round() half-even — at exact .5 grid points they differ by 1/255
+    # (hypothesis found one), so bound against the ORIGINAL values with
+    # half-step slack instead of re-modeling the rounding mode
+    np.testing.assert_allclose(back, img, atol=0.51 / 255)
 
 
 def test_netpbm_rejects_integer_input():
