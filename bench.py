@@ -201,7 +201,11 @@ def main():
         print("bench.py: TPU backend unreachable (jax.devices() blocked "
               ">120 s — the remote-TPU tunnel is down; see CLAUDE.md "
               "'tunnel can go down' trap). Refusing to hang; re-run when "
-              "the tunnel recovers.", file=__import__("sys").stderr)
+              "the tunnel recovers. The round's ON-CHIP measurements from "
+              "before the outage are in BASELINE.md ('round 3' tables: "
+              "cfg2 0.145 s device at 0.0068 dB, 1351-1605x the pinned "
+              "CPU baseline) and benchmarks/results/matrix.jsonl.",
+              file=__import__("sys").stderr)
         raise SystemExit(3)
 
     cpu_mps = cpu_baseline_for_main()
