@@ -297,3 +297,15 @@ def test_register_guide_estimator_and_static_noop():
     zr, _ = filter_video(frames, CONFIG1, temporal_guide=4,
                          register_guide=True)
     assert abs(psnr(clean, zr) - psnr(clean, z)) < 0.3
+
+
+def test_register_guide_composes_with_mesh():
+    # registration is host-side preprocessing, so it must compose with
+    # the rows-sharded guided builder unchanged
+    from graphlap_tpu.parallel.mesh import make_mesh
+    scfg = CONFIG1.replace(streaming=True, block_cols=1024)
+    _, frames = _static_scene(b=4)
+    z1, _ = filter_video(frames, scfg, temporal_guide=4, register_guide=True)
+    z2, _ = filter_video(frames, scfg, mesh=make_mesh(8, 1),
+                         temporal_guide=4, register_guide=True)
+    np.testing.assert_allclose(z2, z1, atol=3e-4)
