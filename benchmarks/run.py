@@ -444,13 +444,20 @@ def run_row(name, cfg, clean, image):
     parity = None
     pcfg = _parity_cfg(cfg)
     if pcfg is not None:
-        ref = gl.filter_image(image, pcfg, plan=plan)
-        parity = {
-            "psnr_vs_f32_db": round(gl.psnr(ref.image, res.image), 2),
-            "dpsnr_vs_clean_db": (
-                round(abs(gl.psnr(clean, res.image) - gl.psnr(clean, ref.image)), 4)
-                if image is not clean else None),
-        }
+        # the twin is a capacity stress of its own at 32 MP+ (f32 features
+        # + full-res Sinkhorn); a device fault there must not discard the
+        # row's already-measured walls (observed 2026-08-18: row6's timed
+        # runs completed, the twin died UNAVAILABLE, nothing was recorded)
+        try:
+            ref = gl.filter_image(image, pcfg, plan=plan)
+            parity = {
+                "psnr_vs_f32_db": round(gl.psnr(ref.image, res.image), 2),
+                "dpsnr_vs_clean_db": (
+                    round(abs(gl.psnr(clean, res.image) - gl.psnr(clean, ref.image)), 4)
+                    if image is not clean else None),
+            }
+        except Exception as e:  # noqa: BLE001 — record, keep the row
+            parity = {"error": f"{type(e).__name__}: {str(e)[:160]}"}
 
     # peak HBM (capacity rows 6/7 substantiate their fit claims with this;
     # None where the backend doesn't expose stats, e.g. CPU)
