@@ -30,7 +30,7 @@ import numpy as np
 
 from ..config import PipelineConfig
 from ..ops import streaming as st
-from ..ops.affinity import affinity_strip, extract_features
+from ..ops.affinity import affinity_strip, extract_features_padded
 from ..ops.filters import FILTER_REGISTRY
 from ..ops.linalg import psd_pinv_sqrt, trunc_inv_sqrt_vals
 from ..ops.nystrom import _LIVE_NORM2, nystrom_chol_factor
@@ -144,10 +144,12 @@ def _strip_ctx(img2d: jnp.ndarray, idx_a: jnp.ndarray,
 
     # ``bandwidth``: optional TRACED h override (tune.py SURE sweeps run a
     # whole h-grid through one compiled executable — see extract_features)
-    feats = extract_features(img2d, cfg, h=bandwidth)  # NATURAL pixel order
-    feats_a = jnp.take(feats, idx_a, axis=0)          # p-row gather only
-    d = feats.shape[1]
-    feats_pad = jnp.zeros((n_pad, d), feats.dtype).at[:n].set(feats)
+    # NATURAL pixel order; chunked write straight into the padded buffer
+    # (one resident O(N d) copy instead of unfold + cast + pad — the
+    # 64 MP OOM fix, ops/affinity.extract_features_padded)
+    feats_pad = extract_features_padded(img2d, cfg, n_pad, h=bandwidth)
+    feats_a = jnp.take(feats_pad, idx_a, axis=0)      # p-row gather only
+    d = feats_pad.shape[1]
 
     idx = jnp.arange(n_pad)
     valid = (idx < n).astype(jnp.float32)

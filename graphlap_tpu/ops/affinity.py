@@ -93,6 +93,80 @@ def extract_features(img: jnp.ndarray, cfg: PipelineConfig,
     return feats
 
 
+def extract_features_padded(img: jnp.ndarray, cfg: PipelineConfig,
+                            n_pad: int, h=None,
+                            row_chunk: int | None = None) -> jnp.ndarray:
+    """Features written straight into the zero-padded (n_pad, d) buffer.
+
+    Memory-lean twin of ``extract_features`` + ``zeros.at[:n].set(...)``
+    for the streaming paths. That composition keeps three O(N d) buffers
+    live at once on the NLM path — the f32 unfold, its (possibly bf16)
+    cast, and the padded copy — which is what ran 64 MP out of HBM
+    (18.33 G needed vs 15.75 G: 6.4 + 3.2 + 3.2 G of features alone).
+    Here the unfold runs in row chunks inside a ``fori_loop`` whose carry
+    IS the padded buffer (donated in place by XLA), so peak extra memory
+    is one chunk's f32 intermediate (~256 MB).
+
+    Bit-identical to the unchunked path: the same per-element divide and
+    dtype round, only the materialization order differs. Padding rows
+    stay exactly zero (the streaming operators' masking convention).
+    ``h`` may be traced, as in ``extract_features``.
+    """
+    import jax
+
+    h_img, w_img = img.shape
+    n = h_img * w_img
+    assert n_pad >= n
+    d = feature_dim(cfg)
+    out_dtype = jnp.bfloat16 if cfg.feature_dtype == "bfloat16" else jnp.float32
+
+    # small-d kernels (gaussian/bilateral): one copy is cheap — reuse the
+    # plain path and pay the single pad copy (O(N) to O(3N) bytes)
+    if cfg.kernel != "nlm":
+        feats = extract_features(img, cfg, h=h)
+        return jnp.zeros((n_pad, d), feats.dtype).at[:n].set(feats)
+
+    img = img.astype(jnp.float32)
+    hh = cfg.h if h is None else h
+    patch = cfg.patch_size
+    dp = patch * patch
+    r = patch // 2
+    padded = jnp.pad(img, r, mode="reflect")
+
+    # chunk rows so one f32 chunk intermediate stays ~<=256 MB
+    # (row_chunk override: tests force multi-chunk + tail-overlap paths)
+    target_elems = (256 << 20) // 4
+    cr = row_chunk or max(1, min(h_img, target_elems // max(w_img * dp, 1)))
+    cr = min(cr, h_img)
+    n_chunks = -(-h_img // cr)
+
+    def body(i, buf):
+        # clamp the last chunk's start so the slice shape stays static;
+        # overlapped rows recompute the same values and the overlapping
+        # dynamic_update_slice rewrites them identically
+        s = jnp.minimum(i * cr, h_img - cr)
+        sl = jax.lax.dynamic_slice(padded, (s, 0), (cr + 2 * r, w_img + 2 * r))
+        views = [sl[dy:dy + cr, dx:dx + w_img]
+                 for dy in range(patch) for dx in range(patch)]
+        # divide (not multiply-by-reciprocal): bit-identical to the
+        # unchunked path's `unfold / (h * sqrt(d))`
+        chunk = jnp.stack(views, axis=-1).reshape(cr * w_img, dp) / (
+            hh * math.sqrt(dp))
+        if cfg.spatial_h > 0.0:
+            yy = (s + jnp.arange(cr, dtype=jnp.float32)[:, None]
+                  ) * jnp.ones((1, w_img), jnp.float32)
+            xx = jnp.ones((cr, 1), jnp.float32) * jnp.arange(
+                w_img, dtype=jnp.float32)[None, :]
+            coords = jnp.stack([yy.ravel(), xx.ravel()],
+                               axis=-1) / cfg.spatial_h
+            chunk = jnp.concatenate([chunk, coords], axis=-1)
+        return jax.lax.dynamic_update_slice(
+            buf, chunk.astype(out_dtype), (s * w_img, 0))
+
+    buf = jnp.zeros((n_pad, d), out_dtype)
+    return jax.lax.fori_loop(0, n_chunks, body, buf)
+
+
 def affinity_strip(
     feats_a: jnp.ndarray,
     feats_all: jnp.ndarray,

@@ -27,7 +27,7 @@ from jax import shard_map
 from ..config import PipelineConfig
 from ..ops import streaming as st
 from ..models.streaming import _V_BYTES_CAP, gram_sample_idx
-from ..ops.affinity import affinity_strip, extract_features
+from ..ops.affinity import affinity_strip, extract_features_padded
 from ..ops.filters import FILTER_REGISTRY
 from ..ops.linalg import psd_pinv_sqrt, trunc_inv_sqrt_vals
 from ..ops.nystrom import _LIVE_NORM2, nystrom_chol_factor
@@ -159,10 +159,11 @@ def build_streaming_sharded(mesh, cfg: PipelineConfig):
         chunk = block * n_rows
         n_pad = _cdiv(n, chunk) * chunk
 
-        feats = extract_features(img2d, cfg)          # replicated, natural
-        feats_a = jnp.take(feats, idx_a, axis=0)
-        d = feats.shape[1]
-        feats_pad = jnp.zeros((n_pad, d), feats.dtype).at[:n].set(feats)
+        # replicated, natural order; chunked write into the padded buffer
+        # (one O(N d) resident copy, not three — the 64 MP OOM fix)
+        feats_pad = extract_features_padded(img2d, cfg, n_pad)
+        feats_a = jnp.take(feats_pad, idx_a, axis=0)
+        d = feats_pad.shape[1]
 
         idx = jnp.arange(n_pad)
         valid = (idx < n).astype(jnp.float32)
@@ -412,10 +413,10 @@ def build_streaming_sharded_batch(mesh, cfg: PipelineConfig):
         n_pad = _cdiv(n, chunk) * chunk
 
         frames = shard(frames.astype(jnp.float32), mesh, "data", None, None)
-        feats = jax.vmap(lambda im: extract_features(im, cfg))(frames)
-        feats_a = jnp.take(feats, idx_a, axis=1)              # (B, p, d)
-        d = feats.shape[2]
-        feats_pad = jnp.zeros((bsz, n_pad, d), feats.dtype).at[:, :n].set(feats)
+        feats_pad = jax.vmap(
+            lambda im: extract_features_padded(im, cfg, n_pad))(frames)
+        feats_a = jnp.take(feats_pad, idx_a, axis=1)          # (B, p, d)
+        d = feats_pad.shape[2]
 
         idx = jnp.arange(n_pad)
         valid = (idx < n).astype(jnp.float32)
@@ -676,10 +677,10 @@ def build_streaming_sharded_guided(mesh, cfg: PipelineConfig, n_stack: int):
         n_pad = _cdiv(n, chunk) * chunk
         ns = n_stack
 
-        feats = extract_features(guide2d, cfg)        # replicated, natural
-        feats_a = jnp.take(feats, idx_a, axis=0)
-        d = feats.shape[1]
-        feats_pad = jnp.zeros((n_pad, d), feats.dtype).at[:n].set(feats)
+        # replicated, natural order; chunked write into the padded buffer
+        feats_pad = extract_features_padded(guide2d, cfg, n_pad)
+        feats_a = jnp.take(feats_pad, idx_a, axis=0)
+        d = feats_pad.shape[1]
 
         idx = jnp.arange(n_pad)
         valid = (idx < n).astype(jnp.float32)

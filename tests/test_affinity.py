@@ -114,3 +114,51 @@ def test_feature_dtype_bf16_streaming_parity():
         r = gl.filter_image(noisy, base.replace(**kw))
         assert np.isfinite(r.image).all()
         assert abs(gl.psnr(clean, r.image) - p_exact) <= 0.1, kw
+
+
+@pytest.mark.parametrize("cfg", [
+    PipelineConfig(kernel="nlm", h=0.25, patch_size=5),
+    PipelineConfig(kernel="nlm", h=0.25, patch_size=5,
+                   feature_dtype="bfloat16"),
+    PipelineConfig(kernel="nlm", h=0.4, patch_size=3, spatial_h=8.0),
+    PipelineConfig(kernel="gaussian", h=0.3, spatial_h=16.0),
+])
+@pytest.mark.parametrize("row_chunk", [None, 5, 7, 37])
+def test_extract_features_padded_bit_identical(cfg, row_chunk):
+    """The chunked padded extractor (the 64 MP OOM fix) is BIT-identical
+    to extract_features + zero-pad — including non-dividing chunk sizes
+    (the clamped-overlap tail) and an odd image shape. Both sides run
+    under jit, as they do in the pipeline: XLA rewrites the constant
+    bandwidth division to a reciprocal multiply (1 ulp), so an eager
+    reference would differ for a reason that never occurs in practice."""
+    import jax
+    from graphlap_tpu.ops.affinity import extract_features_padded
+    img = jnp.asarray(make_test_image(37, 29, seed=5), jnp.float32)
+    n = 37 * 29
+    n_pad = 1152                      # non-trivial zero tail
+    ref = jax.jit(lambda im: extract_features(im, cfg))(img)
+    want = np.zeros((n_pad, ref.shape[1]), np.asarray(ref).dtype)
+    want[:n] = np.asarray(ref)
+    got = np.asarray(jax.jit(
+        lambda im: extract_features_padded(im, cfg, n_pad,
+                                           row_chunk=row_chunk))(img))
+    assert got.dtype == want.dtype
+    np.testing.assert_array_equal(got, want)
+
+
+def test_extract_features_padded_traced_h():
+    """h stays traceable through the chunked path (tune.py SURE grids
+    jit one executable over a traced bandwidth)."""
+    import jax
+    from graphlap_tpu.ops.affinity import extract_features_padded
+    cfg = PipelineConfig(kernel="nlm", h=0.25, patch_size=3)
+    img = jnp.asarray(make_test_image(16, 16, seed=2), jnp.float32)
+    f = jax.jit(lambda hh: extract_features_padded(img, cfg, 272, h=hh,
+                                                   row_chunk=5))
+    a = np.asarray(f(0.25))
+    b = np.asarray(jax.jit(
+        lambda im: extract_features_padded(im, cfg, 272, h=0.25))(img))
+    # traced-h: true division by the runtime scalar vs the constant
+    # divisor's reciprocal rewrite — 1 ulp class, as in tune.py sweeps
+    np.testing.assert_allclose(a, b, rtol=3e-7, atol=0)
+    assert not np.allclose(np.asarray(f(0.5))[:16 * 16], a[:16 * 16])
