@@ -217,36 +217,32 @@ def _filter_video_guided(frames: np.ndarray, cfg: PipelineConfig,
             # on luma): the mean guide is then built from a registered
             # stack, the filter runs in registered coordinates, and each
             # output is shifted back below — camera pan becomes a static
-            # scene (utils/register.py; filter_video docstring)
-            from ..utils.register import estimate_shift, shift_image
-            ref2d = _luma(grp[0]) if color else grp[0]
-            shifts = [(0.0, 0.0)]
-            reg = [grp[0]]
-            for f in range(1, k):
-                dy, dx = estimate_shift(ref2d,
-                                        _luma(grp[f]) if color else grp[f])
-                shifts.append((dy, dx))
-                reg.append(shift_image(grp[f], -dy, -dx))
-            grp = np.stack(reg)
-        guide = grp.mean(axis=0)     # sigma/sqrt(k) of the per-frame noise
-        y2d = _luma(guide) if color else guide
-        chw = (np.moveaxis(grp, -1, 1).reshape(k * grp.shape[-1], h, w)
-               if color else grp)
-        if grun is not None:
-            z, v = grun(jnp.asarray(y2d, jnp.float32),
-                        jnp.asarray(chw, jnp.float32), idx_a)
+            # scene. Entirely ON DEVICE as one jitted program (traced
+            # shifts keep shapes static); the first 4K measurement spent
+            # ~45 s/run in host f64 FFTs + scipy splines here
+            # (utils/register.py module docstring; filter_video docstring)
+            from ..utils.register import prepare_registered_group
+            y2d, chw, shifts = prepare_registered_group(grp, color)
         else:
-            z, v = _filter_channels_luma(jnp.asarray(y2d, jnp.float32),
-                                         jnp.asarray(chw, jnp.float32),
-                                         idx_a, perm, inv_perm, cfg)
-        z = np.asarray(z)
-        if color:
-            z = np.moveaxis(z.reshape(k, grp.shape[-1], h, w), 1, -1)
+            guide = grp.mean(axis=0)  # sigma/sqrt(k) of per-frame noise
+            y2d = _luma(guide) if color else guide
+            chw = (np.moveaxis(grp, -1, 1).reshape(k * grp.shape[-1], h, w)
+                   if color else grp)
+            y2d = jnp.asarray(y2d, jnp.float32)
+            chw = jnp.asarray(chw, jnp.float32)
+        if grun is not None:
+            z, v = grun(y2d, chw, idx_a)
+        else:
+            z, v = _filter_channels_luma(y2d, chw, idx_a, perm, inv_perm,
+                                         cfg)
         if shifts is not None:
-            from ..utils.register import shift_image
-            # the spline unshift can overshoot [0,1] by interpolation
-            z = np.clip(np.stack([shift_image(z[f], *shifts[f])
-                                  for f in range(k)]), 0.0, 1.0)
+            from ..utils.register import finish_registered_group
+            z = np.asarray(finish_registered_group(
+                z, shifts, color, grp.shape[-1] if color else 1))
+        else:
+            z = np.asarray(z)
+            if color:
+                z = np.moveaxis(z.reshape(k, grp.shape[-1], h, w), 1, -1)
         outs.append(z[:keep])
         gv = np.asarray(v)           # (m,) spectral / (0,) operator modes
         vals.append(np.broadcast_to(gv, (keep,) + gv.shape))
@@ -327,29 +323,26 @@ def _filter_video_guided_multihost(local_frames: np.ndarray,
         shifts = None
         if register:
             # identical on every process (same gathered group, same
-            # deterministic estimator) — no extra collective needed
-            from ..utils.register import estimate_shift, shift_image
-            ref2d = _luma(grp[0]) if color else grp[0]
-            shifts, reg = [(0.0, 0.0)], [grp[0]]
-            for f in range(1, k):
-                dy, dx = estimate_shift(ref2d,
-                                        _luma(grp[f]) if color else grp[f])
-                shifts.append((dy, dx))
-                reg.append(shift_image(grp[f], -dy, -dx))
-            grp = np.stack(reg)
-        guide = grp.mean(axis=0)
-        y2d = _luma(guide) if color else guide
-        chw = (np.moveaxis(grp, -1, 1).reshape(k * c, h, w)
-               if color else grp)
+            # deterministic jitted estimator on identical device types)
+            # — no extra collective needed. Runs on each process's local
+            # devices; outputs come back host-side because _rep feeds
+            # make_array_from_process_local_data with per-process numpy
+            from ..utils.register import prepare_registered_group
+            y2d, chw, shifts = prepare_registered_group(grp, color)
+            y2d, chw = np.asarray(y2d), np.asarray(chw)
+        else:
+            guide = grp.mean(axis=0)
+            y2d = _luma(guide) if color else guide
+            chw = (np.moveaxis(grp, -1, 1).reshape(k * c, h, w)
+                   if color else grp)
         z, v = grun(_rep(y2d), _rep(chw), idx_a)
         z = np.asarray(multihost_utils.process_allgather(z, tiled=True))
         gv = np.asarray(multihost_utils.process_allgather(v, tiled=True))
-        if color:
-            z = np.moveaxis(z.reshape(k, c, h, w), 1, -1)
         if shifts is not None:
-            from ..utils.register import shift_image
-            z = np.clip(np.stack([shift_image(z[f], *shifts[f])
-                                  for f in range(k)]), 0.0, 1.0)
+            from ..utils.register import finish_registered_group
+            z = np.asarray(finish_registered_group(z, shifts, color, c))
+        elif color:
+            z = np.moveaxis(z.reshape(k, c, h, w), 1, -1)
         outs.append(z[:keep])
         vals.append(np.broadcast_to(gv, (keep,) + gv.shape))
     return np.concatenate(outs), np.concatenate(vals)

@@ -299,6 +299,63 @@ def test_register_guide_estimator_and_static_noop():
     assert abs(psnr(clean, zr) - psnr(clean, z)) < 0.3
 
 
+def test_register_device_estimator_matches_host():
+    """The jitted phase-correlation estimator (the production path; f32,
+    batched FFT) agrees with the float64 host twin to a few hundredths
+    of a pixel on a rolled image — the same bound the host estimator is
+    held to against ground truth."""
+    import jax.numpy as jnp
+    from graphlap_tpu.utils.register import (_estimate_shifts_dev,
+                                             estimate_shift)
+    base = np.asarray(make_test_image(96, 96), np.float32)
+    moved = np.roll(np.roll(base, -4, axis=0), 7, axis=1)
+    dev = np.asarray(_estimate_shifts_dev(jnp.stack([base, moved])))
+    assert np.abs(dev[0]).max() == 0.0           # frame 0 row is exact 0
+    dy_h, dx_h = estimate_shift(base, moved)
+    assert abs(dev[1, 0] - dy_h) < 0.03 and abs(dev[1, 1] - dx_h) < 0.03
+    assert abs(dev[1, 0] + 4) < 0.05 and abs(dev[1, 1] - 7) < 0.05
+
+
+def test_shift_image_dev_matches_host_twin():
+    """Device Catmull-Rom warp vs the scipy order-3 host twin: exact at
+    integer shifts (both interpolants reproduce samples; reflect
+    boundary matches), ~1e-2 on smooth content at fractional shifts,
+    and a true no-op at zero shift."""
+    import jax
+    from graphlap_tpu.utils.register import shift_image, shift_image_dev
+    img = np.asarray(make_test_image(48, 40), np.float32)
+    jsh = jax.jit(shift_image_dev)
+    # zero shift: bit-exact passthrough (taps collapse to (0,1,0,0))
+    np.testing.assert_array_equal(np.asarray(jsh(img, 0.0, 0.0)), img)
+    # integer shifts incl. boundary-crossing ones
+    for dy, dx in [(3.0, -5.0), (-7.0, 2.0)]:
+        got = np.asarray(jsh(img, dy, dx))
+        want = shift_image(img, dy, dx)
+        np.testing.assert_allclose(got, want, atol=2e-5)
+    # fractional: different cubics (Catmull-Rom vs prefiltered B-spline)
+    # — compare BOTH against the analytic translate of a band-limited
+    # image, where any good cubic is ~1e-3 (on edges they legitimately
+    # disagree by up to ~0.05, which is why the host twin is not the
+    # fractional reference)
+    yy, xx = np.meshgrid(np.arange(48.0), np.arange(40.0), indexing="ij")
+
+    def smooth(y, x):
+        return (0.5 + 0.25 * np.sin(2 * np.pi * y / 16)
+                * np.cos(2 * np.pi * x / 16)).astype(np.float32)
+
+    dy, dx = 1.4, -2.6
+    truth = smooth(yy - dy, xx - dx)
+    got = np.asarray(jsh(smooth(yy, xx), dy, dx))
+    want = shift_image(smooth(yy, xx), dy, dx)
+    assert np.abs(got[4:-4, 4:-4] - truth[4:-4, 4:-4]).max() < 2e-3
+    assert np.abs(want[4:-4, 4:-4] - truth[4:-4, 4:-4]).max() < 2e-3
+    # color frames shift both spatial axes, never the channel axis
+    rgb = np.stack([img, img * 0.5, img * 0.25], axis=-1)
+    got3 = np.asarray(jsh(rgb, 3.0, -5.0))
+    np.testing.assert_allclose(got3[..., 0],
+                               np.asarray(jsh(img, 3.0, -5.0)), atol=1e-6)
+
+
 def test_register_guide_composes_with_mesh():
     # registration is host-side preprocessing, so it must compose with
     # the rows-sharded guided builder unchanged
