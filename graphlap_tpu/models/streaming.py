@@ -168,9 +168,10 @@ def _strip_ctx(img2d: jnp.ndarray, idx_a: jnp.ndarray,
         _, p_pad = pst.p_tiling(p)
         tn = pst._tile_n(dtype)    # kernel-owned: a VMEM retune cannot
         n_pad_k = _cdiv(n_pad, tn) * tn        # desync this padding
-        fa_pad = jnp.zeros((p_pad, pst.D_PAD), dtype).at[:p, :d].set(
+        dp = pst.d_pad_of(d)       # sublane pad (32), not a full MXU
+        fa_pad = jnp.zeros((p_pad, dp), dtype).at[:p, :d].set(
             feats_a.astype(dtype))
-        f_t = jnp.zeros((pst.D_PAD, n_pad_k), dtype).at[:d, :n_pad].set(
+        f_t = jnp.zeros((dp, n_pad_k), dtype).at[:d, :n_pad].set(
             feats_pad.astype(dtype).T)
 
         def strip_matvec(v_scaled):

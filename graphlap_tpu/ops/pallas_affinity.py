@@ -15,9 +15,14 @@ each (TILE_P, TILE_N) tile does
 and the tile is written to HBM exactly once.
 
 Layout: features are zero-padded host-side to (p_pad, D) and (D, n_pad)
-with D = 128 (one MXU contraction block; covers NLM 7x7 + bilateral).
-Zero padding is exact: pad feature columns contribute 0 to norms and dots;
-pad rows/cols are sliced away by the caller.
+with D = the feature dim padded to the 32-sublane tile (32 for NLM 5x5;
+D_PAD=128 caps it and still covers NLM 7x7 + bilateral). 32 rather than a
+full 128-lane MXU block for the same reason as the streaming kernels
+(ops/pallas_streaming.py module docstring): the transposed copy is 1.28x
+the feature data instead of 5.1x, and the skinny-K cross GEMM costs the
+MXU no more than the zero-padded K=128 one. Zero padding is exact: pad
+feature columns contribute 0 to norms and dots; pad rows/cols are sliced
+away by the caller.
 """
 
 from __future__ import annotations
@@ -82,12 +87,13 @@ def affinity_strip_pallas(feats_a: jnp.ndarray, feats_all: jnp.ndarray,
     n = feats_all.shape[0]
     if d > D_PAD:
         raise ValueError(f"feature dim {d} > {D_PAD}; widen D_PAD / add k-loop")
+    dp = max(32, _cdiv(d, 32) * 32)
 
     p_pad = _cdiv(p, TILE_P) * TILE_P
     n_pad = _cdiv(n, TILE_N) * TILE_N
 
-    a = jnp.zeros((p_pad, D_PAD), dtype).at[:p, :d].set(feats_a.astype(dtype))
-    bt = jnp.zeros((D_PAD, n_pad), dtype).at[:d, :n].set(
+    a = jnp.zeros((p_pad, dp), dtype).at[:p, :d].set(feats_a.astype(dtype))
+    bt = jnp.zeros((dp, n_pad), dtype).at[:d, :n].set(
         feats_all.astype(dtype).T)
 
     grid = (p_pad // TILE_P, n_pad // TILE_N)
@@ -95,17 +101,17 @@ def affinity_strip_pallas(feats_a: jnp.ndarray, feats_all: jnp.ndarray,
         _affinity_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TILE_P, D_PAD), lambda i, j: (i, 0),
+            pl.BlockSpec((TILE_P, dp), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((D_PAD, TILE_N), lambda i, j: (0, j),
+            pl.BlockSpec((dp, TILE_N), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((TILE_P, TILE_N), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((p_pad, n_pad), out_dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * p_pad * n_pad * D_PAD,
-            bytes_accessed=(p_pad * D_PAD + D_PAD * n_pad) * a.dtype.itemsize
+            flops=2 * p_pad * n_pad * dp,
+            bytes_accessed=(p_pad * dp + dp * n_pad) * a.dtype.itemsize
             + p_pad * n_pad * out_dtype.itemsize,
             transcendentals=p_pad * n_pad,
         ),

@@ -15,11 +15,22 @@ one feature fetch per pass, no per-p-tile refetch, and few, fat grid steps
 (the first cut used (p/512) x (N/512) tiles and died of grid overhead +
 8x feature traffic: 7.9 s vs 7.1 s XLA at 8 MP).
 
-Caller contract: features zero-padded to (.., D=128) and row counts padded
-to the tile multiples (zero feature rows/columns are exact no-ops as long
-as the paired vector entries are zero). The transposed feature matrix
-(D, n_pad) is built ONCE by the caller and reused across all passes.
-dtype=bf16 runs distances, exp, and dots in bf16 with f32 accumulation.
+Caller contract: features zero-padded to a 32-multiple width ``dp``
+(``d_pad_of``; kernels infer it from the input shapes) and row counts
+padded to the tile multiples (zero feature rows/columns are exact no-ops
+as long as the paired vector entries are zero). The transposed feature
+matrix (dp, n_pad) is built ONCE by the caller and reused across all
+passes. dtype=bf16 runs distances, exp, and dots in bf16 with f32
+accumulation.
+
+Why dp = 32 and not one full 128-lane MXU block: the transposed feature
+copy is the ONLY O(N)-resident buffer the fused path adds, and at
+D=128 it is 5.1x the (N, 25) NLM data — 8.6/17.2 GB at 32/64 MP bf16,
+which is exactly what forced the capacity rows (benchmarks rows 6/7)
+off Pallas onto the slower XLA operators. Padding d=25 to the sublane
+tile instead (32 covers f32's 8 and bf16's 16) keeps the copy at 1.28x
+(2.1/4.3 GB), and the skinny-K cross GEMM costs the MXU no more than
+the zero-padded K=128 one it replaces.
 """
 
 from __future__ import annotations
@@ -31,12 +42,36 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-D_PAD = 128
+D_PAD = 128      # max supported feature width (NLM 7x7 + bilateral fits)
 MAX_TILE_P = 4096
 
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
+
+
+def d_pad_of(d: int) -> int:
+    """Feature width padded to the 32-sublane tile (see module docstring).
+
+    32 is the smallest width aligned for both f32 (8-sublane) and bf16
+    (16-sublane) feature tiles, so one layout serves every dtype policy.
+    """
+    if d > D_PAD:
+        raise ValueError(f"feature dim {d} > {D_PAD}; add a k-loop")
+    return max(32, _cdiv(d, 32) * 32)
+
+
+def _check_dp(feats_a_pad, f_t) -> int:
+    """Validate the caller-built pads agree and return the width."""
+    dp = feats_a_pad.shape[1]
+    if f_t.shape[0] != dp:
+        raise ValueError(
+            f"feature pads disagree: fa_pad width {dp} vs f_t height "
+            f"{f_t.shape[0]} — build both with d_pad_of")
+    if dp % 32 != 0 or dp > D_PAD:
+        raise ValueError(f"padded feature width {dp} must be a multiple "
+                         f"of 32 and <= {D_PAD} (d_pad_of)")
+    return dp
 
 
 def p_tiling(p: int) -> tuple[int, int]:
@@ -140,6 +175,7 @@ def kb_strip_pallas(feats_a_pad, f_t_block, cols, interpret: bool | None = None)
         interpret = jax.default_backend() == "cpu"
     p_pad = feats_a_pad.shape[0]
     s = f_t_block.shape[1]
+    dp = _check_dp(feats_a_pad, f_t_block)
     dtype = feats_a_pad.dtype
     tp = _emit_tile_p(p_pad)
     tn = EMIT_TN
@@ -152,9 +188,9 @@ def kb_strip_pallas(feats_a_pad, f_t_block, cols, interpret: bool | None = None)
         _kb_emit_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tp, D_PAD), lambda i, j: (i, 0),
+            pl.BlockSpec((tp, dp), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((D_PAD, tn), lambda i, j: (0, j),
+            pl.BlockSpec((dp, tn), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tn), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
@@ -163,8 +199,8 @@ def kb_strip_pallas(feats_a_pad, f_t_block, cols, interpret: bool | None = None)
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((p_pad, s), dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * p_pad * s * (D_PAD + 1),
-            bytes_accessed=(p_pad + s) * D_PAD * dtype.itemsize
+            flops=2 * p_pad * s * (dp + 1),
+            bytes_accessed=(p_pad + s) * dp * dtype.itemsize
             + p_pad * s * dtype.itemsize,
             transcendentals=p_pad * s,
         ),
@@ -211,6 +247,7 @@ def matvec_pallas(feats_a_pad, feats_t, v, interpret: bool | None = None,
         interpret = jax.default_backend() == "cpu"
     p_pad = feats_a_pad.shape[0]
     n_pad = feats_t.shape[1]
+    dp = _check_dp(feats_a_pad, feats_t)
     dtype = feats_a_pad.dtype
     tp = _tile_p_of(p_pad)
     tn = _tile_n(dtype)
@@ -225,9 +262,9 @@ def matvec_pallas(feats_a_pad, feats_t, v, interpret: bool | None = None,
         _matvec_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tp, D_PAD), lambda i, j: (i, 0),
+            pl.BlockSpec((tp, dp), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((D_PAD, tn), lambda i, j: (0, j),
+            pl.BlockSpec((dp, tn), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tn), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
@@ -236,8 +273,8 @@ def matvec_pallas(feats_a_pad, feats_t, v, interpret: bool | None = None,
                                memory_space=pltpu.VMEM),
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
-            flops=2 * p_pad * n_pad * (D_PAD + 1),
-            bytes_accessed=(p_pad + n_pad) * D_PAD * dtype.itemsize
+            flops=2 * p_pad * n_pad * (dp + 1),
+            bytes_accessed=(p_pad + n_pad) * dp * dtype.itemsize
             + 4 * (p_pad + n_pad),
             transcendentals=p_pad * n_pad,
         ),
@@ -256,6 +293,7 @@ def rmatvec_pallas(feats_a_pad, feats_t, t, interpret: bool | None = None,
         interpret = jax.default_backend() == "cpu"
     p_pad = feats_a_pad.shape[0]
     n_pad = feats_t.shape[1]
+    dp = _check_dp(feats_a_pad, feats_t)
     dtype = feats_a_pad.dtype
     tp = _tile_p_of(p_pad)
     tn = _tile_n(dtype)
@@ -270,9 +308,9 @@ def rmatvec_pallas(feats_a_pad, feats_t, t, interpret: bool | None = None,
         _rmatvec_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tp, D_PAD), lambda j, i: (i, 0),
+            pl.BlockSpec((tp, dp), lambda j, i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((D_PAD, tn), lambda j, i: (0, j),
+            pl.BlockSpec((dp, tn), lambda j, i: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tp), lambda j, i: (0, i),
                          memory_space=pltpu.VMEM),
@@ -281,8 +319,8 @@ def rmatvec_pallas(feats_a_pad, feats_t, t, interpret: bool | None = None,
                                memory_space=pltpu.VMEM),
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
-            flops=2 * p_pad * n_pad * (D_PAD + 1),
-            bytes_accessed=(p_pad + n_pad) * D_PAD * dtype.itemsize
+            flops=2 * p_pad * n_pad * (dp + 1),
+            bytes_accessed=(p_pad + n_pad) * dp * dtype.itemsize
             + 4 * (p_pad + n_pad),
             transcendentals=p_pad * n_pad,
         ),
@@ -359,6 +397,7 @@ def colstats_v_pallas(feats_a_pad, f_t, gr, y, cols, na, nb,
         interpret = jax.default_backend() == "cpu"
     p_pad = feats_a_pad.shape[0]
     n_pad = f_t.shape[1]
+    dp = _check_dp(feats_a_pad, f_t)
     dtype = feats_a_pad.dtype
     tp = _emit_tile_p(p_pad)
     tn = EMIT_TN
@@ -376,9 +415,9 @@ def colstats_v_pallas(feats_a_pad, f_t, gr, y, cols, na, nb,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tp, D_PAD), lambda j, i: (i, 0),
+            pl.BlockSpec((tp, dp), lambda j, i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((D_PAD, tn), lambda j, i: (0, j),
+            pl.BlockSpec((dp, tn), lambda j, i: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tn), lambda j, i: (0, j),
                          memory_space=pltpu.VMEM),
@@ -405,8 +444,8 @@ def colstats_v_pallas(feats_a_pad, f_t, gr, y, cols, na, nb,
             jax.ShapeDtypeStruct((1, M_PAD), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * p_pad * n_pad * (D_PAD + M_PAD),
-            bytes_accessed=(p_pad + n_pad) * D_PAD * dtype.itemsize
+            flops=2 * p_pad * n_pad * (dp + M_PAD),
+            bytes_accessed=(p_pad + n_pad) * dp * dtype.itemsize
             + 4 * n_pad * (M_PAD + 3) + 4 * p_pad * (M_PAD + 1),
             transcendentals=p_pad * n_pad,
         ),

@@ -56,9 +56,10 @@ def _pallas_pads(a, f, dtype):
     nl, d = f.shape
     _, p_pad = pst.p_tiling(p)
     nl_pad = _cdiv(nl, pst._tile_n(dtype)) * pst._tile_n(dtype)
-    fa_pad = jnp.zeros((p_pad, pst.D_PAD), dtype).at[:p, :d].set(
+    dp = pst.d_pad_of(d)
+    fa_pad = jnp.zeros((p_pad, dp), dtype).at[:p, :d].set(
         a.astype(dtype))
-    f_t = jnp.zeros((pst.D_PAD, nl_pad), dtype).at[:d, :nl].set(
+    f_t = jnp.zeros((dp, nl_pad), dtype).at[:d, :nl].set(
         f.astype(dtype).T)
     return fa_pad, f_t, p, nl, nl_pad
 
@@ -334,7 +335,7 @@ def build_streaming_sharded_batch(mesh, cfg: PipelineConfig):
 
     # Fused Pallas matvecs per frame (same kernels as the single-image
     # path, vmapped over the local frame batch): K tiles live only in
-    # VMEM. The padded (D_PAD, n_local) transposed features are rebuilt
+    # VMEM. The padded (d_pad, n_local) transposed features are rebuilt
     # per call — a ~ms-scale bandwidth op vs the strip pass it feeds.
     if cfg.use_pallas:
         from ..ops import pallas_streaming as pst

@@ -115,3 +115,52 @@ def test_colstats_v_pallas_matches_xla():
         pst.colstats_v_pallas(fa32, f_t_odd,
                               gr, jnp.zeros(n_pad + 256), jnp.zeros(n_pad + 256),
                               na, jnp.zeros(n_pad + 256))
+
+
+def test_streaming_kernels_narrow_d_pad():
+    """The kernels accept the production (d_pad_of = 32)-wide feature
+    layout — the capacity-enabling one: the 128-wide transposed copy is
+    5.1x the NLM data (17 GB at 64 MP bf16), the 32-wide one 1.28x —
+    and match the legacy 128-wide pads to reduction-order noise (zero
+    feature columns are exact no-ops in the dots; the norm reductions
+    re-associate with the padded width, so last-ulp, not bitwise)."""
+    import jax.numpy as jnp
+
+    from graphlap_tpu.ops import pallas_streaming as pst
+
+    rng = np.random.default_rng(7)
+    p, n_pad, d = 512, 1024, 25
+    assert pst.d_pad_of(d) == 32
+    # realistic feature scale (unit-scale features drive exp(-d2) to 0)
+    feats_a = rng.normal(0, 0.1, size=(p, d)).astype(np.float32)
+    feats = rng.normal(0, 0.1, size=(n_pad, d)).astype(np.float32)
+    v = rng.normal(size=(n_pad,)).astype(np.float32)
+    t = rng.normal(size=(p,)).astype(np.float32)
+    _, p_pad = pst.p_tiling(p)
+
+    def pads(dp, dtype):
+        fa = (jnp.zeros((p_pad, dp), dtype)
+              .at[:p, :d].set(jnp.asarray(feats_a, dtype)))
+        ft = (jnp.zeros((dp, n_pad), dtype)
+              .at[:d, :].set(jnp.asarray(feats, dtype).T))
+        return fa, ft
+
+    for dtype, rtol in ((jnp.float32, 1e-5), (jnp.bfloat16, 1e-2)):
+        fa32, ft32 = pads(32, dtype)
+        fa128, ft128 = pads(128, dtype)
+        np.testing.assert_allclose(
+            np.asarray(pst.matvec_pallas(fa32, ft32, jnp.asarray(v))),
+            np.asarray(pst.matvec_pallas(fa128, ft128, jnp.asarray(v))),
+            rtol=rtol, atol=rtol)
+        np.testing.assert_allclose(
+            np.asarray(pst.rmatvec_pallas(fa32, ft32, jnp.asarray(t))),
+            np.asarray(pst.rmatvec_pallas(fa128, ft128, jnp.asarray(t))),
+            rtol=rtol, atol=rtol)
+
+    # mismatched / unaligned pads must refuse loudly, not compute garbage
+    fa32, ft32 = pads(32, jnp.float32)
+    _, ft128 = pads(128, jnp.float32)
+    with pytest.raises(ValueError, match="d_pad_of"):
+        pst.matvec_pallas(fa32, ft128, jnp.asarray(v))
+    with pytest.raises(ValueError, match="multiple"):
+        pst.rmatvec_pallas(fa32[:, :24], ft32[:24], jnp.asarray(t))
