@@ -123,11 +123,14 @@ def row5():
 def row6():
     """32 MP (8192x4096) single-chip CAPACITY row (beyond the graded
     matrix): the streaming path's O(Nd) memory keeps 4x the cfg4 shape on
-    one chip. Pallas is withheld by keep: its (D_PAD=128, N) transposed
-    bf16 feature copy alone would be ~8.6 GB at this N (the d=25 -> 128
-    lane pad wastes 5x); the XLA scan variant reads the (N, 25) features
-    directly (~3.4 GB). V materialization also auto-disables
-    (N*m*4 > _V_BYTES_CAP) — the apply recomputes tiles instead."""
+    one chip. Pallas held OFF by a measured A/B, not memory anymore:
+    since the 32-wide feature pad (ops/pallas_streaming.d_pad_of) the
+    fused path FITS here (~2.1 GB transposed copy vs the old 128-lane
+    pad's ~8.6 GB), but measured 1.93 s device vs the XLA scan's 1.84 s
+    at this shape (matrix.jsonl 2026-08-18) — the streaming passes are
+    exp-bound and XLA already fuses the single-consumer chain, same
+    verdict as the colstats fusion study (ARCHITECTURE §5). V
+    materialization auto-disables (N*m*4 > _V_BYTES_CAP)."""
     import graphlap_tpu as gl
     img = gl.make_test_image(4096, 8192)
     noisy = np.clip(gl.add_gaussian_noise(img, 0.1, seed=1), 0, 1)
@@ -144,8 +147,9 @@ def row7():
     """64 MP (8192x8192) single-chip capacity row — enabled by the bf16
     feature store (feature_dtype): the (N, 25) features drop 6.4 -> 3.2 GB,
     the only O(N d) buffer in the streaming regime (ARCHITECTURE §6).
-    Same recipe class as row6 otherwise (XLA scan, Pallas withheld: its
-    lane-padded (128, N) transposed feature copy would be ~16 GB here)."""
+    XLA scan rather than Pallas by the row-6 A/B (the fused path now
+    FITS via the 32-wide pad, ~4.3 GB here, but measures equal-or-slower
+    at capacity shapes — see row6 docstring)."""
     import graphlap_tpu as gl
     img = gl.make_test_image(8192, 8192)
     noisy = np.clip(gl.add_gaussian_noise(img, 0.1, seed=1), 0, 1)
@@ -443,6 +447,16 @@ def run_row(name, cfg, clean, image):
     # gate-compliant (f32, full-res Sinkhorn) twin config
     parity = None
     pcfg = _parity_cfg(cfg)
+    if pcfg is not None and n >= 32 * 1024 * 1024:
+        # the f32 full-res twin consistently faults the device at 32 MP+
+        # (4x UNAVAILABLE / remote-compile 500s recorded 2026-08-18,
+        # matrix.jsonl) — don't re-stress it every run; the parity chain
+        # anchors at the largest twin-feasible scale instead
+        parity = {"skipped": "f32-exact twin infeasible on one chip at "
+                             "this N; anchored at 8 MP (0.0025 dB vs "
+                             "f32-exact) and 384^2 (0.0014 dB vs f64 "
+                             "oracle, parity_anchor.jsonl)"}
+        pcfg = None
     if pcfg is not None:
         # the twin is a capacity stress of its own at 32 MP+ (f32 features
         # + full-res Sinkhorn); a device fault there must not discard the
