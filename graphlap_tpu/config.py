@@ -218,6 +218,31 @@ class PipelineConfig:
     use_pallas: bool = False         # fused Pallas affinity kernel
     streaming: bool = False          # recompute K tiles blockwise (big images)
     block_cols: int = 65536          # streaming column-block width
+    fused_finish: bool = False       # streaming + Pallas: fuse the FOUR
+                                     # full-resolution finishing sweeps of
+                                     # the coarse-Sinkhorn factor (the
+                                     # extension rmatvec2, the polish
+                                     # matvec, the polish rmatvec, the
+                                     # colstats+V pass — each an O(Np)
+                                     # exp-bound kernel recompute) into
+                                     # TWO Pallas passes whose kb tile
+                                     # serves both consumers from VMEM
+                                     # (ops/pallas_streaming
+                                     # ext2_matvec_pallas /
+                                     # finish_colstats_pallas). The p x p
+                                     # spectrum is then estimated from the
+                                     # PRE-polish scales (basis0 must
+                                     # exist before the last sweep) —
+                                     # the same estimate class as
+                                     # gram_coarse; parity + wall A/B in
+                                     # cfg4_sweep.jsonl ffin_* rows.
+                                     # Requires streaming + use_pallas +
+                                     # sinkhorn_coarse>1 +
+                                     # sinkhorn_polish==1 (validated);
+                                     # falls back to the unfused sweeps on
+                                     # shape gates (p_pad > 4096, m > 128,
+                                     # or the M_PAD-wide V buffer over
+                                     # _V_BYTES_CAP)
 
     def __post_init__(self):
         if self.kernel not in KERNELS:
@@ -330,6 +355,18 @@ class PipelineConfig:
             raise ValueError("sketch_oversample must be >= 0")
         if self.sketch_power < 0:
             raise ValueError("sketch_power must be >= 0")
+        if self.fused_finish:
+            if not (self.streaming and self.use_pallas):
+                raise ValueError(
+                    "fused_finish fuses the STREAMING path's Pallas "
+                    "sweeps — it requires streaming=True and "
+                    "use_pallas=True")
+            if (self.normalization != "sinkhorn" or self.sinkhorn_coarse <= 1
+                    or self.sinkhorn_polish != 1):
+                raise ValueError(
+                    "fused_finish fuses the coarse-Sinkhorn finishing "
+                    "sweeps: it requires normalization='sinkhorn', "
+                    "sinkhorn_coarse > 1 and sinkhorn_polish == 1")
 
     def operator_filter(self) -> bool:
         """True for the eigensolve-free application modes (matvec exact

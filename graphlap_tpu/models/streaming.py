@@ -207,59 +207,73 @@ def _strip_ctx(img2d: jnp.ndarray, idx_a: jnp.ndarray,
                      fa_pad=fa_pad, f_t=f_t)
 
 
+def _coarse_sinkhorn_state(ctx: _StripCtx, cfg: PipelineConfig):
+    """Decimated alternating Sinkhorn fixed point, iterated entirely
+    through p-sized state against every k-th column (ops/streaming.py
+    sinkhorn_coarse_step) — everything BEFORE the full-resolution
+    extension. Returns (s_a_coarse (p,), t_r (p,), t_c (p,)): the A
+    scales and the two extension vectors the full-res passes consume.
+    Shared by the unfused path (_normalize_streaming) and the fused
+    finish (_factor_streaming_fused)."""
+    feats_a, feats_pad = ctx.feats_a, ctx.feats_pad
+    p, block, dtype = ctx.p, ctx.block, ctx.dtype
+    b_mask, ones_p = ctx.b_mask, ctx.ones_p
+    kaa, kaa_solve = ctx.kaa, ctx.kaa_solve
+
+    k = cfg.sinkhorn_coarse
+    if block % k != 0:
+        raise ValueError(
+            f"sinkhorn_coarse={k} must divide the active "
+            f"block width min(block_cols, N)={block}")
+    # KEEP IN SYNC with ops/sinkhorn.sinkhorn_scaling_coarse — the
+    # same alternating fixed point against the materialized strip
+    # (deliberate twin, not shared code: this one runs through
+    # streaming closures; a fix to either body applies to both).
+    # deliberately STRIDED (unlike the gram): a jittered sample was
+    # measured 0.021-0.037 dB on 4 image instances but 0.104 dB on a
+    # 5th (cfg4_sweep.jsonl jitsc_* vs the matrix row) — the coarse
+    # fixed point is sensitive to sample clumping in a way the
+    # energy-rescaled gram is not, so stride's worst case (0.031-0.054
+    # with one polish) is the safer contract
+    feats_c = feats_pad[::k]
+    mask_c = b_mask[::k]
+    block_c = block // k
+    ratio = jnp.sum(b_mask) / jnp.maximum(jnp.sum(mask_c), 1.0)
+
+    u0 = ratio * st.matvec(feats_a, feats_c, mask_c, ones_p,
+                           jnp.ones_like(mask_c), block_c, dtype)
+    r0 = jnp.ones(p, jnp.float32)
+
+    def body(_, carry):
+        r_a, u_r, *_ = carry
+        c_a = 1.0 / jnp.maximum(kaa @ r_a + u_r, _EPS)
+        t_r = r_a + kaa_solve(u_r)
+        u_c = st.sinkhorn_coarse_step(feats_a, feats_c, t_r, mask_c,
+                                      ratio, block_c, dtype)
+        r_a2 = 1.0 / jnp.maximum(kaa @ c_a + u_c, _EPS)
+        t_c = c_a + kaa_solve(u_c)
+        u_r2 = st.sinkhorn_coarse_step(feats_a, feats_c, t_c, mask_c,
+                                       ratio, block_c, dtype)
+        return (r_a2, u_r2, c_a, t_r, t_c)
+
+    zero_p = jnp.zeros(p, jnp.float32)
+    r_a, u_r, c_a, t_r, t_c = jax.lax.fori_loop(
+        0, cfg.sinkhorn_iters, body, (r0, u0, r0, zero_p, zero_p))
+    s_a_coarse = jnp.sqrt(jnp.maximum(r_a * c_a, 0.0))
+    return s_a_coarse, t_r, t_c
+
+
 def _normalize_streaming(ctx: _StripCtx, cfg: PipelineConfig) -> jnp.ndarray:
     """Streaming Sinkhorn / symmetric normalization -> column scales s
     (n_pad,), zero on padding."""
     idx_a, feats_a, feats_pad = ctx.idx_a, ctx.feats_a, ctx.feats_pad
-    p, block, dtype = ctx.p, ctx.block, ctx.dtype
-    valid, b_mask, ones_p = ctx.valid, ctx.b_mask, ctx.ones_p
-    kaa, kaa_solve, ktilde_apply = ctx.kaa, ctx.kaa_solve, ctx.ktilde_apply
+    block, dtype = ctx.block, ctx.dtype
+    valid, b_mask = ctx.valid, ctx.b_mask
+    ktilde_apply = ctx.ktilde_apply
     n_pad = ctx.n_pad
 
     if cfg.normalization == "sinkhorn" and cfg.sinkhorn_coarse > 1:
-        # Alternating Sinkhorn iterated entirely through p-sized state
-        # against a decimated column subset (ops/streaming.py
-        # sinkhorn_coarse_step), then ONE full-resolution extension pass.
-        k = cfg.sinkhorn_coarse
-        if block % k != 0:
-            raise ValueError(
-                f"sinkhorn_coarse={k} must divide the active "
-                f"block width min(block_cols, N)={block}")
-        # KEEP IN SYNC with ops/sinkhorn.sinkhorn_scaling_coarse — the
-        # same alternating fixed point against the materialized strip
-        # (deliberate twin, not shared code: this one runs through
-        # streaming closures; a fix to either body applies to both).
-        # deliberately STRIDED (unlike the gram): a jittered sample was
-        # measured 0.021-0.037 dB on 4 image instances but 0.104 dB on a
-        # 5th (cfg4_sweep.jsonl jitsc_* vs the matrix row) — the coarse
-        # fixed point is sensitive to sample clumping in a way the
-        # energy-rescaled gram is not, so stride's worst case (0.031-0.054
-        # with one polish) is the safer contract
-        feats_c = feats_pad[::k]
-        mask_c = b_mask[::k]
-        block_c = block // k
-        ratio = jnp.sum(b_mask) / jnp.maximum(jnp.sum(mask_c), 1.0)
-
-        u0 = ratio * st.matvec(feats_a, feats_c, mask_c, ones_p,
-                               jnp.ones_like(mask_c), block_c, dtype)
-        r0 = jnp.ones(p, jnp.float32)
-
-        def body(_, carry):
-            r_a, u_r, *_ = carry
-            c_a = 1.0 / jnp.maximum(kaa @ r_a + u_r, _EPS)
-            t_r = r_a + kaa_solve(u_r)
-            u_c = st.sinkhorn_coarse_step(feats_a, feats_c, t_r, mask_c,
-                                          ratio, block_c, dtype)
-            r_a2 = 1.0 / jnp.maximum(kaa @ c_a + u_c, _EPS)
-            t_c = c_a + kaa_solve(u_c)
-            u_r2 = st.sinkhorn_coarse_step(feats_a, feats_c, t_c, mask_c,
-                                           ratio, block_c, dtype)
-            return (r_a2, u_r2, c_a, t_r, t_c)
-
-        zero_p = jnp.zeros(p, jnp.float32)
-        r_a, u_r, c_a, t_r, t_c = jax.lax.fori_loop(
-            0, cfg.sinkhorn_iters, body, (r0, u0, r0, zero_p, zero_p))
-        s_a_coarse = jnp.sqrt(jnp.maximum(r_a * c_a, 0.0))
+        s_a_coarse, t_r, t_c = _coarse_sinkhorn_state(ctx, cfg)
         kbt = st.rmatvec2(feats_a, feats_pad,
                           jnp.stack([t_r, t_c], axis=1), b_mask, block, dtype)
         prod = jnp.maximum(kbt[:, 0] * kbt[:, 1], _EPS)
@@ -293,17 +307,14 @@ def _normalize_streaming(ctx: _StripCtx, cfg: PipelineConfig) -> jnp.ndarray:
     return s
 
 
-def _eigensolve_streaming(img2d: jnp.ndarray, ctx: _StripCtx, s: jnp.ndarray,
-                          cfg: PipelineConfig) -> StreamFactor:
-    """Nystrom eigensolve (streaming cross) + colstats from the scales."""
-    idx_a, feats_a, feats_pad = ctx.idx_a, ctx.feats_a, ctx.feats_pad
-    n, p, n_pad, block, dtype = ctx.n, ctx.p, ctx.n_pad, ctx.block, ctx.dtype
-    b_mask, kaa, fa_pad, f_t = ctx.b_mask, ctx.kaa, ctx.fa_pad, ctx.f_t
-
-    s_a = jnp.take(s, idx_a)
-    s_b_cols = s * b_mask                             # 0 on A columns + pads
-
-    waa = kaa * (s_a[:, None] * s_a[None, :])
+def _stream_cross(ctx: _StripCtx, cfg: PipelineConfig, s_a: jnp.ndarray,
+                  s_b_cols: jnp.ndarray) -> jnp.ndarray:
+    """The (p, p) cross (D C D)(D C D)^T from the streaming strip — full
+    or decimated-column estimate (gram_coarse). Shared by the unfused
+    eigensolve and the fused finish."""
+    feats_a, feats_pad = ctx.feats_a, ctx.feats_pad
+    p, n_pad, block, dtype = ctx.p, ctx.n_pad, ctx.block, ctx.dtype
+    fa_pad, f_t = ctx.fa_pad, ctx.f_t
 
     def stream_gram(cols, blk, jidx):
         """sum_j (c_j k_j)(c_j k_j)^T over the columns in ``jidx`` (None =
@@ -324,7 +335,7 @@ def _eigensolve_streaming(img2d: jnp.ndarray, ctx: _StripCtx, s: jnp.ndarray,
         # single-chip cost king): G ~= ratio * sum_{j in S} (c_j k_j)(...)^T
         # with the energy ratio sum c^2 / sum_S c^2 — exact for spatially
         # smooth column mass, and kernel columns of adjacent pixels are
-        # near-duplicates. Full-resolution colstats below keeps the column
+        # near-duplicates. Full-resolution colstats keeps the column
         # norms / coefficients exact; only the p x p spectrum is estimated.
         kg = cfg.gram_coarse
         if block % kg != 0:
@@ -335,22 +346,41 @@ def _eigensolve_streaming(img2d: jnp.ndarray, ctx: _StripCtx, s: jnp.ndarray,
         cols_g = jnp.take(s_b_cols, jidx)
         ratio_g = (jnp.sum(s_b_cols * s_b_cols)
                    / jnp.maximum(jnp.sum(cols_g * cols_g), _EPS))
-        cross = ratio_g * stream_gram(cols_g, block // kg, jidx)
-    else:
-        cross = stream_gram(s_b_cols, block, None)
+        return ratio_g * stream_gram(cols_g, block // kg, jidx)
+    return stream_gram(s_b_cols, block, None)
+
+
+def _solve_pxp(cfg: PipelineConfig, waa: jnp.ndarray, cross: jnp.ndarray):
+    """The p x p Nystrom factor solve -> (vals_m (m,), basis0 (p, m))."""
     m = cfg.num_eigvecs
     if cfg.solver in ("chol", "lobpcg"):
         method = "lobpcg" if cfg.solver == "lobpcg" else "eigh"
-        vals_m, basis0 = nystrom_chol_factor(waa, cross, m, cfg.eig_tol,
-                                             method, cfg.lobpcg_iters)
-    else:
-        whalf = psd_pinv_sqrt(waa, cfg.eig_tol)
-        s_mat = waa + whalf @ cross @ whalf
-        s_mat = 0.5 * (s_mat + s_mat.T)
-        vals, vecs = jnp.linalg.eigh(s_mat)
-        vals_m = vals[::-1][:m]
-        basis0 = whalf @ (vecs[:, ::-1][:, :m]
-                          * trunc_inv_sqrt_vals(vals_m, cfg.eig_tol)[None, :])
+        return nystrom_chol_factor(waa, cross, m, cfg.eig_tol,
+                                   method, cfg.lobpcg_iters)
+    whalf = psd_pinv_sqrt(waa, cfg.eig_tol)
+    s_mat = waa + whalf @ cross @ whalf
+    s_mat = 0.5 * (s_mat + s_mat.T)
+    vals, vecs = jnp.linalg.eigh(s_mat)
+    vals_m = vals[::-1][:m]
+    basis0 = whalf @ (vecs[:, ::-1][:, :m]
+                      * trunc_inv_sqrt_vals(vals_m, cfg.eig_tol)[None, :])
+    return vals_m, basis0
+
+
+def _eigensolve_streaming(img2d: jnp.ndarray, ctx: _StripCtx, s: jnp.ndarray,
+                          cfg: PipelineConfig) -> StreamFactor:
+    """Nystrom eigensolve (streaming cross) + colstats from the scales."""
+    idx_a, feats_a, feats_pad = ctx.idx_a, ctx.feats_a, ctx.feats_pad
+    n, p, n_pad, block, dtype = ctx.n, ctx.p, ctx.n_pad, ctx.block, ctx.dtype
+    b_mask, kaa = ctx.b_mask, ctx.kaa
+
+    s_a = jnp.take(s, idx_a)
+    s_b_cols = s * b_mask                             # 0 on A columns + pads
+
+    waa = kaa * (s_a[:, None] * s_a[None, :])
+    cross = _stream_cross(ctx, cfg, s_a, s_b_cols)
+    m = cfg.num_eigvecs
+    vals_m, basis0 = _solve_pxp(cfg, waa, cross)
 
     v_a = waa @ basis0                                # (p, m)
     y = img2d.astype(jnp.float32).ravel()
@@ -386,10 +416,110 @@ def _eigensolve_streaming(img2d: jnp.ndarray, ctx: _StripCtx, s: jnp.ndarray,
                         v_b=v_b, n=n, block=block)
 
 
+def _fused_finish_ok(ctx: _StripCtx, cfg: PipelineConfig) -> bool:
+    """Shape gates for the fused finish (the static-knob requirements are
+    validated by PipelineConfig): whole-p Pallas tiles, m within M_PAD,
+    and the M_PAD-wide V buffer within the HBM budget. Falls back to the
+    unfused sweeps when any fails — output stays gate-valid either way."""
+    if not (cfg.fused_finish and ctx.fa_pad is not None):
+        return False
+    from ..ops import pallas_streaming as pst
+    if ctx.fa_pad.shape[0] > pst.MAX_TILE_P or cfg.num_eigvecs > pst.M_PAD:
+        return False
+    return ctx.f_t.shape[1] * pst.M_PAD * 4 <= _V_BYTES_CAP
+
+
+def _factor_streaming_fused(img2d: jnp.ndarray, ctx: _StripCtx,
+                            cfg: PipelineConfig) -> StreamFactor:
+    """Two-sweep fused finish (cfg.fused_finish): the coarse-Sinkhorn
+    factor's FOUR full-resolution kernel sweeps — extension rmatvec2,
+    polish matvec, polish rmatvec, colstats+V, each O(Np) exp-bound —
+    collapse into TWO Pallas passes whose kb tile serves both consumers
+    from VMEM (ops/pallas_streaming.ext2_matvec_pallas /
+    finish_colstats_pallas). On the XLA path a shared kb has two
+    consumers and gets materialized to HBM (the measured negative in
+    _normalize_streaming's polish note); inside a Pallas kernel the
+    fusion is structural.
+
+    The one math change vs the unfused path: basis0 must exist BEFORE the
+    final sweep, so the p x p spectrum (waa + cross -> basis0, vals) is
+    estimated from the PRE-polish scales — the same estimate class as
+    gram_coarse (the cross is already a decimated, energy-rescaled
+    estimate). Everything that touches pixels stays at POST-polish
+    scales: gr rows, v_a, the colstats column scales, norms, coeffs.
+    Parity + wall A/B vs the unfused path: cfg4_sweep.jsonl ffin_* rows."""
+    from ..ops import pallas_streaming as pst
+
+    idx_a = ctx.idx_a
+    n, p, n_pad, block = ctx.n, ctx.p, ctx.n_pad, ctx.block
+    fa_pad, f_t = ctx.fa_pad, ctx.f_t
+    p_pad = fa_pad.shape[0]
+    n_pad_k = f_t.shape[1]
+    m = cfg.num_eigvecs
+
+    s_a_pre, t_r, t_c = _coarse_sinkhorn_state(ctx, cfg)
+
+    # sweep 1: Sinkhorn extension + polish matvec (one kernel pass).
+    # b_mask is 0 on A columns and padding, so s_pre lands 0 there and
+    # those columns vanish from u — exactly strip_matvec(s * b_mask).
+    bm_k = jnp.zeros(n_pad_k, jnp.float32).at[:n_pad].set(ctx.b_mask)
+    t2 = (jnp.zeros((2, p_pad), jnp.float32)
+          .at[0, :p].set(t_r).at[1, :p].set(t_c))
+    u_pad, s_pre_k = pst.ext2_matvec_pallas(fa_pad, f_t, t2, bm_k)
+    u = u_pad[:p]
+
+    # p-side polish update: ks at the A rows is kaa s_a + u, and the
+    # extension vector of the polish rmatvec is t = s_a + K_AA^{-1} u
+    # (ktilde_apply's top/t, inlined here so sweep 2 can consume t).
+    top = ctx.kaa @ s_a_pre + u
+    t_vec = s_a_pre + ctx.kaa_solve(u)
+    s_a = jnp.sqrt(s_a_pre / jnp.maximum(top, _EPS))  # post-polish A scales
+
+    # pre-polish spectrum estimate (see docstring)
+    s_pre = s_pre_k[:n_pad]
+    waa_pre = ctx.kaa * (s_a_pre[:, None] * s_a_pre[None, :])
+    cross = _stream_cross(ctx, cfg, s_a_pre, s_pre)
+    vals_m, basis0 = _solve_pxp(cfg, waa_pre, cross)
+
+    # sweep 2: polish rmatvec + scale update + colstats + V (one pass)
+    y = img2d.astype(jnp.float32).ravel()
+    y_pad = jnp.zeros(n_pad, jnp.float32).at[:n].set(y)
+    y_k = jnp.zeros(n_pad_k, jnp.float32).at[:n_pad].set(y_pad)
+    gr = (jnp.zeros((p_pad, pst.M_PAD), jnp.float32)
+          .at[:p, :m].set(basis0 * s_a[:, None]))
+    t_pad = jnp.zeros(p_pad, jnp.float32).at[:p].set(t_vec)
+    # f32 feature norms (affinity_strip's precision policy: only the
+    # cross GEMM inputs round to the tile dtype)
+    fa32 = ctx.feats_a.astype(jnp.float32)
+    fp32 = ctx.feats_pad.astype(jnp.float32)
+    na = jnp.zeros(p_pad, jnp.float32).at[:p].set(
+        jnp.sum(fa32 * fa32, axis=1))
+    nb = jnp.zeros(n_pad_k, jnp.float32).at[:n_pad].set(
+        jnp.sum(fp32 * fp32, axis=1))
+    v, norms, coeffs_b, s_new_k = pst.finish_colstats_pallas(
+        fa_pad, f_t, t_pad, s_pre_k, bm_k, gr, y_k, na, nb)
+    v_b = v[:n_pad, :m]
+    s_b_cols = s_new_k[:n_pad]
+
+    waa = ctx.kaa * (s_a[:, None] * s_a[None, :])
+    v_a = waa @ basis0                                # (p, m)
+    dnorm = jnp.sum(v_a * v_a, axis=0) + norms[:m]
+    live = dnorm > _LIVE_NORM2
+    scale = jnp.where(live, 1.0 / jnp.sqrt(jnp.where(live, dnorm, 1.0)), 0.0)
+    y_a = jnp.take(y_pad, idx_a)
+    coeffs = scale * (v_a.T @ y_a + coeffs_b[:m])
+    return StreamFactor(vals=vals_m, basis0=basis0, v_a=v_a, scale=scale,
+                        coeffs=coeffs, s_a=s_a, s_b_cols=s_b_cols,
+                        feats_a=ctx.feats_a, feats_pad=ctx.feats_pad,
+                        y_pad=y_pad, v_b=v_b, n=n, block=block)
+
+
 def _factor_streaming(img2d: jnp.ndarray, idx_a: jnp.ndarray,
                       cfg: PipelineConfig) -> StreamFactor:
     """Affinity -> normalization -> Nystrom eigensolve, strip-free."""
     ctx = _strip_ctx(img2d, idx_a, cfg)
+    if _fused_finish_ok(ctx, cfg):
+        return _factor_streaming_fused(img2d, ctx, cfg)
     s = _normalize_streaming(ctx, cfg)
     return _eigensolve_streaming(img2d, ctx, s, cfg)
 

@@ -331,6 +331,238 @@ def rmatvec_pallas(feats_a_pad, feats_t, t, interpret: bool | None = None,
 
 M_PAD = 128
 
+# KEEP IN SYNC with models/streaming._EPS — the fused-finish kernels
+# inline the Sinkhorn scale updates that models/streaming.py otherwise
+# computes between sweeps.
+FINISH_EPS = 1e-30
+
+
+def _require_whole_p(p_pad: int, name: str) -> None:
+    """The fused-finish kernels keep the WHOLE sample block resident so a
+    kernel tile can serve two consumers without a p-tile accumulation
+    phase (a split-p grid would have to recompute kb per p-tile after the
+    full-p contraction lands, doubling the exp cost — the very thing the
+    fusion removes). Callers gate on this and fall back to the unfused
+    sweeps."""
+    if p_pad > MAX_TILE_P:
+        raise ValueError(
+            f"{name} needs p_pad <= {MAX_TILE_P} (whole-p tile), got "
+            f"{p_pad} — use the unfused sweeps for larger p")
+
+
+def _ext2_matvec_kernel(a_ref, b_ref, t2_ref, bm_ref, u_ref, s_ref):
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _():
+        u_ref[:] = jnp.zeros_like(u_ref)
+
+    dtype = a_ref.dtype
+    prec = "default" if dtype == jnp.bfloat16 else "highest"
+    kb = _kb_tile(a_ref[:], b_ref[:], dtype)              # (p, tn)
+    kbt = jnp.dot(t2_ref[:], kb, preferred_element_type=jnp.float32,
+                  precision=prec)                          # (2, tn) f32
+    prod = jnp.maximum(kbt[0:1, :] * kbt[1:2, :], FINISH_EPS)
+    s = bm_ref[:] / jnp.sqrt(prod)                         # (1, tn) f32
+    s_ref[:] = s
+    u_ref[:] += jnp.dot(kb, s.astype(dtype).T,
+                        preferred_element_type=jnp.float32, precision=prec)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def ext2_matvec_pallas(feats_a_pad, f_t, t2, b_mask,
+                       interpret: bool | None = None):
+    """Fused Sinkhorn extension + polish matvec — ONE full-resolution
+    sweep where the unfused schedule takes two:
+
+        kbt_j = k_j^T [t_r, t_c]                      (the rmatvec2 sweep)
+        s_j   = bm_j / sqrt(max(kbt_r * kbt_c, eps))  (pre-polish B scales)
+        u    += k_j s_j                               (the polish matvec)
+
+    ((p_pad, D), (D, n_pad), (2, p_pad) f32, (n_pad,) f32) ->
+    (u (p_pad,) f32, s (n_pad,) f32). The kernel tile kb serves BOTH dots
+    from VMEM — on the XLA path a shared kb has two consumers and gets
+    materialized to HBM, which is why the unfused schedule won there
+    (models/streaming.py polish note, measured 0.80 vs 0.68 s at 8 MP);
+    here the fusion is structural. Matvec precision class (_kb_tile:
+    bf16-exp when dtype is bf16), matching the strip matvecs this
+    replaces. b_mask must be 0 on A columns and padding (makes s exact
+    zero there, so they vanish from u, exactly as in the unfused path)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    p_pad = feats_a_pad.shape[0]
+    n_pad = f_t.shape[1]
+    dp = _check_dp(feats_a_pad, f_t)
+    dtype = feats_a_pad.dtype
+    _require_whole_p(p_pad, "ext2_matvec_pallas")
+    tn = _tile_n(dtype)
+    if n_pad % tn != 0:
+        raise ValueError(
+            f"ext2_matvec_pallas needs n_pad % {tn} == 0 (tile of {dtype}),"
+            f" got {n_pad} — pad with _tile_n, not a fixed width")
+    grid = (n_pad // tn,)
+    u, s = pl.pallas_call(
+        _ext2_matvec_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((p_pad, dp), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dp, tn), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, p_pad), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((p_pad, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((p_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * p_pad * n_pad * (dp + 3),
+            bytes_accessed=(p_pad + n_pad) * dp * dtype.itemsize
+            + 4 * (3 * p_pad + 2 * n_pad),
+            transcendentals=p_pad * n_pad,
+        ),
+        interpret=interpret,
+    )(feats_a_pad, f_t, t2.astype(dtype), b_mask.astype(jnp.float32)
+      .reshape(1, n_pad))
+    return u[:, 0], s[0]
+
+
+# fused-finish column tile: the f32 distance stack (cross/d2/exp) at
+# whole-p dominates scoped VMEM, so the tile is narrower than EMIT_TN's
+# (2048, 512) budget — (4096, 256) is the same p*tn working set.
+FIN_TN = 256
+
+
+def _finish_colstats_kernel(a_ref, b_ref, t_ref, sp_ref, bm_ref, g_ref,
+                            y_ref, na_ref, nb_ref,
+                            v_ref, ns_ref, co_ref, s_ref):
+    j = pl.program_id(0)
+    dtype = a_ref.dtype
+    prec = "default" if dtype == jnp.bfloat16 else "highest"
+    # colstats precision class (see _colstats_kernel): bf16 GEMM inputs
+    # only; norms arrive precomputed in f32 and the exp runs f32 — this
+    # pass feeds the output coefficients directly.
+    cross = jnp.dot(a_ref[:], b_ref[:], preferred_element_type=jnp.float32,
+                    precision=prec)
+    d2 = jnp.maximum(na_ref[:] + nb_ref[:] - 2.0 * cross, 0.0)
+    kb = jnp.exp(-d2).astype(dtype)                        # (p, tn)
+    ks = jnp.dot(t_ref[:], kb, preferred_element_type=jnp.float32,
+                 precision=prec)                           # (1, tn) f32
+    s_new = jnp.sqrt(sp_ref[:] / jnp.maximum(ks, FINISH_EPS)) * bm_ref[:]
+    s_ref[:] = s_new
+    vb = jnp.dot((kb * s_new.astype(dtype)).T, g_ref[:].astype(dtype),
+                 preferred_element_type=jnp.float32, precision=prec)
+    v_ref[:] = vb                                          # (tn, M_PAD)
+    ns = jnp.sum(vb * vb, axis=0, keepdims=True)
+    co = jnp.dot(y_ref[:], vb, preferred_element_type=jnp.float32,
+                 precision="highest")
+
+    @pl.when(j == 0)
+    def _():
+        ns_ref[:] = ns
+        co_ref[:] = co
+
+    @pl.when(j > 0)
+    def _():
+        ns_ref[:] += ns
+        co_ref[:] += co
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def finish_colstats_pallas(feats_a_pad, f_t, t, s_pre, b_mask, gr, y,
+                           na, nb, interpret: bool | None = None):
+    """Fused polish rmatvec + scale update + colstats + V — ONE sweep
+    where the unfused schedule takes two:
+
+        ks_j  = k_j^T t                                (the polish rmatvec)
+        s_j   = sqrt(s_pre_j / max(ks_j, eps)) * bm_j  (post-polish scale)
+        V_j   = (s_j k_j)^T gr;  norms += V_j^2;  coeffs += y_j V_j
+
+    ((p_pad, D), (D, n_pad), (p_pad,), (n_pad,) f32, (n_pad,) f32,
+    (p_pad, M_PAD) f32, (n_pad,) f32, (p_pad,) f32, (n_pad,) f32) ->
+    (V (n_pad, M_PAD) f32, norms (M_PAD,), coeffs (M_PAD,), s (n_pad,)).
+
+    ``gr`` carries the POST-polish row scale folded in, m zero-padded to
+    M_PAD (zero columns stay exact zeros); ``t`` is the polish p-vector
+    (s_a_pre + K_AA^{-1} u); ``s_pre``/``b_mask`` are 0 on A columns and
+    padding, so those columns produce s_j = 0 and vanish from V/norms/
+    coeffs (A rows are handled on the p side, as in the unfused path)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    p_pad = feats_a_pad.shape[0]
+    n_pad = f_t.shape[1]
+    dp = _check_dp(feats_a_pad, f_t)
+    dtype = feats_a_pad.dtype
+    _require_whole_p(p_pad, "finish_colstats_pallas")
+    tn = FIN_TN
+    if n_pad % tn != 0:
+        raise ValueError(
+            f"finish_colstats_pallas needs n_pad % {tn} == 0, got {n_pad} "
+            f"(both _tile_n paddings are multiples of {tn})")
+    grid = (n_pad // tn,)
+    v, ns, co, s = pl.pallas_call(
+        _finish_colstats_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((p_pad, dp), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dp, tn), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p_pad), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((p_pad, M_PAD), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((p_pad, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tn, M_PAD), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M_PAD), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M_PAD), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, M_PAD), jnp.float32),
+            jax.ShapeDtypeStruct((1, M_PAD), jnp.float32),
+            jax.ShapeDtypeStruct((1, M_PAD), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * p_pad * n_pad * (dp + M_PAD + 1),
+            bytes_accessed=(p_pad + n_pad) * dp * dtype.itemsize
+            + 4 * n_pad * (M_PAD + 4) + 4 * p_pad * (M_PAD + 2),
+            transcendentals=p_pad * n_pad,
+        ),
+        interpret=interpret,
+    )(feats_a_pad, f_t, t.astype(dtype).reshape(1, p_pad),
+      s_pre.astype(jnp.float32).reshape(1, n_pad),
+      b_mask.astype(jnp.float32).reshape(1, n_pad), gr,
+      y.astype(jnp.float32).reshape(1, n_pad),
+      na.astype(jnp.float32).reshape(p_pad, 1),
+      nb.astype(jnp.float32).reshape(1, n_pad))
+    return v, ns[0], co[0], s[0]
+
 
 def _colstats_kernel(a_ref, b_ref, c_ref, g_ref, y_ref, na_ref, nb_ref,
                      v_ref, ns_ref, co_ref, *, np_tiles):

@@ -117,6 +117,116 @@ def test_colstats_v_pallas_matches_xla():
                               na, jnp.zeros(n_pad + 256))
 
 
+def test_ext2_matvec_pallas_matches_xla():
+    """Fused extension+polish-matvec kernel == the two-sweep XLA
+    composition (rmatvec2 -> s -> matvec), f32 exact / bf16 same class."""
+    import jax.numpy as jnp
+
+    from graphlap_tpu.ops import pallas_streaming as pst
+    from graphlap_tpu.ops import streaming as st
+
+    rng = np.random.default_rng(5)
+    p, n_pad, d, block = 512, 2048, 25, 512
+    feats_a = jnp.asarray(rng.normal(0, 0.3, size=(p, d)).astype(np.float32))
+    feats_pad = jnp.asarray(
+        rng.normal(0, 0.3, size=(n_pad, d)).astype(np.float32))
+    t_r = jnp.asarray(rng.uniform(0.5, 1.5, p).astype(np.float32))
+    t_c = jnp.asarray(rng.uniform(0.5, 1.5, p).astype(np.float32))
+    b_mask = jnp.asarray((rng.uniform(size=n_pad) > 0.2).astype(np.float32))
+    ones_p = jnp.ones(p, jnp.float32)
+    _, p_pad = pst.p_tiling(p)
+
+    for dtype, tol in ((jnp.float32, 2e-5), (jnp.bfloat16, 2e-2)):
+        kbt = st.rmatvec2(feats_a, feats_pad, jnp.stack([t_r, t_c], axis=1),
+                          b_mask, block, dtype)
+        prod = jnp.maximum(kbt[:, 0] * kbt[:, 1], 1e-30)
+        s_x = b_mask / jnp.sqrt(prod)
+        u_x = st.matvec(feats_a, feats_pad, s_x, ones_p,
+                        jnp.ones_like(s_x), block, dtype)
+        dp = pst.d_pad_of(d)
+        tn = pst._tile_n(dtype)
+        n_k = -(-n_pad // tn) * tn
+        fa_pad = (jnp.zeros((p_pad, dp), dtype)
+                  .at[:p, :d].set(feats_a.astype(dtype)))
+        f_t = (jnp.zeros((dp, n_k), dtype)
+               .at[:d, :n_pad].set(feats_pad.astype(dtype).T))
+        bm_k = jnp.zeros(n_k, jnp.float32).at[:n_pad].set(b_mask)
+        t2 = (jnp.zeros((2, p_pad), jnp.float32)
+              .at[0, :p].set(t_r).at[1, :p].set(t_c))
+        u_p, s_p = pst.ext2_matvec_pallas(fa_pad, f_t, t2, bm_k)
+        scale_u = float(jnp.abs(u_x).max())
+        scale_s = float(jnp.abs(s_x).max())
+        np.testing.assert_allclose(np.asarray(u_p[:p]), np.asarray(u_x),
+                                   atol=tol * scale_u)
+        np.testing.assert_allclose(np.asarray(s_p[:n_pad]), np.asarray(s_x),
+                                   atol=tol * scale_s)
+        if n_k > n_pad:          # pad columns vanish exactly (bm = 0)
+            assert float(jnp.abs(s_p[n_pad:]).max()) == 0.0
+
+    with pytest.raises(ValueError, match="whole-p"):
+        pst.ext2_matvec_pallas(
+            jnp.zeros((2 * pst.MAX_TILE_P, 32), jnp.float32),
+            jnp.zeros((32, 1024), jnp.float32),
+            jnp.zeros((2, 2 * pst.MAX_TILE_P)), jnp.zeros(1024))
+
+
+def test_finish_colstats_pallas_matches_xla():
+    """Fused rmatvec+scale-update+colstats kernel == the XLA composition
+    (rmatvec -> s_new -> rmatmat_colstats_v), both precision classes."""
+    import jax.numpy as jnp
+
+    from graphlap_tpu.ops import pallas_streaming as pst
+    from graphlap_tpu.ops import streaming as st
+
+    rng = np.random.default_rng(6)
+    p, n_pad, d, m, block = 512, 2048, 25, 20, 512
+    feats_a = jnp.asarray(rng.normal(0, 0.3, size=(p, d)).astype(np.float32))
+    feats_pad = jnp.asarray(
+        rng.normal(0, 0.3, size=(n_pad, d)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(p, m)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(n_pad,)).astype(np.float32))
+    rs = jnp.asarray(rng.uniform(0.5, 1.5, p).astype(np.float32))
+    t = jnp.asarray(rng.uniform(0.5, 1.5, p).astype(np.float32))
+    s_pre = jnp.asarray(rng.uniform(0.0, 1.5, n_pad).astype(np.float32))
+    b_mask = jnp.asarray((rng.uniform(size=n_pad) > 0.2).astype(np.float32))
+    s_pre = s_pre * b_mask
+    ones_p = jnp.ones(p, jnp.float32)
+    _, p_pad = pst.p_tiling(p)
+
+    for dtype, tol in ((jnp.float32, 2e-5), (jnp.bfloat16, 5e-3)):
+        ks_x = st.rmatvec(feats_a, feats_pad, t, ones_p,
+                          jnp.ones(n_pad, jnp.float32), block, dtype)
+        s_new_x = jnp.sqrt(s_pre / jnp.maximum(ks_x, 1e-30)) * b_mask
+        norms_x, coeffs_x, v_x = st.rmatmat_colstats_v(
+            feats_a, feats_pad, g, y, rs, s_new_x, block, dtype)
+        dp = pst.d_pad_of(d)
+        n_k = n_pad                      # 2048 % FIN_TN == 0 already
+        fa_pad = (jnp.zeros((p_pad, dp), dtype)
+                  .at[:p, :d].set(feats_a.astype(dtype)))
+        f_t = (jnp.zeros((dp, n_k), dtype)
+               .at[:d, :n_pad].set(feats_pad.astype(dtype).T))
+        gr = (jnp.zeros((p_pad, pst.M_PAD), jnp.float32)
+              .at[:p, :m].set(g * rs[:, None]))
+        na = (jnp.zeros(p_pad, jnp.float32)
+              .at[:p].set(jnp.sum(feats_a * feats_a, axis=1)))
+        nb = jnp.sum(feats_pad * feats_pad, axis=1)
+        t_pad = jnp.zeros(p_pad, jnp.float32).at[:p].set(t)
+        v_p, ns_p, co_p, s_nk = pst.finish_colstats_pallas(
+            fa_pad, f_t, t_pad, s_pre, b_mask, gr, y, na, nb)
+        sv = float(jnp.abs(v_x).max())
+        np.testing.assert_allclose(np.asarray(v_p[:n_pad, :m]),
+                                   np.asarray(v_x), atol=tol * sv)
+        np.testing.assert_allclose(np.asarray(s_nk[:n_pad]),
+                                   np.asarray(s_new_x),
+                                   atol=tol * float(jnp.abs(s_new_x).max()))
+        np.testing.assert_allclose(np.asarray(ns_p[:m]), np.asarray(norms_x),
+                                   rtol=100 * tol)
+        np.testing.assert_allclose(np.asarray(co_p[:m]), np.asarray(coeffs_x),
+                                   rtol=100 * tol,
+                                   atol=tol * float(jnp.abs(coeffs_x).max()))
+        assert float(jnp.abs(v_p[:, m:]).max()) == 0.0
+
+
 def test_streaming_kernels_narrow_d_pad():
     """The kernels accept the production (d_pad_of = 32)-wide feature
     layout — the capacity-enabling one: the 128-wide transposed copy is
