@@ -1,8 +1,14 @@
 """Per-kernel walls of the fused-finish passes vs their unfused
 counterparts at the cfg4 shape (8 MP, p=4096, bf16, d=27 NLM).
 
-    python benchmarks/ffin_kernels_ab.py     # real TPU
-Prints one JSON line per op; appends to benchmarks/results/profile.jsonl.
+    python benchmarks/ffin_kernels_ab.py            # all ops, one process
+    python benchmarks/ffin_kernels_ab.py <op> ...   # only the named ops
+
+Prints one JSON line; appends to benchmarks/results/profile.jsonl. The
+per-op mode exists because this box's remote-compile endpoint drops the
+pipe on long compile sessions (two full-run attempts died mid-compile):
+run one op per process and a broken pipe costs one op, and the
+persistent compile cache makes the retry warm.
 """
 
 from __future__ import annotations
@@ -77,27 +83,62 @@ def main():
     t2p = jnp.zeros((2, p_pad), jnp.float32).at[:, :p].set(t2.T)
     t1p = jnp.zeros(p_pad, jnp.float32).at[:p].set(t1)
 
-    rows = {}
-    rows["rmatvec2_xla"] = wall(
-        jax.jit(lambda: st.rmatvec2(feats_a, feats_pad, t2, b_mask,
-                                    block, dtype)))
-    rows["matvec_pallas"] = wall(
-        lambda: pst.matvec_pallas(fa_pad, f_t, jnp.zeros(n_k).at[:n_pad]
-                                  .set(s1)))
-    rows["rmatvec_pallas"] = wall(
-        lambda: pst.rmatvec_pallas(fa_pad, f_t, t1p))
-    rows["ext2_matvec_pallas"] = wall(
-        lambda: pst.ext2_matvec_pallas(fa_pad, f_t, t2p,
-                                       jnp.zeros(n_k).at[:n_pad]
-                                       .set(b_mask)))
-    rows["colstats_v_xla"] = wall(
-        jax.jit(lambda: st.rmatmat_colstats_v(feats_a, feats_pad, g, y,
-                                              ones_p, s1, block, dtype)))
-    rows["finish_colstats_pallas"] = wall(
-        lambda: pst.finish_colstats_pallas(
-            fa_pad, f_t, t1p, jnp.zeros(n_k).at[:n_pad].set(s1),
-            jnp.zeros(n_k).at[:n_pad].set(b_mask), gr,
-            jnp.zeros(n_k).at[:n_pad].set(y), na, nb))
+    # NOTE: the XLA thunks must take the big arrays as jit ARGUMENTS —
+    # a nullary jit(lambda: ...) closure bakes the 900 MB feats_pad into
+    # the HLO as a literal, and shipping that program to this box's
+    # remote-compile endpoint breaks the pipe (three observed failures).
+    thunks = {
+        "rmatvec2_xla": lambda: wall(
+            jax.jit(lambda fa, fp, t, bm: st.rmatvec2(fa, fp, t, bm,
+                                                      block, dtype)),
+            feats_a, feats_pad, t2, b_mask),
+        "matvec_pallas": lambda: wall(
+            lambda: pst.matvec_pallas(fa_pad, f_t, jnp.zeros(n_k)
+                                      .at[:n_pad].set(s1))),
+        "rmatvec_pallas": lambda: wall(
+            lambda: pst.rmatvec_pallas(fa_pad, f_t, t1p)),
+        "ext2_matvec_pallas": lambda: wall(
+            lambda: pst.ext2_matvec_pallas(fa_pad, f_t, t2p,
+                                           jnp.zeros(n_k).at[:n_pad]
+                                           .set(b_mask))),
+        "colstats_v_xla": lambda: wall(
+            jax.jit(lambda fa, fp, gg, yy, op, ss: st.rmatmat_colstats_v(
+                fa, fp, gg, yy, op, ss, block, dtype)),
+            feats_a, feats_pad, g, y, ones_p, s1),
+        "finish_colstats_pallas": lambda: wall(
+            lambda: pst.finish_colstats_pallas(
+                fa_pad, f_t, t1p, jnp.zeros(n_k).at[:n_pad].set(s1),
+                jnp.zeros(n_k).at[:n_pad].set(b_mask), gr,
+                jnp.zeros(n_k).at[:n_pad].set(y), na, nb)),
+        # tuning variants: 64-wide eigvec pad (m=50 fits; half the V GEMM
+        # + V traffic) and wider column tiles (fewer grid steps)
+        "finish_m64": lambda: wall(
+            lambda: pst.finish_colstats_pallas(
+                fa_pad, f_t, t1p, jnp.zeros(n_k).at[:n_pad].set(s1),
+                jnp.zeros(n_k).at[:n_pad].set(b_mask), gr[:, :64],
+                jnp.zeros(n_k).at[:n_pad].set(y), na, nb)),
+        "finish_m64_tn512": lambda: wall(
+            lambda: pst.finish_colstats_pallas(
+                fa_pad, f_t, t1p, jnp.zeros(n_k).at[:n_pad].set(s1),
+                jnp.zeros(n_k).at[:n_pad].set(b_mask), gr[:, :64],
+                jnp.zeros(n_k).at[:n_pad].set(y), na, nb, tn=512)),
+        "finish_m128_tn512": lambda: wall(
+            lambda: pst.finish_colstats_pallas(
+                fa_pad, f_t, t1p, jnp.zeros(n_k).at[:n_pad].set(s1),
+                jnp.zeros(n_k).at[:n_pad].set(b_mask), gr,
+                jnp.zeros(n_k).at[:n_pad].set(y), na, nb, tn=512)),
+        "ext2_tn512": lambda: wall(
+            lambda: pst.ext2_matvec_pallas(fa_pad, f_t, t2p,
+                                           jnp.zeros(n_k).at[:n_pad]
+                                           .set(b_mask), tn=512)),
+        "ext2_tn2048": lambda: wall(
+            lambda: pst.ext2_matvec_pallas(fa_pad, f_t, t2p,
+                                           jnp.zeros(n_k).at[:n_pad]
+                                           .set(b_mask), tn=2048)),
+    }
+    import sys
+    names = sys.argv[1:] or list(thunks)
+    rows = {name: thunks[name]() for name in names}
 
     rec = {"op_walls_8mp_ffin": {k: round(v, 4) for k, v in rows.items()},
            "device": str(jax.devices()[0]), "ts": time.time()}

@@ -58,7 +58,9 @@ def main():
         plan = make_plan(noisy, base)
         ref_cfg = base.replace(sinkhorn_iters=10)   # the sweep's reference
         _, ref_out = device_wall_and_out(noisy, ref_cfg, plan, reps=1)
-        for name, cfg in (("ffin_off", headline), ("ffin_on", fused)):
+        # ffin2_*: the parity-exact schedule (post-polish decimated
+        # spectrum); the original pre-polish rows are the ffin_* history
+        for name, cfg in (("ffin2_off", headline), ("ffin2_on", fused)):
             wall, out = device_wall_and_out(noisy, cfg, plan)
             rec = {
                 "recipe": f"{name}_seed{seed}",

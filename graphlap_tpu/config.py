@@ -230,14 +230,16 @@ class PipelineConfig:
                                      # (ops/pallas_streaming
                                      # ext2_matvec_pallas /
                                      # finish_colstats_pallas). The p x p
-                                     # spectrum is then estimated from the
-                                     # PRE-polish scales (basis0 must
-                                     # exist before the last sweep) —
-                                     # the same estimate class as
-                                     # gram_coarse; parity + wall A/B in
-                                     # cfg4_sweep.jsonl ffin_* rows.
+                                     # spectrum takes POST-polish scales
+                                     # from a 1/gram_coarse-cost
+                                     # decimated rmatvec between the
+                                     # sweeps (basis0 must exist before
+                                     # the last sweep) — the same
+                                     # estimator the unfused gc recipe
+                                     # runs; parity + wall A/B in
+                                     # cfg4_sweep.jsonl ffin_*/ffin2_*.
                                      # Requires streaming + use_pallas +
-                                     # sinkhorn_coarse>1 +
+                                     # sinkhorn_coarse>1 + gram_coarse>1 +
                                      # sinkhorn_polish==1 (validated);
                                      # falls back to the unfused sweeps on
                                      # shape gates (p_pad > 4096, m > 128,
@@ -367,6 +369,13 @@ class PipelineConfig:
                     "fused_finish fuses the coarse-Sinkhorn finishing "
                     "sweeps: it requires normalization='sinkhorn', "
                     "sinkhorn_coarse > 1 and sinkhorn_polish == 1")
+            if self.gram_coarse <= 1:
+                raise ValueError(
+                    "fused_finish needs gram_coarse > 1: its p x p "
+                    "spectrum takes post-polish scales from a decimated "
+                    "rmatvec at the gram-sample columns (a full-column "
+                    "gram would need the full-res polish the fused "
+                    "schedule is avoiding)")
 
     def operator_filter(self) -> bool:
         """True for the eigensolve-free application modes (matvec exact

@@ -308,10 +308,20 @@ def _normalize_streaming(ctx: _StripCtx, cfg: PipelineConfig) -> jnp.ndarray:
 
 
 def _stream_cross(ctx: _StripCtx, cfg: PipelineConfig, s_a: jnp.ndarray,
-                  s_b_cols: jnp.ndarray) -> jnp.ndarray:
+                  s_b_cols: jnp.ndarray,
+                  s_sampled: jnp.ndarray | None = None) -> jnp.ndarray:
     """The (p, p) cross (D C D)(D C D)^T from the streaming strip — full
     or decimated-column estimate (gram_coarse). Shared by the unfused
-    eigensolve and the fused finish."""
+    eigensolve and the fused finish.
+
+    ``s_sampled``: optional (n_pad // gram_coarse,) column scales to use
+    AT the gram sample columns, in ``gram_sample_idx`` order (the fused
+    finish computes POST-polish scales only there — a 1/kg-cost sweep).
+    The energy ratio still comes from the full ``s_b_cols`` vector: the
+    estimator is G ~= (sum c^2 / sum_S c^2) * sum_S (c_j k_j)(c_j k_j)^T,
+    and with post-polish c_j known only on S, the unknown full post-mass
+    cancels — sum_all post^2 ~= sum_all pre^2 * (sum_S post^2 /
+    sum_S pre^2), so the ratio reduces to the PRE-polish one."""
     feats_a, feats_pad = ctx.feats_a, ctx.feats_pad
     p, n_pad, block, dtype = ctx.p, ctx.n_pad, ctx.block, ctx.dtype
     fa_pad, f_t = ctx.fa_pad, ctx.f_t
@@ -343,10 +353,13 @@ def _stream_cross(ctx: _StripCtx, cfg: PipelineConfig, s_a: jnp.ndarray,
             f"gram_coarse={kg} must divide the active block "
             f"width min(block_cols, N)={block}")
         jidx = jnp.asarray(gram_sample_idx(n_pad, kg, cfg.gram_jitter_seed))
-        cols_g = jnp.take(s_b_cols, jidx)
+        pre_g = jnp.take(s_b_cols, jidx)
         ratio_g = (jnp.sum(s_b_cols * s_b_cols)
-                   / jnp.maximum(jnp.sum(cols_g * cols_g), _EPS))
+                   / jnp.maximum(jnp.sum(pre_g * pre_g), _EPS))
+        cols_g = pre_g if s_sampled is None else s_sampled
         return ratio_g * stream_gram(cols_g, block // kg, jidx)
+    if s_sampled is not None:
+        raise ValueError("s_sampled requires gram_coarse > 1")
     return stream_gram(s_b_cols, block, None)
 
 
@@ -426,7 +439,8 @@ def _fused_finish_ok(ctx: _StripCtx, cfg: PipelineConfig) -> bool:
     from ..ops import pallas_streaming as pst
     if ctx.fa_pad.shape[0] > pst.MAX_TILE_P or cfg.num_eigvecs > pst.M_PAD:
         return False
-    return ctx.f_t.shape[1] * pst.M_PAD * 4 <= _V_BYTES_CAP
+    return (ctx.f_t.shape[1] * pst.m_pad_of(cfg.num_eigvecs) * 4
+            <= _V_BYTES_CAP)
 
 
 def _factor_streaming_fused(img2d: jnp.ndarray, ctx: _StripCtx,
@@ -441,13 +455,19 @@ def _factor_streaming_fused(img2d: jnp.ndarray, ctx: _StripCtx,
     _normalize_streaming's polish note); inside a Pallas kernel the
     fusion is structural.
 
-    The one math change vs the unfused path: basis0 must exist BEFORE the
-    final sweep, so the p x p spectrum (waa + cross -> basis0, vals) is
-    estimated from the PRE-polish scales — the same estimate class as
-    gram_coarse (the cross is already a decimated, energy-rescaled
-    estimate). Everything that touches pixels stays at POST-polish
-    scales: gr rows, v_a, the colstats column scales, norms, coeffs.
-    Parity + wall A/B vs the unfused path: cfg4_sweep.jsonl ffin_* rows."""
+    basis0 must exist BEFORE the final sweep, so the p x p spectrum
+    (waa + cross -> basis0, vals) cannot wait for sweep 2's full-res
+    polished scales. It instead uses POST-polish scales computed at just
+    the gram-sample columns by a 1/gram_coarse-cost decimated rmatvec
+    between the sweeps (hence the config requirement gram_coarse > 1) —
+    the identical values the unfused path's full polish produces at
+    those columns, so the spectrum is the same estimator the proven
+    unfused gc recipe runs. (The first cut used PRE-polish scales and
+    measured 0.61 dB — over the gate; cfg4_sweep.jsonl ffin_* rows.)
+    Everything that touches pixels is at POST-polish scales on both
+    schedules: gr rows, v_a, the colstats column scales, norms, coeffs.
+    Parity + wall A/B vs the unfused path: cfg4_sweep.jsonl ffin2_*
+    rows."""
     from ..ops import pallas_streaming as pst
 
     idx_a = ctx.idx_a
@@ -475,17 +495,34 @@ def _factor_streaming_fused(img2d: jnp.ndarray, ctx: _StripCtx,
     t_vec = s_a_pre + ctx.kaa_solve(u)
     s_a = jnp.sqrt(s_a_pre / jnp.maximum(top, _EPS))  # post-polish A scales
 
-    # pre-polish spectrum estimate (see docstring)
+    # post-polish spectrum from a 1/kg-cost decimated sweep (the first
+    # fused cut used the PRE-polish scales here and measured 0.61 dB —
+    # over the gate, cfg4_sweep.jsonl ffin_* rows). The polish value at
+    # any column j is s_post_j = sqrt(s_pre_j / (K~ s_pre)_j) with
+    # (K~ s_pre)_j = k_j^T t_vec — the SAME t_vec sweep 2 consumes — so
+    # evaluating it at just the gram-sample columns costs one decimated
+    # rmatvec and makes the spectrum the SAME estimator the unfused gc
+    # recipe runs (post-polish columns, pre-polish energy ratio; see
+    # _stream_cross docstring for why the ratio stays pre-polish).
     s_pre = s_pre_k[:n_pad]
-    waa_pre = ctx.kaa * (s_a_pre[:, None] * s_a_pre[None, :])
-    cross = _stream_cross(ctx, cfg, s_a_pre, s_pre)
-    vals_m, basis0 = _solve_pxp(cfg, waa_pre, cross)
+    kg = cfg.gram_coarse
+    jidx = jnp.asarray(gram_sample_idx(n_pad, kg, cfg.gram_jitter_seed))
+    feats_j = jnp.take(ctx.feats_pad, jidx, axis=0)
+    ks_j = st.rmatvec(ctx.feats_a, feats_j, t_vec, ctx.ones_p,
+                      jnp.ones(jidx.shape[0], jnp.float32),
+                      ctx.block // kg, ctx.dtype)
+    s_pre_j = jnp.take(s_pre, jidx)
+    s_post_j = jnp.where(s_pre_j > 0.0,
+                         jnp.sqrt(s_pre_j / jnp.maximum(ks_j, _EPS)), 0.0)
+    waa = ctx.kaa * (s_a[:, None] * s_a[None, :])
+    cross = _stream_cross(ctx, cfg, s_a, s_pre, s_sampled=s_post_j)
+    vals_m, basis0 = _solve_pxp(cfg, waa, cross)
 
     # sweep 2: polish rmatvec + scale update + colstats + V (one pass)
     y = img2d.astype(jnp.float32).ravel()
     y_pad = jnp.zeros(n_pad, jnp.float32).at[:n].set(y)
     y_k = jnp.zeros(n_pad_k, jnp.float32).at[:n_pad].set(y_pad)
-    gr = (jnp.zeros((p_pad, pst.M_PAD), jnp.float32)
+    gr = (jnp.zeros((p_pad, pst.m_pad_of(m)), jnp.float32)
           .at[:p, :m].set(basis0 * s_a[:, None]))
     t_pad = jnp.zeros(p_pad, jnp.float32).at[:p].set(t_vec)
     # f32 feature norms (affinity_strip's precision policy: only the
@@ -501,7 +538,6 @@ def _factor_streaming_fused(img2d: jnp.ndarray, ctx: _StripCtx,
     v_b = v[:n_pad, :m]
     s_b_cols = s_new_k[:n_pad]
 
-    waa = ctx.kaa * (s_a[:, None] * s_a[None, :])
     v_a = waa @ basis0                                # (p, m)
     dnorm = jnp.sum(v_a * v_a, axis=0) + norms[:m]
     live = dnorm > _LIVE_NORM2

@@ -331,6 +331,18 @@ def rmatvec_pallas(feats_a_pad, feats_t, t, interpret: bool | None = None,
 
 M_PAD = 128
 
+
+def m_pad_of(m: int) -> int:
+    """Eigvec-axis pad for the fused-finish V buffer. A 64-wide pad for
+    m <= 64 (half the V-GEMM FLOPs + half the V traffic) is a MEASURED
+    NEGATIVE: 0.331 s (tn=256) / 0.229 s (tn=512) vs 0.243 / 0.185 for
+    the 128 pad at 8 MP (profile.jsonl finish_m64* rows) — the 64-lane
+    minor dim halves MXU lane utilization, which costs more than the
+    saved FLOPs. The kernel still accepts 64-wide ``gr`` for
+    re-measurement on future hardware; production always pads to 128."""
+    return M_PAD
+
+
 # KEEP IN SYNC with models/streaming._EPS — the fused-finish kernels
 # inline the Sinkhorn scale updates that models/streaming.py otherwise
 # computes between sweeps.
@@ -369,9 +381,10 @@ def _ext2_matvec_kernel(a_ref, b_ref, t2_ref, bm_ref, u_ref, s_ref):
                         preferred_element_type=jnp.float32, precision=prec)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "tn"))
 def ext2_matvec_pallas(feats_a_pad, f_t, t2, b_mask,
-                       interpret: bool | None = None):
+                       interpret: bool | None = None,
+                       tn: int | None = None):
     """Fused Sinkhorn extension + polish matvec — ONE full-resolution
     sweep where the unfused schedule takes two:
 
@@ -395,7 +408,8 @@ def ext2_matvec_pallas(feats_a_pad, f_t, t2, b_mask,
     dp = _check_dp(feats_a_pad, f_t)
     dtype = feats_a_pad.dtype
     _require_whole_p(p_pad, "ext2_matvec_pallas")
-    tn = _tile_n(dtype)
+    if tn is None:
+        tn = _tile_n(dtype)
     if n_pad % tn != 0:
         raise ValueError(
             f"ext2_matvec_pallas needs n_pad % {tn} == 0 (tile of {dtype}),"
@@ -436,10 +450,16 @@ def ext2_matvec_pallas(feats_a_pad, f_t, t2, b_mask,
     return u[:, 0], s[0]
 
 
-# fused-finish column tile: the f32 distance stack (cross/d2/exp) at
-# whole-p dominates scoped VMEM, so the tile is narrower than EMIT_TN's
-# (2048, 512) budget — (4096, 256) is the same p*tn working set.
+# fused-finish column tile. bf16 takes (4096, 512): measured 0.185 s vs
+# 0.243 s at tn=256 at 8 MP (profile.jsonl finish_m128_tn512 row — fewer,
+# fatter grid steps win once the f32 distance stack fits). f32 keeps 256:
+# its (4096, 512) cross/d2 stack measured 17.92 MB scoped VMEM (> the
+# 16 MB limit) in the matvec kernels — same working set here.
 FIN_TN = 256
+
+
+def _fin_tn(dtype) -> int:
+    return 512 if dtype == jnp.bfloat16 else FIN_TN
 
 
 def _finish_colstats_kernel(a_ref, b_ref, t_ref, sp_ref, bm_ref, g_ref,
@@ -477,9 +497,10 @@ def _finish_colstats_kernel(a_ref, b_ref, t_ref, sp_ref, bm_ref, g_ref,
         co_ref[:] += co
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "tn"))
 def finish_colstats_pallas(feats_a_pad, f_t, t, s_pre, b_mask, gr, y,
-                           na, nb, interpret: bool | None = None):
+                           na, nb, interpret: bool | None = None,
+                           tn: int | None = None):
     """Fused polish rmatvec + scale update + colstats + V — ONE sweep
     where the unfused schedule takes two:
 
@@ -488,14 +509,16 @@ def finish_colstats_pallas(feats_a_pad, f_t, t, s_pre, b_mask, gr, y,
         V_j   = (s_j k_j)^T gr;  norms += V_j^2;  coeffs += y_j V_j
 
     ((p_pad, D), (D, n_pad), (p_pad,), (n_pad,) f32, (n_pad,) f32,
-    (p_pad, M_PAD) f32, (n_pad,) f32, (p_pad,) f32, (n_pad,) f32) ->
-    (V (n_pad, M_PAD) f32, norms (M_PAD,), coeffs (M_PAD,), s (n_pad,)).
+    (p_pad, m_pad) f32, (n_pad,) f32, (p_pad,) f32, (n_pad,) f32) ->
+    (V (n_pad, m_pad) f32, norms (m_pad,), coeffs (m_pad,), s (n_pad,)).
 
     ``gr`` carries the POST-polish row scale folded in, m zero-padded to
-    M_PAD (zero columns stay exact zeros); ``t`` is the polish p-vector
-    (s_a_pre + K_AA^{-1} u); ``s_pre``/``b_mask`` are 0 on A columns and
-    padding, so those columns produce s_j = 0 and vanish from V/norms/
-    coeffs (A rows are handled on the p side, as in the unfused path)."""
+    m_pad_of(m) — 64 or 128, inferred from gr.shape[1]; zero columns stay
+    exact zeros. ``t`` is the polish p-vector (s_a_pre + K_AA^{-1} u);
+    ``s_pre``/``b_mask`` are 0 on A columns and padding, so those columns
+    produce s_j = 0 and vanish from V/norms/coeffs (A rows are handled on
+    the p side, as in the unfused path). ``tn`` overrides the column-tile
+    width (benchmarks only; None = _fin_tn(dtype))."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     p_pad = feats_a_pad.shape[0]
@@ -503,7 +526,13 @@ def finish_colstats_pallas(feats_a_pad, f_t, t, s_pre, b_mask, gr, y,
     dp = _check_dp(feats_a_pad, f_t)
     dtype = feats_a_pad.dtype
     _require_whole_p(p_pad, "finish_colstats_pallas")
-    tn = FIN_TN
+    m_pad = gr.shape[1]
+    if m_pad not in (64, M_PAD):
+        raise ValueError(
+            f"finish_colstats_pallas needs gr padded to 64 or {M_PAD} "
+            f"columns (m_pad_of), got {m_pad}")
+    if tn is None:
+        tn = _fin_tn(dtype)
     if n_pad % tn != 0:
         raise ValueError(
             f"finish_colstats_pallas needs n_pad % {tn} == 0, got {n_pad} "
@@ -523,7 +552,7 @@ def finish_colstats_pallas(feats_a_pad, f_t, t, s_pre, b_mask, gr, y,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tn), lambda j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((p_pad, M_PAD), lambda j: (0, 0),
+            pl.BlockSpec((p_pad, m_pad), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tn), lambda j: (0, j),
                          memory_space=pltpu.VMEM),
@@ -533,25 +562,25 @@ def finish_colstats_pallas(feats_a_pad, f_t, t, s_pre, b_mask, gr, y,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((tn, M_PAD), lambda j: (j, 0),
+            pl.BlockSpec((tn, m_pad), lambda j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, M_PAD), lambda j: (0, 0),
+            pl.BlockSpec((1, m_pad), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, M_PAD), lambda j: (0, 0),
+            pl.BlockSpec((1, m_pad), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tn), lambda j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_pad, M_PAD), jnp.float32),
-            jax.ShapeDtypeStruct((1, M_PAD), jnp.float32),
-            jax.ShapeDtypeStruct((1, M_PAD), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, m_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, m_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, m_pad), jnp.float32),
             jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * p_pad * n_pad * (dp + M_PAD + 1),
+            flops=2 * p_pad * n_pad * (dp + m_pad + 1),
             bytes_accessed=(p_pad + n_pad) * dp * dtype.itemsize
-            + 4 * n_pad * (M_PAD + 4) + 4 * p_pad * (M_PAD + 2),
+            + 4 * n_pad * (m_pad + 4) + 4 * p_pad * (m_pad + 2),
             transcendentals=p_pad * n_pad,
         ),
         interpret=interpret,

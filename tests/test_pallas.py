@@ -205,26 +205,29 @@ def test_finish_colstats_pallas_matches_xla():
                   .at[:p, :d].set(feats_a.astype(dtype)))
         f_t = (jnp.zeros((dp, n_k), dtype)
                .at[:d, :n_pad].set(feats_pad.astype(dtype).T))
-        gr = (jnp.zeros((p_pad, pst.M_PAD), jnp.float32)
-              .at[:p, :m].set(g * rs[:, None]))
         na = (jnp.zeros(p_pad, jnp.float32)
               .at[:p].set(jnp.sum(feats_a * feats_a, axis=1)))
         nb = jnp.sum(feats_pad * feats_pad, axis=1)
         t_pad = jnp.zeros(p_pad, jnp.float32).at[:p].set(t)
-        v_p, ns_p, co_p, s_nk = pst.finish_colstats_pallas(
-            fa_pad, f_t, t_pad, s_pre, b_mask, gr, y, na, nb)
-        sv = float(jnp.abs(v_x).max())
-        np.testing.assert_allclose(np.asarray(v_p[:n_pad, :m]),
-                                   np.asarray(v_x), atol=tol * sv)
-        np.testing.assert_allclose(np.asarray(s_nk[:n_pad]),
-                                   np.asarray(s_new_x),
-                                   atol=tol * float(jnp.abs(s_new_x).max()))
-        np.testing.assert_allclose(np.asarray(ns_p[:m]), np.asarray(norms_x),
-                                   rtol=100 * tol)
-        np.testing.assert_allclose(np.asarray(co_p[:m]), np.asarray(coeffs_x),
-                                   rtol=100 * tol,
-                                   atol=tol * float(jnp.abs(coeffs_x).max()))
-        assert float(jnp.abs(v_p[:, m:]).max()) == 0.0
+        for m_pad in (64, pst.M_PAD):    # both eigvec pads (m_pad_of)
+            gr = (jnp.zeros((p_pad, m_pad), jnp.float32)
+                  .at[:p, :m].set(g * rs[:, None]))
+            v_p, ns_p, co_p, s_nk = pst.finish_colstats_pallas(
+                fa_pad, f_t, t_pad, s_pre, b_mask, gr, y, na, nb)
+            sv = float(jnp.abs(v_x).max())
+            np.testing.assert_allclose(np.asarray(v_p[:n_pad, :m]),
+                                       np.asarray(v_x), atol=tol * sv)
+            np.testing.assert_allclose(np.asarray(s_nk[:n_pad]),
+                                       np.asarray(s_new_x),
+                                       atol=tol * float(jnp.abs(s_new_x)
+                                                        .max()))
+            np.testing.assert_allclose(np.asarray(ns_p[:m]),
+                                       np.asarray(norms_x), rtol=100 * tol)
+            np.testing.assert_allclose(np.asarray(co_p[:m]),
+                                       np.asarray(coeffs_x), rtol=100 * tol,
+                                       atol=tol * float(jnp.abs(coeffs_x)
+                                                        .max()))
+            assert float(jnp.abs(v_p[:, m:]).max()) == 0.0
 
 
 def test_streaming_kernels_narrow_d_pad():

@@ -179,10 +179,11 @@ def test_streaming_staged_rgb(noisy):
 
 
 def test_fused_finish_matches_schedule(noisy):
-    """cfg.fused_finish (two Pallas sweeps) == the same pre-polish-gram
-    schedule composed from the XLA operators, compared through the FILTER
-    OUTPUT (the factor's basis columns carry eigh sign/rotation
-    indeterminacy; the identity-filter projection is the invariant)."""
+    """cfg.fused_finish (two Pallas sweeps + the decimated post-polish
+    spectrum) == the same schedule composed from the XLA operators,
+    compared through the FILTER OUTPUT (the factor's basis columns carry
+    eigh sign/rotation indeterminacy; the identity-filter projection is
+    the invariant)."""
     import jax.numpy as jnp
 
     from graphlap_tpu.models import streaming as ms
@@ -214,9 +215,21 @@ def test_fused_finish_matches_schedule(noisy):
     top = ctx.kaa @ s_a_pre + u
     t_vec = s_a_pre + ctx.kaa_solve(u)
     s_a = jnp.sqrt(s_a_pre / jnp.maximum(top, 1e-30))
-    waa_pre = ctx.kaa * (s_a_pre[:, None] * s_a_pre[None, :])
-    cross = ms._stream_cross(ctx, cfg, s_a_pre, s_pre)
-    vals_m, basis0 = ms._solve_pxp(cfg, waa_pre, cross)
+    # post-polish scales at the gram-sample columns via the decimated
+    # rmatvec (the parity-exact spectrum schedule)
+    kg = cfg.gram_coarse
+    jidx = jnp.asarray(ms.gram_sample_idx(ctx.n_pad, kg,
+                                          cfg.gram_jitter_seed))
+    ks_j = st.rmatvec(ctx.feats_a, jnp.take(ctx.feats_pad, jidx, axis=0),
+                      t_vec, ctx.ones_p,
+                      jnp.ones(jidx.shape[0], jnp.float32),
+                      ctx.block // kg, ctx.dtype)
+    s_pre_j = jnp.take(s_pre, jidx)
+    s_post_j = jnp.where(s_pre_j > 0.0,
+                         jnp.sqrt(s_pre_j / jnp.maximum(ks_j, 1e-30)), 0.0)
+    waa = ctx.kaa * (s_a[:, None] * s_a[None, :])
+    cross = ms._stream_cross(ctx, cfg, s_a, s_pre, s_sampled=s_post_j)
+    vals_m, basis0 = ms._solve_pxp(cfg, waa, cross)
     ks = st.rmatvec(ctx.feats_a, ctx.feats_pad, t_vec, ctx.ones_p,
                     jnp.ones(ctx.n_pad, jnp.float32), ctx.block, ctx.dtype)
     s_new = jnp.sqrt(s_pre / jnp.maximum(ks, 1e-30)) * ctx.b_mask
@@ -225,7 +238,6 @@ def test_fused_finish_matches_schedule(noisy):
     norms_b, coeffs_b, v_b = st.rmatmat_colstats_v(
         ctx.feats_a, ctx.feats_pad, basis0, y_pad, s_a, s_new,
         ctx.block, ctx.dtype)
-    waa = ctx.kaa * (s_a[:, None] * s_a[None, :])
     v_a = waa @ basis0
     dnorm = jnp.sum(v_a * v_a, axis=0) + norms_b
     live = dnorm > _LIVE_NORM2
@@ -275,6 +287,9 @@ def test_fused_finish_config_validation():
     with pytest.raises(ValueError, match="sinkhorn_polish"):
         PipelineConfig(fused_finish=True, streaming=True, use_pallas=True,
                        sinkhorn_coarse=4, sinkhorn_polish=0)
+    with pytest.raises(ValueError, match="gram_coarse"):
+        PipelineConfig(fused_finish=True, streaming=True, use_pallas=True,
+                       sinkhorn_coarse=4, sinkhorn_polish=1, gram_coarse=1)
 
 
 def test_fused_finish_shape_fallback(noisy):
@@ -287,7 +302,7 @@ def test_fused_finish_shape_fallback(noisy):
                          num_eigvecs=130, sinkhorn_iters=4,
                          streaming=True, block_cols=1024, use_pallas=True,
                          sinkhorn_coarse=4, sinkhorn_polish=1,
-                         fused_finish=True)
+                         gram_coarse=4, fused_finish=True)
     plan = make_plan(noisy, cfg)
     ctx = ms._strip_ctx(jnp.asarray(noisy), jnp.asarray(plan.idx_a), cfg)
     assert not ms._fused_finish_ok(ctx, cfg)
