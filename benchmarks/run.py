@@ -254,9 +254,12 @@ def row4p():
     Sinkhorn decimation bias back under the parity gate, and the JITTERED
     gram sample (models/streaming.gram_sample_idx) keeps the p x p
     spectrum seed-robust at gc64 (0.031-0.054 dB vs the f32-exact
-    trajectory across 4 seeds, cfg4_sweep.jsonl jit_* rows) — ~17.7 MP/s
-    single-chip. The <1 s BASELINE target (spec'd for a v4-8 slice) is met
-    on ONE chip by a gate-compliant recipe."""
+    trajectory across 4 seeds, cfg4_sweep.jsonl jit_* rows). With the
+    round-3 FUSED FINISH (the four full-res finishing sweeps in two
+    Pallas passes, spectrum from the decimated post-polish rmatvec):
+    0.488 -> 0.394 s device = ~21 MP/s single-chip at 0.0035-0.0116 dB
+    (cfg4_sweep.jsonl ffin2_* rows). The <1 s BASELINE target (spec'd
+    for a v4-8 slice) is met on ONE chip by a gate-compliant recipe."""
     name, cfg, img, noisy = row4()
     # tuned from cfg4_sweep.jsonl: once the full-res polish runs, coarse
     # iterations barely matter (10 -> 6: 0.705 -> 0.669 s at 0.010 dB),
@@ -265,7 +268,7 @@ def row4p():
     return ("cfg4_8mp_compliant_turbo_p1",
             cfg.replace(sinkhorn_iters=6, block_cols=65536,
                         sinkhorn_coarse=64, gram_coarse=64, use_pallas=True,
-                        sinkhorn_polish=1), img, noisy)
+                        sinkhorn_polish=1, fused_finish=True), img, noisy)
 
 
 def row4m():
@@ -374,7 +377,7 @@ def _parity_cfg(cfg):
     (BASELINE.json metric: 'PSNR delta vs CPU reference' — transitively,
     vs the compliant path that IS oracle-gated in tests)."""
     exact = cfg.replace(affinity_dtype="float32", feature_dtype="float32",
-                        sinkhorn_coarse=1,
+                        sinkhorn_coarse=1, fused_finish=False,
                         sinkhorn_polish=0, gram_coarse=1, gram_dtype="auto",
                         use_pallas=False,
                         # the twin must be CONVERGED full-res Sinkhorn even

@@ -187,6 +187,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="streaming column-block width")
     p.add_argument("-pallas", action="store_true",
                    help="fused Pallas kernels for the affinity/matvec path")
+    p.add_argument("-fused_finish", action="store_true",
+                   help="streaming+Pallas: collapse the coarse-Sinkhorn "
+                        "factor's four full-res sweeps into two Pallas "
+                        "passes (needs -sinkhorn_coarse/-gram_coarse > 1 "
+                        "and -sinkhorn_polish 1; '-preset fast' picks it "
+                        "automatically on streaming images)")
     p.add_argument("-save_basis", default=None,
                    help="write the eigenbasis to this .npz for filter replay")
     p.add_argument("-load_basis", default=None,
@@ -223,6 +229,7 @@ _PRESET_GUARDED_FLAGS = {
     "sinkhorn_iters": ("sinkhorn_iters",),
     "sinkhorn_coarse": ("sinkhorn_coarse",),
     "sinkhorn_polish": ("sinkhorn_polish",), "gram_coarse": ("gram_coarse",),
+    "fused_finish": ("fused_finish",),
     "solver": ("solver", "sketch_oversample", "sketch_power"),
     "filter_mode": ("filter_mode",),
     # asking for a basis checkpoint IS choosing the spectral form — the
@@ -301,6 +308,7 @@ def main(argv=None) -> int:
         gram_dtype=args.gram_dtype, feature_dtype=args.feature_dtype,
         solver=args.solver, streaming=args.streaming,
         block_cols=args.block_cols, use_pallas=args.pallas,
+        fused_finish=args.fused_finish,
     )
 
     clean = gl.load_image(args.input, grayscale=args.grayscale)

@@ -508,7 +508,7 @@ def tuned_config(cfg: PipelineConfig, n_pixels: int, level: str = "fast",
         # under-converged vs the parity contract
         chosen = dict(affinity_dtype="float32", gram_dtype="auto",
                       use_pallas=False, sinkhorn_coarse=1, sinkhorn_polish=0,
-                      gram_coarse=1,
+                      gram_coarse=1, fused_finish=False,
                       sinkhorn_iters=max(cfg.sinkhorn_iters, 10))
     elif cfg.streaming:
         # decimation factors must divide the ACTIVE column-block width,
@@ -523,6 +523,7 @@ def tuned_config(cfg: PipelineConfig, n_pixels: int, level: str = "fast",
         # speedup there rather than the output
         tile_dtype = "bfloat16" if cfg.spatial_h == 0.0 else "float32"
         chosen = dict(affinity_dtype=tile_dtype, use_pallas=True,
+                      fused_finish=False,
                       gram_coarse=calibrated_gram_coarse(
                           n_pixels, p, gate=(level == "fast"), max_k=kb))
         # Capacity scale: past 16 MP the (N, d) feature tensor is the
@@ -552,6 +553,7 @@ def tuned_config(cfg: PipelineConfig, n_pixels: int, level: str = "fast",
         # 0.0026-0.051 dB (2x under the gate) for another ~8%
         # (benchmarks/results/cfg2_sweep.jsonl bf16_store_iters{8,6}* rows).
         chosen = dict(affinity_dtype="bfloat16_store", use_pallas=True,
+                      fused_finish=False,     # a streaming-path operator
                       sinkhorn_iters=min(cfg.sinkhorn_iters,
                                          8 if level == "fast" else 6))
         # Dense coarse Sinkhorn (+ one full-res polish): the alternating
@@ -597,7 +599,23 @@ def tuned_config(cfg: PipelineConfig, n_pixels: int, level: str = "fast",
         # twicing carries the documented collapsed-spectrum caveat.
         # Explicit filter_mode in ``keep`` wins.
         chosen["filter_mode"] = "matvec"
-    return cfg.replace(**{k: v for k, v in chosen.items() if k not in keep})
+    out = cfg.replace(**{k: v for k, v in chosen.items() if k not in keep})
+    # Fused finish (streaming fast level): the coarse factor's four
+    # full-res sweeps collapse into two Pallas passes with the spectrum
+    # from the decimated post-polish rmatvec — measured 0.488 -> 0.394 s
+    # device at 8 MP (17.2 -> 21.3 MP/s) at 0.0035-0.0116 dB across
+    # seeds (cfg4_sweep.jsonl ffin2_* rows). Decided on the POST-keep
+    # config so an explicitly kept knob (e.g. -sinkhorn_polish 0) can
+    # never combine into an invalid fused config; operator filter modes
+    # never build the factor, so the flag would be dead there. Shape
+    # gates (p_pad, V cap) still fall back at runtime
+    # (models/streaming._fused_finish_ok).
+    if ("fused_finish" not in keep and level == "fast" and out.streaming
+            and out.use_pallas and out.normalization == "sinkhorn"
+            and out.sinkhorn_coarse > 1 and out.sinkhorn_polish == 1
+            and out.gram_coarse > 1 and not out.operator_filter()):
+        out = out.replace(fused_finish=True)
+    return out
 
 
 def denoise_tuned(cfg: PipelineConfig, sigma: float,

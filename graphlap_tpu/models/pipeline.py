@@ -457,7 +457,9 @@ def _filter_streaming_staged(image: np.ndarray, cfg: PipelineConfig,
     Nystrom factor ("eigensolve" — gram + p x p solve + colstats), and the
     O(N m) apply ("filter"). The staged split rebuilds the strip context
     per stage, so the FUSED filter_image wall stays the headline; these
-    walls are for attribution."""
+    walls are for attribution. A cfg with fused_finish runs the UNFUSED
+    schedule here (the fused two-sweep factor has no stage boundary to
+    time) — same estimator, so pixels stay in the same parity class."""
     from .streaming import (stage_apply_streaming, stage_factor_streaming,
                             stage_matvec_streaming, stage_scales_streaming)
 

@@ -104,7 +104,9 @@ def operator_surrogate(cfg: PipelineConfig) -> PipelineConfig:
             # set by the SAME bandwidth, so the h optimum transfers
             cfg = cfg.replace(filter_name="identity", filter_mode="matvec")
     if cfg.use_pallas:
-        cfg = cfg.replace(use_pallas=False)
+        # fused_finish requires use_pallas — clear both together or the
+        # replace itself raises on a preset-fast streaming config
+        cfg = cfg.replace(use_pallas=False, fused_finish=False)
     return cfg
 
 

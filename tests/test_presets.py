@@ -79,12 +79,33 @@ def test_tuned_config_streaming_fast_is_the_headline_recipe():
     assert cfg.affinity_dtype == "bfloat16" and cfg.use_pallas
     assert cfg.sinkhorn_coarse == 64 and cfg.sinkhorn_polish == 1
     assert cfg.sinkhorn_iters == 6 and cfg.gram_coarse == 64
+    # the two-sweep fused factor (0.488 -> 0.394 s device at 8 MP,
+    # 0.0035-0.0116 dB — cfg4_sweep.jsonl ffin2_* rows)
+    assert cfg.fused_finish
 
 
 def test_tuned_config_streaming_turbo_drops_polish():
     base = PipelineConfig(streaming=True, sample_cap=4096)
     cfg = tuned_config(base, MP8, "turbo")
     assert cfg.sinkhorn_polish == 0 and cfg.gram_coarse == 64
+    assert not cfg.fused_finish      # fused needs the polish sweep
+
+
+def test_tuned_config_fused_finish_never_conflicts_with_kept_knobs():
+    # an explicitly kept knob (CLI flag) must not combine with the
+    # preset's fused_finish into a config that fails validation
+    base = PipelineConfig(kernel="nlm", h=0.25, sample_rho=0.01,
+                          sample_cap=4096, streaming=True)
+    for keep, field, val in ((("sinkhorn_polish",), "sinkhorn_polish", 0),
+                             (("gram_coarse",), "gram_coarse", 1),
+                             (("sinkhorn_coarse",), "sinkhorn_coarse", 1),
+                             (("use_pallas",), "use_pallas", False)):
+        cfg = tuned_config(base.replace(**{field: val}), MP8, "fast",
+                           keep=set(keep))
+        assert not cfg.fused_finish, keep
+    # operator filter modes never build the factor -> flag stays off
+    cfg = tuned_config(base.replace(filter_name="sharpen"), MP8, "fast")
+    assert cfg.filter_mode == "matvec" and not cfg.fused_finish
 
 
 def test_tuned_config_feature_store_at_capacity_scale():
