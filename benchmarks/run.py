@@ -195,16 +195,15 @@ def run_tiled_row(name, cfg, clean, image, tile, overlap):
     res = gl.filter_image_tiled(image, cfg, tile=tile, overlap=overlap)
     wall = time.perf_counter() - t0
     mp = image.shape[0] * image.shape[1] / 1e6
-    peak_hbm = None
-    try:
-        stats = jax.devices()[0].memory_stats()
-        if stats and "peak_bytes_in_use" in stats:
-            peak_hbm = round(stats["peak_bytes_in_use"] / 2**30, 3)
-    except Exception:
-        pass
+    # per-TILE executable footprint (that is what must fit HBM in this mode)
+    from graphlap_tpu.models.pipeline import make_plan
+    from graphlap_tpu.utils.meminfo import peak_hbm_gib
+    tplan = make_plan(image[:tile, :tile], cfg)
+    peak_hbm, hbm_source = peak_hbm_gib((tile, tile), cfg, tplan)
     rec = {
         "row": name, "backend": jax.default_backend(),
         "device": str(jax.devices()[0]), "peak_hbm_gib": peak_hbm,
+        "peak_hbm_source": hbm_source,
         "shape": list(image.shape), "tile": tile, "overlap": overlap,
         "n_tiles": int(res.eigvals.shape[0]),
         "config_hash": cfg.config_hash(),
@@ -476,20 +475,18 @@ def run_row(name, cfg, clean, image):
         except Exception as e:  # noqa: BLE001 — record, keep the row
             parity = {"error": f"{type(e).__name__}: {str(e)[:160]}"}
 
-    # peak HBM (capacity rows 6/7 substantiate their fit claims with this;
-    # None where the backend doesn't expose stats, e.g. CPU)
-    peak_hbm = None
-    try:
-        stats = jax.devices()[0].memory_stats()
-        if stats and "peak_bytes_in_use" in stats:
-            peak_hbm = round(stats["peak_bytes_in_use"] / 2**30, 3)
-    except Exception:
-        pass
+    # peak HBM (capacity rows 6/7 substantiate their fit claims with this):
+    # runtime memory_stats where the backend has it; on this box's axon
+    # plugin (no memory_stats) the compile-time XLA memory_analysis of the
+    # row's own executable fills the column (VERDICT r3 #4)
+    from graphlap_tpu.utils.meminfo import peak_hbm_gib
+    img2d_shape = image.shape[:2]
+    peak_hbm, hbm_source = peak_hbm_gib(img2d_shape, cfg, plan)
 
     rec = {
         "row": name, "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
-        "peak_hbm_gib": peak_hbm,
+        "peak_hbm_gib": peak_hbm, "peak_hbm_source": hbm_source,
         "shape": list(image.shape), "p": plan.p, "m": cfg.num_eigvecs,
         "config_hash": cfg.config_hash(),
         "wall_s": round(wall, 4), "compile_s": round(compile_wall, 2),

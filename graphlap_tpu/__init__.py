@@ -28,6 +28,7 @@ from .models.pipeline import (
     filter_image,
     filter_image_staged,
     make_plan,
+    sinkhorn_ds_residual,
 )
 from .models.tiled import filter_image_tiled
 from .models.video import filter_video, filter_video_multihost
@@ -44,7 +45,7 @@ __all__ = [
     "load_image", "save_image", "add_gaussian_noise", "make_test_image",
     "psnr", "ssim",
     "FilterResult", "filter_image", "filter_image_staged",
-    "filter_image_tiled", "make_plan",
+    "filter_image_tiled", "make_plan", "sinkhorn_ds_residual",
     "compute_basis", "filter_video", "filter_video_multihost",
     "filter_image_multihost",
     "save_basis", "load_basis", "filter_with_basis",

@@ -207,6 +207,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="inter-tile overlap / blend-ramp width in px")
     p.add_argument("-log_view", action="store_true",
                    help="print per-stage wall-clock timings (PETSc-style)")
+    p.add_argument("-ds_check", action="store_true",
+                   help="print the Sinkhorn doubly-stochastic residual "
+                        "||diag(s) K~ s - 1||_inf — the convergence check "
+                        "on this run's fixed iteration count (costs one "
+                        "extra normalization pass + strip matvec; "
+                        "expect <~1e-2 for converged sinkhorn runs)")
     p.add_argument("-trace_dir", default=None,
                    help="write a jax.profiler trace to this directory")
     p.add_argument("-json_log", default=None,
@@ -463,6 +469,23 @@ def main(argv=None) -> int:
         print(f"PSNR noisy {record['psnr_noisy_db']:.3f} dB -> "
               f"filtered {record['psnr_filtered_db']:.3f} dB  "
               f"(SSIM {record['ssim_filtered']:.4f})")
+
+    if args.ds_check:
+        if tiled:
+            print("note: -ds_check is per-executable and -tile runs one "
+                  "per tile — skipping (run a single tile-sized image "
+                  "with -ds_check to audit the per-tile recipe)")
+        elif cfg.normalization != "sinkhorn":
+            print(f"note: -ds_check measures Sinkhorn convergence; "
+                  f"normalization={cfg.normalization} is not doubly "
+                  f"stochastic — skipping")
+        else:
+            from graphlap_tpu.models.pipeline import sinkhorn_ds_residual
+            resid = sinkhorn_ds_residual(image, cfg, plan=plan)
+            record["ds_residual_inf"] = resid
+            print(f"sinkhorn ds_residual_inf {resid:.3e}  "
+                  f"(iters={cfg.sinkhorn_iters} coarse="
+                  f"{cfg.sinkhorn_coarse} polish={cfg.sinkhorn_polish})")
 
     if args.log_view:
         total = sum(res.timings.values())

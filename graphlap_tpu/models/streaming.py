@@ -611,7 +611,15 @@ def _apply_matvec_streaming(img2d: jnp.ndarray, ctx: _StripCtx,
 def filter_channel_streaming(img2d: jnp.ndarray, idx_a: jnp.ndarray,
                              perm: jnp.ndarray, inv_perm: jnp.ndarray,
                              cfg: PipelineConfig):
-    """One grayscale channel, strip-free. Returns (z2d, vals)."""
+    """One grayscale channel, strip-free. Returns (z2d, vals).
+
+    CONTRACT: ``perm`` / ``inv_perm`` are NEVER READ — streaming kernels
+    run in natural pixel order (module header); the parameters exist only
+    so this jit shares the dense ``_filter_channel`` call signature.
+    Callers may (and models/pipeline.filter_image does) pass ``idx_a`` in
+    their place so the N-sized permutations are never staged — jit prunes
+    unused args. A future fallback that wants the permutation must take it
+    explicitly, not through these slots."""
     h, w = img2d.shape
     if cfg.operator_filter():
         ctx = _strip_ctx(img2d, idx_a, cfg)
@@ -674,6 +682,19 @@ def _stage_apply_jit(cfg: PipelineConfig, n: int, block: int, h: int, w: int):
         fac = StreamFactor(*fac_arrays, n=n, block=block)
         return _apply_factor(fac, idx_a, cfg, h, w)
     return run
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def ds_residual_streaming(img2d: jnp.ndarray, idx_a: jnp.ndarray,
+                          cfg: PipelineConfig):
+    """||diag(s) K~ s - 1||_inf over the true pixels — the strip-free twin
+    of ops/sinkhorn.ds_residual (same opt-in convergence diagnostic, one
+    extra O(Np) kernel-recompute pass). Padding columns carry s = 0 and are
+    masked out of the max."""
+    ctx = _strip_ctx(img2d, idx_a, cfg)
+    s = _normalize_streaming(ctx, cfg)
+    r = (s * ctx.ktilde_apply(s) - 1.0) * ctx.valid
+    return jnp.max(jnp.abs(r))
 
 
 @partial(jax.jit, static_argnames=("cfg",))

@@ -148,6 +148,34 @@ def sinkhorn_scaling_coarse(kaa, kab, iters: int, coarse: int, polish: int,
     return s_a, s_b
 
 
+def ds_residual(kaa, kab, s_a, s_b, eig_tol: float, solver: str = "oneshot"):
+    """Doubly-stochastic residual ||diag(s) K~ s - 1||_inf of a scaling.
+
+    The convergence diagnostic the reference gets for free from its
+    while-loop stopping test (SURVEY.md §1.2 stage 3 "to convergence");
+    this framework iterates a FIXED, sweep-calibrated count for
+    shape-static jit (§3.3 note), so the residual is surfaced as an
+    OPT-IN check instead: one extra strip matvec — O(Np), the cost of a
+    single Sinkhorn iteration. CLI: ``-ds_check`` (prints it and records
+    it in the run JSONL); a user on a new image class reads it to verify
+    the calibrated iteration count converged there too
+    (tests/test_convergence.py pins the calibrated counts against it).
+    """
+    kaa_solve = _make_kaa_solve(kaa, eig_tol, solver)
+    top, bottom = nystrom_matvec(kaa, kab, kaa_solve, s_a, s_b)
+    r = jnp.concatenate([s_a * top, s_b * bottom]) - 1.0
+    return jnp.max(jnp.abs(r))
+
+
+def ds_residual_np(kaa, kab, s_a, s_b, eig_tol: float,
+                   solver: str = "oneshot"):
+    """float64 twin of ds_residual (oracle-side convergence checks)."""
+    kaa_solve = _make_kaa_solve_np(kaa, eig_tol, solver)
+    top, bottom = nystrom_matvec_np(kaa, kab, kaa_solve, s_a, s_b)
+    r = np.concatenate([s_a * top, s_b * bottom]) - 1.0
+    return float(np.max(np.abs(r)))
+
+
 def normalize_blocks(kaa, kab, normalization: str, iters: int, eig_tol: float,
                      solver: str = "oneshot", coarse: int = 1,
                      polish: int = 0):

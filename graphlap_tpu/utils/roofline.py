@@ -1,0 +1,288 @@
+"""Roofline / MFU accounting (VERDICT r3 #2; SURVEY.md §6 metric note).
+
+Turns claims like "the streaming passes are VPU exp-bound" into numbers:
+
+* ``measure_device_peaks()`` micro-benchmarks THIS device's attainable
+  ceilings — bf16/f32 MXU FLOP/s, elementwise-exp throughput (the VPU
+  transcendental rate that bounds every kernel-recompute pass), and HBM
+  stream bandwidth — and caches them per device kind. Measured, not
+  quoted from a datasheet: the datasheet bf16 peak (197 TFLOP/s on v5e)
+  assumes shapes/layouts a real program may not reach, and there is no
+  published "exp/s" number at all.
+
+* ``streaming_stage_costs()`` / ``dense_stage_costs()`` give analytic
+  per-stage op counts (transcendentals, MXU FLOPs by dtype, HBM bytes)
+  for the production recipes. The per-pass counts mirror the Pallas
+  kernels' ``CostEstimate``s (ops/pallas_streaming.py): a full kernel
+  sweep over (p, N) costs ~2*p*N*(d+1) FLOPs + p*N exps.
+
+* ``roofline_report()`` divides measured stage walls by the counts and
+  expresses each rate as a fraction of the measured ceiling; the max
+  fraction names the stage's binding resource.
+
+Used by bench.py (cfg2 extras) and benchmarks/run.py (matrix rows); the
+headline fractions are quoted in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+_PEAKS_CACHE = (Path(__file__).resolve().parents[2] / "benchmarks"
+                / "results" / "device_peaks.json")
+
+
+# ---------------------------------------------------------------------------
+# measured ceilings
+# ---------------------------------------------------------------------------
+
+def _timed(fn, *args, runs=5):
+    import jax
+    jax.block_until_ready(fn(*args))      # compile + warm
+    walls = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        walls.append(time.perf_counter() - t0)
+    return min(walls)
+
+
+def measure_device_peaks(force: bool = False, cache: Path | None = None) -> dict:
+    """Micro-benchmark the current default device's attainable ceilings.
+
+    Returns/caches: {device_kind, bf16_matmul_tflops, f32_matmul_tflops,
+    exp_f32_g_per_s, exp_bf16_g_per_s, hbm_stream_gbs, ts}. The exp rate
+    is isolated from HBM by chaining 8 dependent exps per element; the
+    matmul peaks use a 4096^3 GEMM (bf16 inputs need precision='default'
+    — Mosaic/XLA reject bf16 at the repo-pinned HIGHEST).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    cache = cache or _PEAKS_CACHE
+    kind = jax.devices()[0].device_kind
+    if cache.exists() and not force:
+        try:
+            rec = json.loads(cache.read_text())
+            if rec.get("device_kind") == kind:
+                return rec
+        except Exception:
+            pass
+
+    s = 4096
+    key = jax.random.PRNGKey(0)
+    a32 = jax.random.normal(key, (s, s), jnp.float32)
+    b32 = jax.random.normal(key, (s, s), jnp.float32)
+    a16, b16 = a32.astype(jnp.bfloat16), b32.astype(jnp.bfloat16)
+
+    mm16 = jax.jit(lambda a, b: jnp.dot(
+        a, b, preferred_element_type=jnp.float32, precision="default"))
+    mm32 = jax.jit(lambda a, b: jnp.dot(
+        a, b, preferred_element_type=jnp.float32, precision="highest"))
+    t16 = _timed(mm16, a16, b16)
+    t32 = _timed(mm32, a32, b32)
+    flops = 2.0 * s * s * s
+
+    # exp throughput: 8 dependent exps per element so the VPU, not HBM,
+    # is the bound (exp(x) stays finite for x <= 0 after the first)
+    ne = 1 << 26
+    x32 = -jnp.abs(jax.random.normal(key, (ne,), jnp.float32))
+    x16 = x32.astype(jnp.bfloat16)
+    chain = 8
+
+    def _expchain(x):
+        for _ in range(chain):
+            x = jnp.exp(-x)          # stays in (-1, 0] U [something small)
+        return x
+
+    exp_j = jax.jit(_expchain)
+    te32 = _timed(exp_j, x32)
+    te16 = _timed(exp_j, x16)
+
+    # HBM stream: y = x + 1 moves 2 * 4 bytes/elem
+    nb = 1 << 27
+    xb = jnp.zeros(nb, jnp.float32)
+    add_j = jax.jit(lambda v: v + 1.0)
+    tb = _timed(add_j, xb)
+
+    rec = {
+        "device_kind": kind,
+        "bf16_matmul_tflops": round(flops / t16 / 1e12, 1),
+        "f32_matmul_tflops": round(flops / t32 / 1e12, 1),
+        "exp_f32_g_per_s": round(chain * ne / te32 / 1e9, 2),
+        "exp_bf16_g_per_s": round(chain * ne / te16 / 1e9, 2),
+        "hbm_stream_gbs": round(8.0 * nb / tb / 1e9, 1),
+        "ts": time.time(),
+    }
+    try:
+        cache.parent.mkdir(parents=True, exist_ok=True)
+        cache.write_text(json.dumps(rec, indent=2))
+    except OSError:
+        pass
+    return rec
+
+
+# ---------------------------------------------------------------------------
+# analytic per-stage op counts
+# ---------------------------------------------------------------------------
+
+def _pass_cost(p: int, cols: int, d: int, extra_dot_width: int = 1) -> dict:
+    """One kernel-recompute sweep over ``cols`` columns: the distance GEMM
+    (2*p*cols*d), the exp (p*cols transcendentals), and the consuming
+    dot(s) of total width ``extra_dot_width`` (2*p*cols*w). Matches the
+    Pallas CostEstimates' 2*p*n*(d + w) form."""
+    return {"trans": p * cols,
+            "mxu_flops": 2.0 * p * cols * (d + extra_dot_width),
+            "hbm_bytes": 0.0}
+
+
+def _add(a: dict, b: dict, scale: float = 1.0) -> dict:
+    return {k: a.get(k, 0.0) + scale * b.get(k, 0.0)
+            for k in set(a) | set(b)}
+
+
+def streaming_stage_costs(cfg, n: int, p: int, d: int) -> dict:
+    """Per-stage op counts for the streaming spectral path (unfused
+    schedule — what filter_image_staged walls attribute; the fused-finish
+    headline collapses the same sweeps, so the TOTAL is an upper bound of
+    ~one pass on the fused wall). Keys match staged timing names."""
+    m = cfg.num_eigvecs
+    ks, kg = cfg.sinkhorn_coarse, cfg.gram_coarse
+    it, pol = cfg.sinkhorn_iters, cfg.sinkhorn_polish
+
+    zero = {"trans": 0.0, "mxu_flops": 0.0, "hbm_bytes": 0.0}
+
+    norm = dict(zero)
+    if cfg.normalization == "sinkhorn" and ks > 1:
+        norm = _add(norm, _pass_cost(p, n // ks, d))            # u0
+        # per iter: two coarse contraction steps (each one tile recompute
+        # with TWO consuming dots) + p^2 solves (4 triangular/apply ops)
+        per_it = _add(_pass_cost(p, n // ks, d, 2),
+                      _pass_cost(p, n // ks, d, 2))
+        per_it = _add(per_it, {"mxu_flops": 8.0 * p * p})
+        norm = _add(norm, per_it, it)
+        norm = _add(norm, _pass_cost(p, n, d, 2))               # rmatvec2 ext
+        # each polish iteration: ktilde_apply = matvec + rmatvec full passes
+        norm = _add(norm, _add(_pass_cost(p, n, d), _pass_cost(p, n, d)), pol)
+    elif cfg.normalization == "sinkhorn":
+        norm = _add(norm, _add(_pass_cost(p, n, d), _pass_cost(p, n, d)), it)
+    elif cfg.normalization == "symmetric":
+        norm = _add(norm, _add(_pass_cost(p, n, d), _pass_cost(p, n, d)))
+
+    eig = dict(zero)
+    # gram over n/kg columns: distance GEMM + p-wide self outer product
+    eig = _add(eig, {"trans": p * (n // kg),
+                     "mxu_flops": 2.0 * p * (n // kg) * d
+                     + 2.0 * p * p * (n // kg)})
+    # p x p factor: chol ~ p^3/3 + lobpcg-class iterations O(p^2 m)
+    eig = _add(eig, {"mxu_flops": p ** 3 / 3.0
+                     + (2.0 * p * p * m * cfg.lobpcg_iters
+                        if cfg.solver == "lobpcg" else 2.0 * p ** 3)})
+    # colstats(+V): one full sweep, m-wide consumer
+    eig = _add(eig, _pass_cost(p, n, d, m))
+    if n * m * 4 <= 6e9:                     # V materialized (_V_BYTES_CAP)
+        eig = _add(eig, {"hbm_bytes": 4.0 * n * m})
+
+    filt = dict(zero)
+    if n * m * 4 <= 6e9:
+        filt = _add(filt, {"mxu_flops": 2.0 * n * m,
+                           "hbm_bytes": 4.0 * n * m})
+    else:
+        filt = _add(filt, _pass_cost(p, n, d))                   # rmat_apply
+
+    return {"normalize": norm, "eigensolve": eig, "filter": filt}
+
+
+def dense_stage_costs(cfg, n: int, p: int, d: int) -> dict:
+    """Per-stage op counts for the DENSE (materialized-strip) path at the
+    cfg2 production recipe. The strip is written once (affinity) and every
+    later pass READS it — HBM bytes are the load there, not recompute."""
+    m = cfg.num_eigvecs
+    ks = cfg.sinkhorn_coarse
+    it, pol = cfg.sinkhorn_iters, cfg.sinkhorn_polish
+    itemsize = 2 if cfg.affinity_dtype in ("bfloat16", "bfloat16_store") else 4
+    strip = float(p) * n * itemsize
+
+    aff = {"trans": float(p) * n, "mxu_flops": 2.0 * p * n * d,
+           "hbm_bytes": strip}                                   # write-out
+
+    norm = {"trans": 0.0, "mxu_flops": 0.0, "hbm_bytes": 0.0}
+    if cfg.normalization == "sinkhorn" and ks > 1:
+        # coarse loop reads the 1/ks column slice twice per iteration
+        per_it = {"mxu_flops": 2.0 * 2.0 * p * (n // ks) + 8.0 * p * p,
+                  "hbm_bytes": 2.0 * strip / ks}
+        norm = _add(norm, per_it, it)
+        norm = _add(norm, {"mxu_flops": 2.0 * 2.0 * p * n,      # extension
+                           "hbm_bytes": strip})
+        norm = _add(norm, {"mxu_flops": 2.0 * 2.0 * 2.0 * p * n,
+                           "hbm_bytes": 2.0 * strip}, pol)      # polish
+    elif cfg.normalization == "sinkhorn":
+        norm = _add(norm, {"mxu_flops": 2.0 * 2.0 * 2.0 * p * n,
+                           "hbm_bytes": 2.0 * strip}, it)
+
+    eig = {"trans": 0.0, "mxu_flops": 0.0, "hbm_bytes": 0.0}
+    if cfg.solver == "sketch":
+        k = m + cfg.sketch_oversample
+        npass = 2 + 2 * cfg.sketch_power     # W^T Omega, W Y per power step
+        eig = _add(eig, {"mxu_flops": npass * 2.0 * p * n * k,
+                         "hbm_bytes": npass * strip})
+        eig = _add(eig, {"mxu_flops": 8.0 * p * k * k})          # QR + small
+    else:
+        eig = _add(eig, {"mxu_flops": 2.0 * p * p * n, "hbm_bytes": strip})
+        eig = _add(eig, {"mxu_flops": p ** 3 / 3.0
+                         + (2.0 * p * p * m * cfg.lobpcg_iters
+                            if cfg.solver == "lobpcg" else 2.0 * p ** 3)})
+
+    # extension GEMM (N, p) @ (p, m) + the O(Nm) apply
+    filt = {"trans": 0.0,
+            "mxu_flops": 2.0 * float(n) * p * m + 4.0 * n * m,
+            "hbm_bytes": strip + 4.0 * n * m}
+    return {"affinity": aff, "normalize": norm, "eigensolve": eig,
+            "filter": filt}
+
+
+# ---------------------------------------------------------------------------
+# report
+# ---------------------------------------------------------------------------
+
+def roofline_report(costs: dict, walls: dict, peaks: dict,
+                    tile_dtype: str = "bfloat16") -> dict:
+    """Per-stage achieved rates vs the measured ceilings.
+
+    For each stage present in both ``costs`` and ``walls``: achieved
+    Gexp/s, TFLOP/s, GB/s, and each as a fraction of the measured peak;
+    ``bound`` names the resource with the highest fraction (the roofline
+    verdict for that stage)."""
+    mm_peak = peaks["bf16_matmul_tflops" if tile_dtype == "bfloat16"
+                    else "f32_matmul_tflops"] * 1e12
+    exp_peak = peaks["exp_bf16_g_per_s" if tile_dtype == "bfloat16"
+                     else "exp_f32_g_per_s"] * 1e9
+    hbm_peak = peaks["hbm_stream_gbs"] * 1e9
+
+    out = {}
+    for stage, c in costs.items():
+        w = walls.get(stage)
+        if not w or w <= 0:
+            continue
+        fr = {
+            "exp": c["trans"] / w / exp_peak,
+            "mxu": c["mxu_flops"] / w / mm_peak,
+            "hbm": c["hbm_bytes"] / w / hbm_peak,
+        }
+        bound = max(fr, key=fr.get)
+        out[stage] = {
+            "wall_s": round(w, 4),
+            "gexp_per_s": round(c["trans"] / w / 1e9, 1),
+            "tflops": round(c["mxu_flops"] / w / 1e12, 2),
+            "gbs": round(c["hbm_bytes"] / w / 1e9, 1),
+            "frac_exp_peak": round(fr["exp"], 3),
+            "frac_mxu_peak": round(fr["mxu"], 3),
+            "frac_hbm_peak": round(fr["hbm"], 3),
+            "bound": bound,
+            "frac_of_roofline": round(fr[bound], 3),
+        }
+    return out
