@@ -236,6 +236,27 @@ def main():
     staged = gl.filter_image_staged(noisy, cfg)     # warm shapes
     staged = gl.filter_image_staged(noisy, cfg)
 
+    # roofline accounting (VERDICT r3 #2): per-stage achieved rates vs the
+    # measured device ceilings (utils/roofline micro-benchmarks, cached in
+    # benchmarks/results/device_peaks.json). Stage walls carry ~30 ms of
+    # scalar-readback RTT each on this box — fractions are a lower bound.
+    roofline = None
+    try:
+        from graphlap_tpu.models.pipeline import make_plan as _mk
+        from graphlap_tpu.utils.roofline import (dense_stage_costs,
+                                                 measure_device_peaks,
+                                                 roofline_report)
+        peaks = measure_device_peaks()
+        pl = _mk(noisy, cfg)
+        costs = dense_stage_costs(cfg, pl.n, pl.p, 25)
+        roofline = roofline_report(costs, staged.timings, peaks,
+                                   tile_dtype="bfloat16")
+        roofline["device_peaks"] = {k: peaks[k] for k in
+                                    ("bf16_matmul_tflops", "exp_bf16_g_per_s",
+                                     "hbm_stream_gbs")}
+    except Exception:
+        pass
+
     psnr_in = gl.psnr(img, noisy)
     psnr_out = gl.psnr(img, res.image)
     out = {
@@ -260,6 +281,7 @@ def main():
             "cpu_baseline_mp_per_s": round(cpu_mps, 4) if cpu_mps else None,
             "p_samples": cfg.num_samples(H * W),
             "config_hash": cfg.config_hash(),
+            "roofline": roofline,
         },
     }
     print(json.dumps(out))

@@ -437,6 +437,7 @@ def run_row(name, cfg, clean, image):
         (cfg.streaming and (image.ndim == 2 or cfg.rgb_mode == "per_channel"))
         or (not cfg.streaming and image.ndim == 2
             and max(image.shape[:2]) <= 1024))
+    roofline = None
     if want_staged:
         # streaming rows report normalize/eigensolve/filter walls from the
         # staged jits (graded eigensolve metric); dense rows the 4-stage
@@ -444,6 +445,25 @@ def run_row(name, cfg, clean, image):
         s = gl.filter_image_staged(image, cfg, plan=plan)
         s = gl.filter_image_staged(image, cfg, plan=plan)
         staged_timings = {k: round(v, 4) for k, v in s.timings.items()}
+        # roofline accounting (VERDICT r3 #2): achieved per-stage rates vs
+        # the measured device ceilings. Stage walls carry ~30 ms of
+        # scalar-readback RTT each — fractions are a lower bound.
+        try:
+            from graphlap_tpu.utils.roofline import (dense_stage_costs,
+                                                     measure_device_peaks,
+                                                     roofline_report,
+                                                     streaming_stage_costs)
+            peaks = measure_device_peaks()
+            d_feat = (cfg.patch_size ** 2 if cfg.kernel == "nlm" else
+                      1 + (2 if cfg.spatial_h > 0 else 0))
+            costs = (streaming_stage_costs(cfg, n, plan.p, d_feat)
+                     if cfg.streaming else
+                     dense_stage_costs(cfg, n, plan.p, d_feat))
+            tile_dt = ("bfloat16" if cfg.affinity_dtype != "float32"
+                       else "float32")
+            roofline = roofline_report(costs, s.timings, peaks, tile_dt)
+        except Exception:
+            pass
 
     # measured parity bound for accelerated rows: same pixels through the
     # gate-compliant (f32, full-res Sinkhorn) twin config
@@ -494,6 +514,7 @@ def run_row(name, cfg, clean, image):
         "device_wall_s": round(dev_wall, 4),
         "device_mp_per_s": round((n / 1e6) / dev_wall, 4),
         "staged_timings_s": staged_timings,
+        "roofline": roofline,
         "psnr_in_db": round(gl.psnr(clean, image), 3) if image is not clean else None,
         "psnr_out_db": round(gl.psnr(clean, res.image), 3) if image is not clean else None,
         "ssim_out": round(gl.ssim(clean, res.image), 4),

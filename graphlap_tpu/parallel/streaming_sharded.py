@@ -64,6 +64,54 @@ def _pallas_pads(a, f, dtype):
     return fa_pad, f_t, p, nl, nl_pad
 
 
+# --- p-class index primitives over the 'rows'-sharded pixel axis -----------
+# GSPMD's generic lowering of jnp.take / .at[].set on a rows-sharded
+# N-vector builds N-class collectives (s32 index all-gathers + masked
+# (N/k, d) all-reduces — measured in benchmarks/collective_volume.py), and
+# two of them sat INSIDE the Sinkhorn fori_loop. These shard_map bodies do
+# the same ops with local index arithmetic instead: the only communication
+# is a p-sized psum (gather) or none at all (scatter — each device keeps
+# the updates that land in its shard). With these, every collective in the
+# sharded streaming programs carries p-class payloads (p-vectors, (p, m),
+# (p, p)) — communication volume independent of N, the design claim
+# tests/test_collectives.py pins.
+
+def _gather_p_prim(s_loc, idx):
+    """(..., p) gather from a rows-sharded (..., n) vector: local masked
+    take + p-sized psum. Leading batch dims ride along."""
+    r = jax.lax.axis_index("rows")
+    ln = s_loc.shape[-1]
+    loc = idx - r * ln
+    ok = (loc >= 0) & (loc < ln)
+    v = jnp.where(ok, jnp.take(s_loc, jnp.clip(loc, 0, ln - 1), axis=-1), 0.0)
+    return jax.lax.psum(v, "rows")
+
+
+def _gather_rows_prim(f_loc, idx, axis):
+    """(p, d)-class row gather from a rows-sharded (..., n, d) matrix
+    (the feats_a extraction): local masked take + (p, d) psum."""
+    r = jax.lax.axis_index("rows")
+    ln = f_loc.shape[axis]
+    loc = idx - r * ln
+    ok = (loc >= 0) & (loc < ln)
+    rows = jnp.take(f_loc, jnp.clip(loc, 0, ln - 1), axis=axis)
+    mask_shape = [1] * f_loc.ndim
+    mask_shape[axis] = ok.shape[0]
+    return jax.lax.psum(
+        jnp.where(ok.reshape(mask_shape), rows, 0.0), "rows")
+
+
+def _scatter_p_prim(x_loc, idx, vals):
+    """Scatter p replicated-index values into a rows-sharded (..., n)
+    vector — communication-free: out-of-shard updates are dropped."""
+    r = jax.lax.axis_index("rows")
+    ln = x_loc.shape[-1]
+    loc = idx - r * ln
+    ok = (loc >= 0) & (loc < ln)
+    loc = jnp.where(ok, loc, ln)          # force OOB so mode='drop' skips
+    return x_loc.at[..., loc].set(vals, mode="drop")
+
+
 def _rows_prims(cfg: PipelineConfig, dtype, VARY):
     """The sharded streaming primitives over a LOCAL row-slice, shared by
     the single-frame and guided builders (identical bodies were
@@ -121,7 +169,24 @@ def _rows_prims(cfg: PipelineConfig, dtype, VARY):
         return st.rmatvec2(fa, f_loc, t2, jnp.ones_like(f_loc[:, 0]),
                            block, dtype)
 
-    return _mv, _rmv, _gram, _colstats, _colstats_nov, _apply, _coarse, _rmv2
+    def _gram_dec(fa, f_loc, s_a, s_loc, jidx_loc, block):
+        """Decimated-column cross (gram_coarse) with LOCAL sample takes:
+        jidx is ascending and uniform per k-slot, so the contiguous
+        'rows'-shard of the index vector lands exactly in this device's
+        row range — the gathers are local, and the only communication is
+        the (p, p) psum (plus the scalar sample-energy psum for the
+        ratio). Replaces the outside-shard_map jnp.take pair that GSPMD
+        lowered to (N/k, d)-class all-reduces."""
+        r = jax.lax.axis_index("rows")
+        loc = jidx_loc - r * f_loc.shape[0]
+        fg = jnp.take(f_loc, loc, axis=0)
+        cg = jnp.take(s_loc, loc)
+        g = st.gram(fa, fg, s_a, cg, block, dtype, vary=VARY)
+        return (jax.lax.psum(g, "rows"),
+                jax.lax.psum(jnp.sum(cg * cg), "rows"))
+
+    return (_mv, _rmv, _gram, _colstats, _colstats_nov, _apply, _coarse,
+            _rmv2, _gram_dec)
 
 
 
@@ -147,8 +212,8 @@ def build_streaming_sharded(mesh, cfg: PipelineConfig):
                          out_specs=out_specs, check_vma=not cfg.use_pallas)
 
     VARY = ("rows",)
-    _mv, _rmv, _gram, _colstats, _colstats_nov, _apply, _, _ = \
-        _rows_prims(cfg, dtype, VARY)
+    (_mv, _rmv, _gram, _colstats, _colstats_nov, _apply, _, _,
+     _gram_dec) = _rows_prims(cfg, dtype, VARY)
 
     @jax.jit
     def run(img2d, idx_a):
@@ -163,7 +228,6 @@ def build_streaming_sharded(mesh, cfg: PipelineConfig):
         # replicated, natural order; chunked write into the padded buffer
         # (one O(N d) resident copy, not three — the 64 MP OOM fix)
         feats_pad = extract_features_padded(img2d, cfg, n_pad)
-        feats_a = jnp.take(feats_pad, idx_a, axis=0)
         d = feats_pad.shape[1]
 
         idx = jnp.arange(n_pad)
@@ -171,11 +235,20 @@ def build_streaming_sharded(mesh, cfg: PipelineConfig):
         a_mask = jnp.zeros(n_pad, jnp.float32).at[idx_a].set(1.0)
         b_mask = valid * (1.0 - a_mask)
 
+        pN, pNd = P("rows"), P("rows", None)
+        rep, rep2 = P(), P(None, None)
+        # p-class index prims (module note): the generic GSPMD lowering of
+        # these takes/scatters on rows-sharded vectors built N-class
+        # collectives, two of them inside the Sinkhorn loop
+        gather_p = smap(_gather_p_prim, (pN, rep), rep)
+        gather_rows = smap(partial(_gather_rows_prim, axis=0),
+                           (pNd, rep), rep2)
+        scatter_p = smap(_scatter_p_prim, (pN, rep, rep), pN)
+
+        feats_a = gather_rows(feats_pad, idx_a)
         kaa = affinity_strip(feats_a, feats_a, dtype)
         kaa_solve = _make_kaa_solve(kaa, cfg.eig_tol, cfg.solver)
 
-        pN, pNd = P("rows"), P("rows", None)
-        rep, rep2 = P(), P(None, None)
         mv = smap(partial(_mv, block=block), (rep2, pNd, pN), rep)
         rmv = smap(partial(_rmv, block=block), (rep2, pNd, rep), pN)
         gramf = smap(partial(_gram, block=block), (rep2, pNd, rep, pN), rep2)
@@ -193,12 +266,12 @@ def build_streaming_sharded(mesh, cfg: PipelineConfig):
                           (rep2, pNd, rep2, rep, rep, pN), pN)
 
         def ktilde_apply(s):
-            s_a = jnp.take(s, idx_a)
+            s_a = gather_p(s, idx_a)
             u = mv(feats_a, feats_pad, s * b_mask)
             top = kaa @ s_a + u
             t = s_a + kaa_solve(u)
             bottom = rmv(feats_a, feats_pad, t) * b_mask
-            return bottom.at[idx_a].set(top)
+            return scatter_p(bottom, idx_a, top)
 
         if cfg.normalization == "sinkhorn":
             def body(_, s):
@@ -224,13 +297,14 @@ def build_streaming_sharded(mesh, cfg: PipelineConfig):
             z = z_full[:n].reshape(h, w)
             return jnp.clip(z, 0.0, 1.0), jnp.zeros((0,), jnp.float32)
 
-        s_a = jnp.take(s, idx_a)
+        s_a = gather_p(s, idx_a)
         s_b_cols = s * b_mask
 
         waa = kaa * (s_a[:, None] * s_a[None, :])
         if cfg.gram_coarse > 1:
             # jittered decimated cross estimate (models/streaming.py
-            # gram_coarse + gram_sample_idx anti-aliasing note)
+            # gram_coarse + gram_sample_idx anti-aliasing note); local
+            # sample takes + (p, p) psum (_gram_dec)
             kg = cfg.gram_coarse
             if block % kg != 0:
                 raise ValueError(
@@ -238,14 +312,12 @@ def build_streaming_sharded(mesh, cfg: PipelineConfig):
                 f"width min(block_cols, N)={block}")
             jidx = jnp.asarray(gram_sample_idx(n_pad, kg,
                                                cfg.gram_jitter_seed))
-            feats_g = shard(jnp.take(feats_pad, jidx, axis=0), mesh,
-                            "rows", None)
-            cols_g = jnp.take(s_b_cols, jidx)
+            gramd = smap(partial(_gram_dec, block=block // kg),
+                         (rep2, pNd, rep, pN, pN), (rep2, rep))
+            g_est, sum_cg2 = gramd(feats_a, feats_pad, s_a, s_b_cols, jidx)
             ratio_g = (jnp.sum(s_b_cols * s_b_cols)
-                       / jnp.maximum(jnp.sum(cols_g * cols_g), _EPS))
-            gramg = smap(partial(_gram, block=block // kg),
-                         (rep2, pNd, rep, pN), rep2)
-            cross = ratio_g * gramg(feats_a, feats_g, s_a, cols_g)
+                       / jnp.maximum(sum_cg2, _EPS))
+            cross = ratio_g * g_est
         else:
             cross = gramf(feats_a, feats_pad, s_a, s_b_cols)
         m = cfg.num_eigvecs
@@ -266,7 +338,7 @@ def build_streaming_sharded(mesh, cfg: PipelineConfig):
         v_a = waa @ basis0
         y = img2d.astype(jnp.float32).ravel()
         y_pad = jnp.zeros(n_pad, jnp.float32).at[:n].set(y)
-        y_a = jnp.take(y_pad, idx_a)
+        y_a = gather_p(y_pad, idx_a)
 
         if mat_v:
             norms_b, coeffs_b, v_b = colstats(feats_a, feats_pad, basis0,
@@ -290,7 +362,7 @@ def build_streaming_sharded(mesh, cfg: PipelineConfig):
             z_full = v_b @ wvec      # V materialized by the colstats pass
         else:
             z_full = applyf(feats_a, feats_pad, basis0, wvec, s_a, s_b_cols)
-        z_full = z_full.at[idx_a].set(z_a)
+        z_full = scatter_p(z_full, idx_a, z_a)
         if filt.affine:
             z_full = z_full + y_pad
         z = z_full[:n].reshape(h, w)
@@ -403,6 +475,17 @@ def build_streaming_sharded_batch(mesh, cfg: PipelineConfig):
             a, f, tt, jnp.ones_like(f[:, 0]), block, dtype)
         )(fa, f_loc, t2)
 
+    def _gram_dec_b(fa, f_loc, s_a, s_loc, jidx_loc, block):
+        """Batched _gram_dec (see _rows_prims): local sample takes +
+        (B, p, p) psum."""
+        loc = jidx_loc - jax.lax.axis_index("rows") * f_loc.shape[1]
+        fg = jnp.take(f_loc, loc, axis=1)
+        cg = jnp.take(s_loc, loc, axis=1)
+        g = jax.vmap(lambda a, f, sa, c: st.gram(a, f, sa, c, block, dtype,
+                                                 vary=VARY))(fa, fg, s_a, cg)
+        return (jax.lax.psum(g, "rows"),
+                jax.lax.psum(jnp.sum(cg * cg, axis=1), "rows"))
+
     @jax.jit
     def run(frames, idx_a):
         bsz, h, w = frames.shape
@@ -414,16 +497,33 @@ def build_streaming_sharded_batch(mesh, cfg: PipelineConfig):
         n_pad = _cdiv(n, chunk) * chunk
 
         frames = shard(frames.astype(jnp.float32), mesh, "data", None, None)
-        feats_pad = jax.vmap(
-            lambda im: extract_features_padded(im, cfg, n_pad))(frames)
-        feats_a = jnp.take(feats_pad, idx_a, axis=1)          # (B, p, d)
+        # explicit rows-sharded layout: every shard_map consumer wants
+        # P('data','rows',None), and pinning it here keeps GSPMD from
+        # inventing masked all-reduce reshards for the coarse [::k] slice
+        # (stride divides the shard boundary, so the slice is local)
+        feats_pad = shard(jax.vmap(
+            lambda im: extract_features_padded(im, cfg, n_pad))(frames),
+            mesh, "data", "rows", None)
         d = feats_pad.shape[2]
 
         idx = jnp.arange(n_pad)
         valid = (idx < n).astype(jnp.float32)
-        a_mask = jnp.zeros(n_pad, jnp.float32).at[idx_a].set(1.0)
+        # replicated, like the single-device math: the masks are O(N)
+        # setup consumed elementwise by sharded vectors (local slices)
+        a_mask = shard(jnp.zeros(n_pad, jnp.float32).at[idx_a].set(1.0),
+                       mesh)
         b_mask = valid * (1.0 - a_mask)
 
+        dB, dB2, dB3 = P("data"), P("data", None, None), P("data", None)
+        pB, pBd = P("data", "rows"), P("data", "rows", None)
+        rep = P(None)
+        # p-class index prims (module note before _gather_p_prim)
+        gather_p = smap(_gather_p_prim, (pB, rep), dB3)
+        gather_rows = smap(partial(_gather_rows_prim, axis=1),
+                           (pBd, rep), dB2)
+        scatter_p = smap(_scatter_p_prim, (pB, rep, dB3), pB)
+
+        feats_a = gather_rows(feats_pad, idx_a)               # (B, p, d)
         kaa = jax.vmap(lambda a: affinity_strip(a, a, dtype))(feats_a)
         # KEEP the solver tuple in sync with ops/sinkhorn._make_kaa_solve
         # ("sketch" uses the same ridge-chol solve for normalization;
@@ -441,8 +541,6 @@ def build_streaming_sharded_batch(mesh, cfg: PipelineConfig):
             pinv = jax.vmap(lambda k: psd_pinv(k, cfg.eig_tol))(kaa)
             solve = lambda u: jnp.einsum("bij,bj->bi", pinv, u)
 
-        dB, dB2, dB3 = P("data"), P("data", None, None), P("data", None)
-        pB, pBd = P("data", "rows"), P("data", "rows", None)
         mv = smap(partial(_mv, block=block), (dB2, pBd, pB), dB3)
         rmv = smap(partial(_rmv, block=block), (dB2, pBd, dB3), pB)
         gramf = smap(partial(_gram, block=block), (dB2, pBd, dB3, pB), dB2)
@@ -462,12 +560,12 @@ def build_streaming_sharded_batch(mesh, cfg: PipelineConfig):
                           (dB2, pBd, dB2, dB3, dB3, pB), pB)
 
         def ktilde_apply(s):                                  # (B, n_pad)
-            s_a = jnp.take(s, idx_a, axis=1)
+            s_a = gather_p(s, idx_a)
             u = mv(feats_a, feats_pad, s * b_mask[None, :])
             top = jnp.einsum("bij,bj->bi", kaa, s_a) + u
             t = s_a + solve(u)
             bottom = rmv(feats_a, feats_pad, t) * b_mask[None, :]
-            return bottom.at[:, idx_a].set(top)
+            return scatter_p(bottom, idx_a, top)
 
         if cfg.normalization == "sinkhorn" and cfg.sinkhorn_coarse > 1:
             # decimated-column Sinkhorn fixed point (models/streaming.py
@@ -515,7 +613,7 @@ def build_streaming_sharded_batch(mesh, cfg: PipelineConfig):
             prod = jnp.maximum(kbt[..., 0] * kbt[..., 1], _EPS)
             s = jnp.where(b_mask[None, :] > 0,
                           b_mask[None, :] / jnp.sqrt(prod), 0.0)
-            s = s.at[:, idx_a].set(s_a_coarse)
+            s = scatter_p(s, idx_a, s_a_coarse)
             if cfg.sinkhorn_polish > 0:
                 # full-res polish of the decimated fixed point
                 def pbody(_, sp):
@@ -548,13 +646,14 @@ def build_streaming_sharded_batch(mesh, cfg: PipelineConfig):
             z = z_full[:, :n].reshape(bsz, h, w)
             return jnp.clip(z, 0.0, 1.0), jnp.zeros((bsz, 0), jnp.float32)
 
-        s_a = jnp.take(s, idx_a, axis=1)
+        s_a = gather_p(s, idx_a)
         s_b_cols = s * b_mask[None, :]
 
         waa = kaa * (s_a[:, :, None] * s_a[:, None, :])
         if cfg.gram_coarse > 1:
             # jittered decimated cross estimate (models/streaming.py
-            # gram_coarse + gram_sample_idx anti-aliasing note)
+            # gram_coarse + gram_sample_idx anti-aliasing note); local
+            # sample takes + (B, p, p) psum (_gram_dec_b)
             kg = cfg.gram_coarse
             if block % kg != 0:
                 raise ValueError(
@@ -562,15 +661,12 @@ def build_streaming_sharded_batch(mesh, cfg: PipelineConfig):
                 f"width min(block_cols, N)={block}")
             jidx = jnp.asarray(gram_sample_idx(n_pad, kg,
                                                cfg.gram_jitter_seed))
-            feats_g = shard(jnp.take(feats_pad, jidx, axis=1), mesh,
-                            "data", "rows", None)
-            cols_g = jnp.take(s_b_cols, jidx, axis=1)
+            gramd = smap(partial(_gram_dec_b, block=block // kg),
+                         (dB2, pBd, dB3, pB, P("rows")), (dB2, dB))
+            g_est, sum_cg2 = gramd(feats_a, feats_pad, s_a, s_b_cols, jidx)
             ratio_g = (jnp.sum(s_b_cols * s_b_cols, axis=1)
-                       / jnp.maximum(jnp.sum(cols_g * cols_g, axis=1), _EPS))
-            gramg = smap(partial(_gram, block=block // kg),
-                         (dB2, pBd, dB3, pB), dB2)
-            cross = ratio_g[:, None, None] * gramg(feats_a, feats_g, s_a,
-                                                   cols_g)
+                       / jnp.maximum(sum_cg2, _EPS))
+            cross = ratio_g[:, None, None] * g_est
         else:
             cross = gramf(feats_a, feats_pad, s_a, s_b_cols)
         m = cfg.num_eigvecs
@@ -595,7 +691,7 @@ def build_streaming_sharded_batch(mesh, cfg: PipelineConfig):
         v_a = jnp.matmul(waa, basis0)                         # (B, p, m)
         y = frames.reshape(bsz, n)
         y_pad = jnp.zeros((bsz, n_pad), jnp.float32).at[:, :n].set(y)
-        y_a = jnp.take(y_pad, idx_a, axis=1)
+        y_a = gather_p(y_pad, idx_a)
 
         if mat_v:
             norms_b, coeffs_b, v_b = colstats(feats_a, feats_pad, basis0,
@@ -619,7 +715,7 @@ def build_streaming_sharded_batch(mesh, cfg: PipelineConfig):
             z_full = jnp.einsum("bnm,bm->bn", v_b, wvec)
         else:
             z_full = applyf(feats_a, feats_pad, basis0, wvec, s_a, s_b_cols)
-        z_full = z_full.at[:, idx_a].set(z_a)
+        z_full = scatter_p(z_full, idx_a, z_a)
         if filt.affine:
             z_full = z_full + y_pad
         z = z_full[:, :n].reshape(bsz, h, w)
@@ -656,7 +752,7 @@ def build_streaming_sharded_guided(mesh, cfg: PipelineConfig, n_stack: int):
 
     VARY = ("rows",)
     (_mv, _rmv, _gram, _colstats, _colstats_nov, _apply, _coarse,
-     _rmv2) = _rows_prims(cfg, dtype, VARY)
+     _rmv2, _gram_dec) = _rows_prims(cfg, dtype, VARY)
 
     def _vt_dot(v_loc, ys_loc):
         # (nl, m) local V rows x (n_stack, nl) local frame slices ->
@@ -680,7 +776,6 @@ def build_streaming_sharded_guided(mesh, cfg: PipelineConfig, n_stack: int):
 
         # replicated, natural order; chunked write into the padded buffer
         feats_pad = extract_features_padded(guide2d, cfg, n_pad)
-        feats_a = jnp.take(feats_pad, idx_a, axis=0)
         d = feats_pad.shape[1]
 
         idx = jnp.arange(n_pad)
@@ -688,12 +783,21 @@ def build_streaming_sharded_guided(mesh, cfg: PipelineConfig, n_stack: int):
         a_mask = jnp.zeros(n_pad, jnp.float32).at[idx_a].set(1.0)
         b_mask = valid * (1.0 - a_mask)
 
-        kaa = affinity_strip(feats_a, feats_a, dtype)
-        kaa_solve = _make_kaa_solve(kaa, cfg.eig_tol, cfg.solver)
-
         pN, pNd = P("rows"), P("rows", None)
         rep, rep2 = P(), P(None, None)
         sN = P(None, "rows")                          # stack: frames x rows
+        # p-class index prims (module note before _gather_p_prim)
+        gather_p = smap(_gather_p_prim, (pN, rep), rep)
+        gather_p_s = smap(_gather_p_prim, (sN, rep), rep2)
+        gather_rows = smap(partial(_gather_rows_prim, axis=0),
+                           (pNd, rep), rep2)
+        scatter_p = smap(_scatter_p_prim, (pN, rep, rep), pN)
+        scatter_p_s = smap(_scatter_p_prim, (sN, rep, rep2), sN)
+
+        feats_a = gather_rows(feats_pad, idx_a)
+        kaa = affinity_strip(feats_a, feats_a, dtype)
+        kaa_solve = _make_kaa_solve(kaa, cfg.eig_tol, cfg.solver)
+
         mv = smap(partial(_mv, block=block), (rep2, pNd, pN), rep)
         rmv = smap(partial(_rmv, block=block), (rep2, pNd, rep), pN)
         gramf = smap(partial(_gram, block=block), (rep2, pNd, rep, pN), rep2)
@@ -710,12 +814,12 @@ def build_streaming_sharded_guided(mesh, cfg: PipelineConfig, n_stack: int):
                           (rep2, pNd, rep2, rep, rep, pN), pN)
 
         def ktilde_apply(s):
-            s_a = jnp.take(s, idx_a)
+            s_a = gather_p(s, idx_a)
             u = mv(feats_a, feats_pad, s * b_mask)
             top = kaa @ s_a + u
             t = s_a + kaa_solve(u)
             bottom = rmv(feats_a, feats_pad, t) * b_mask
-            return bottom.at[idx_a].set(top)
+            return scatter_p(bottom, idx_a, top)
 
         if cfg.normalization == "sinkhorn" and cfg.sinkhorn_coarse > 1:
             # unbatched twin of the batched builder's decimated fixed
@@ -755,7 +859,7 @@ def build_streaming_sharded_guided(mesh, cfg: PipelineConfig, n_stack: int):
                        jnp.stack([t_r, t_c], axis=1)) * b_mask[:, None]
             prod = jnp.maximum(kbt[:, 0] * kbt[:, 1], _EPS)
             s = jnp.where(b_mask > 0, b_mask / jnp.sqrt(prod), 0.0)
-            s = s.at[idx_a].set(s_a_coarse)
+            s = scatter_p(s, idx_a, s_a_coarse)
             if cfg.sinkhorn_polish > 0:
                 def pbody(_, sp):
                     ks = jnp.maximum(ktilde_apply(sp), _EPS)
@@ -790,7 +894,7 @@ def build_streaming_sharded_guided(mesh, cfg: PipelineConfig, n_stack: int):
             z = z_full[:, :n].reshape(ns, h, w)
             return jnp.clip(z, 0.0, 1.0), jnp.zeros((0,), jnp.float32)
 
-        s_a = jnp.take(s, idx_a)
+        s_a = gather_p(s, idx_a)
         s_b_cols = s * b_mask
 
         waa = kaa * (s_a[:, None] * s_a[None, :])
@@ -802,14 +906,12 @@ def build_streaming_sharded_guided(mesh, cfg: PipelineConfig, n_stack: int):
                 f"width min(block_cols, N)={block}")
             jidx = jnp.asarray(gram_sample_idx(n_pad, kg,
                                                cfg.gram_jitter_seed))
-            feats_g = shard(jnp.take(feats_pad, jidx, axis=0), mesh,
-                            "rows", None)
-            cols_g = jnp.take(s_b_cols, jidx)
+            gramd = smap(partial(_gram_dec, block=block // kg),
+                         (rep2, pNd, rep, pN, pN), (rep2, rep))
+            g_est, sum_cg2 = gramd(feats_a, feats_pad, s_a, s_b_cols, jidx)
             ratio_g = (jnp.sum(s_b_cols * s_b_cols)
-                       / jnp.maximum(jnp.sum(cols_g * cols_g), _EPS))
-            gramg = smap(partial(_gram, block=block // kg),
-                         (rep2, pNd, rep, pN), rep2)
-            cross = ratio_g * gramg(feats_a, feats_g, s_a, cols_g)
+                       / jnp.maximum(sum_cg2, _EPS))
+            cross = ratio_g * g_est
         else:
             cross = gramf(feats_a, feats_pad, s_a, s_b_cols)
         m = cfg.num_eigvecs
@@ -828,7 +930,7 @@ def build_streaming_sharded_guided(mesh, cfg: PipelineConfig, n_stack: int):
                                                     cfg.eig_tol)[None, :])
 
         v_a = waa @ basis0
-        ys_a = jnp.take(ys_pad, idx_a, axis=1)        # (ns, p)
+        ys_a = gather_p_s(ys_pad, idx_a)              # (ns, p)
 
         if mat_v:
             # one colstats pass for the y-independent pieces (norms + the
@@ -873,7 +975,7 @@ def build_streaming_sharded_guided(mesh, cfg: PipelineConfig, n_stack: int):
             z_full = jnp.stack([
                 applyf(feats_a, feats_pad, basis0, wvecs[f], s_a, s_b_cols)
                 for f in range(ns)])
-        z_full = z_full.at[:, idx_a].set(z_a)
+        z_full = scatter_p_s(z_full, idx_a, z_a)
         if filt.affine:
             z_full = z_full + ys_pad
         z = z_full[:, :n].reshape(ns, h, w)

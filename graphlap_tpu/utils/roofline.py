@@ -40,15 +40,20 @@ _PEAKS_CACHE = (Path(__file__).resolve().parents[2] / "benchmarks"
 # measured ceilings
 # ---------------------------------------------------------------------------
 
-def _timed(fn, *args, runs=5):
-    import jax
-    jax.block_until_ready(fn(*args))      # compile + warm
+def _timed(fn, *args, runs=5, rtt=0.0):
+    """min wall of fn(*args) with a SCALAR-READBACK sync: on this box's
+    remote-TPU tunnel ``block_until_ready`` returns before the computation
+    finishes (the same trap bench.py's device_only_wall works around), so
+    every micro-bench reduces its output to a scalar inside the jit and
+    the timing pulls that 4-byte scalar to the host. ``rtt`` (the measured
+    null round-trip of the sync itself) is subtracted."""
+    float(fn(*args))                      # compile + warm
     walls = []
     for _ in range(runs):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        float(fn(*args))
         walls.append(time.perf_counter() - t0)
-    return min(walls)
+    return max(min(walls) - rtt, 1e-9)
 
 
 def measure_device_peaks(force: bool = False, cache: Path | None = None) -> dict:
@@ -56,9 +61,10 @@ def measure_device_peaks(force: bool = False, cache: Path | None = None) -> dict
 
     Returns/caches: {device_kind, bf16_matmul_tflops, f32_matmul_tflops,
     exp_f32_g_per_s, exp_bf16_g_per_s, hbm_stream_gbs, ts}. The exp rate
-    is isolated from HBM by chaining 8 dependent exps per element; the
-    matmul peaks use a 4096^3 GEMM (bf16 inputs need precision='default'
-    — Mosaic/XLA reject bf16 at the repo-pinned HIGHEST).
+    is isolated from HBM by chaining 16 dependent exps per element; the
+    matmul peaks use an 8192^3 GEMM (bf16 inputs need precision='default'
+    — Mosaic/XLA reject bf16 at the repo-pinned HIGHEST). Every bench is
+    synced by scalar readback (see _timed) with the null RTT subtracted.
     """
     import jax
     import jax.numpy as jnp
@@ -73,49 +79,73 @@ def measure_device_peaks(force: bool = False, cache: Path | None = None) -> dict
         except Exception:
             pass
 
-    s = 4096
+    # null RTT of the scalar-readback sync itself. On this box it measures
+    # ~30 ms (the remote-TPU tunnel), so every bench below runs a DEPENDENT
+    # chain sized to >= ~10x RTT of device work.
+    tiny = jnp.zeros((8,), jnp.float32)
+    rtt_j = jax.jit(jnp.sum)
+    rtt = _timed(lambda v: rtt_j(v), tiny, runs=9)
+
+    s = 8192
     key = jax.random.PRNGKey(0)
-    a32 = jax.random.normal(key, (s, s), jnp.float32)
-    b32 = jax.random.normal(key, (s, s), jnp.float32)
+    a32 = jax.random.normal(key, (s, s), jnp.float32) * (s ** -0.5)
+    b32 = jax.random.normal(key, (s, s), jnp.float32) * (s ** -0.5)
     a16, b16 = a32.astype(jnp.bfloat16), b32.astype(jnp.bfloat16)
+    mm_chain = 64
 
-    mm16 = jax.jit(lambda a, b: jnp.dot(
-        a, b, preferred_element_type=jnp.float32, precision="default"))
-    mm32 = jax.jit(lambda a, b: jnp.dot(
-        a, b, preferred_element_type=jnp.float32, precision="highest"))
-    t16 = _timed(mm16, a16, b16)
-    t32 = _timed(mm32, a32, b32)
-    flops = 2.0 * s * s * s
+    def _mmchain(a, b, prec, dt):
+        def body(_, c):
+            return jnp.dot(c, b, preferred_element_type=jnp.float32,
+                           precision=prec).astype(dt) * 0.01
+        return jnp.sum(jax.lax.fori_loop(0, mm_chain, body, a)
+                       .astype(jnp.float32))
 
-    # exp throughput: 8 dependent exps per element so the VPU, not HBM,
-    # is the bound (exp(x) stays finite for x <= 0 after the first)
+    mm16 = jax.jit(lambda a, b: _mmchain(a, b, "default", jnp.bfloat16))
+    mm32 = jax.jit(lambda a, b: _mmchain(a, b, "highest", jnp.float32))
+    t16 = _timed(mm16, a16, b16, rtt=rtt)
+    t32 = _timed(mm32, a32, b32, rtt=rtt)
+    flops = 2.0 * s * s * s * mm_chain
+
+    # exp throughput: dependent exps so the VPU, not HBM, is the bound
+    # (exp(-x) of a non-negative input stays in [0, 1])
     ne = 1 << 26
-    x32 = -jnp.abs(jax.random.normal(key, (ne,), jnp.float32))
+    x32 = jnp.abs(jax.random.normal(key, (ne,), jnp.float32))
     x16 = x32.astype(jnp.bfloat16)
-    chain = 8
+    chain = 128
 
     def _expchain(x):
-        for _ in range(chain):
-            x = jnp.exp(-x)          # stays in (-1, 0] U [something small)
-        return x
+        def body(_, v):
+            return jnp.exp(-v)
+        return jnp.sum(jax.lax.fori_loop(0, chain, body, x)
+                       .astype(jnp.float32))
 
     exp_j = jax.jit(_expchain)
-    te32 = _timed(exp_j, x32)
-    te16 = _timed(exp_j, x16)
+    te32 = _timed(exp_j, x32, rtt=rtt)
+    te16 = _timed(exp_j, x16, rtt=rtt)
 
-    # HBM stream: y = x + 1 moves 2 * 4 bytes/elem
-    nb = 1 << 27
+    # HBM read-stream: the scalar carry dependence forces a fresh 4-byte
+    # read per element per iteration (a READ-bandwidth ceiling — what the
+    # strip-reading passes are bound by); the +acc*eps prevents CSE.
+    nb = 1 << 29
+    hbm_iters = 32
     xb = jnp.zeros(nb, jnp.float32)
-    add_j = jax.jit(lambda v: v + 1.0)
-    tb = _timed(add_j, xb)
+
+    def _hbmchain(v):
+        def body(_, acc):
+            return acc + jnp.sum(v + acc * 1e-30)
+        return jax.lax.fori_loop(0, hbm_iters, body, jnp.float32(0.0))
+
+    add_j = jax.jit(_hbmchain)
+    tb = _timed(add_j, xb, rtt=rtt)
 
     rec = {
         "device_kind": kind,
+        "sync_rtt_s": round(rtt, 5),
         "bf16_matmul_tflops": round(flops / t16 / 1e12, 1),
         "f32_matmul_tflops": round(flops / t32 / 1e12, 1),
         "exp_f32_g_per_s": round(chain * ne / te32 / 1e9, 2),
         "exp_bf16_g_per_s": round(chain * ne / te16 / 1e9, 2),
-        "hbm_stream_gbs": round(8.0 * nb / tb / 1e9, 1),
+        "hbm_stream_gbs": round(4.0 * nb * hbm_iters / tb / 1e9, 1),
         "ts": time.time(),
     }
     try:
