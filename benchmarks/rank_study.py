@@ -155,6 +155,35 @@ def sweep_tiled(img, noisy):
         print(json.dumps(rec), flush=True)
 
 
+def sweep_refine(img, noisy):
+    """Pin the matvec-identity h optimum at 8 MP (the coarse sweep found
+    h=0.1 > h=0.15 > h=0.25; refine below/around 0.1)."""
+    n = noisy.size
+    for h_band in (0.07, 0.085, 0.125):
+        cfg = _base(4096, 50, h_band, n).replace(
+            filter_mode="matvec", filter_name="identity",
+            fused_finish=False)
+        _run(f"mv_identity1_h{h_band:g}", cfg, img, noisy)
+
+
+def sweep_crossover():
+    """matvec vs tuned-spectral identity at 512^2 / 1024^2 / 2 MP: where
+    does the full-rank operator overtake the rank-m reconstruction? Sets
+    the preset routing boundary."""
+    import graphlap_tpu as gl
+    for side in (512, 1024, 1448):
+        img, noisy = _workload(side, side)
+        n = side * side
+        spec = _base(8192, 50, 0.15, n)
+        mv = spec.replace(filter_mode="matvec", filter_name="identity",
+                          fused_finish=False, h=0.10)
+        mv15 = mv.replace(h=0.15)
+        for tag, cfg in ((f"x{side}_spectral_h.15", spec),
+                         (f"x{side}_mv_h.10", mv),
+                         (f"x{side}_mv_h.15", mv15)):
+            _run(tag, cfg, img, noisy)
+
+
 def sweep_32mp():
     """Confirm the winners at 32 MP (4096x8192)."""
     img, noisy = _workload(4096, 8192)
@@ -171,16 +200,20 @@ def sweep_32mp():
 
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
-    if which in ("grid", "h", "matvec", "tiled", "all"):
+    if which in ("grid", "h", "matvec", "refine", "tiled", "all"):
         img, noisy = _workload(2048, 4096)            # the graded 8 MP shape
         if which in ("h", "all"):
             sweep_h(img, noisy)
         if which in ("matvec", "all"):
             sweep_matvec(img, noisy)
+        if which in ("refine", "all"):
+            sweep_refine(img, noisy)
         if which in ("grid", "all"):
             sweep_grid(img, noisy)
         if which in ("tiled", "all"):
             sweep_tiled(img, noisy)
+    if which == "crossover":
+        sweep_crossover()
     if which in ("32mp", "all"):
         sweep_32mp()
 

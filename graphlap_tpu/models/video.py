@@ -205,12 +205,34 @@ def _filter_video_guided(frames: np.ndarray, cfg: PipelineConfig,
         n_stack = k * (frames.shape[-1] if color else 1)
         grun = build_streaming_sharded_guided(mesh, cfg, n_stack)
 
-    outs, vals = [], []
+    # Pipelined groups with a BOUNDED in-flight window — the same async
+    # chunk-dispatch structure as the batched path above (VERDICT r3 #5):
+    # JAX dispatch is async, so group i+1's host prep + upload (and the
+    # on-device registration/finish programs) overlap group i's factor +
+    # apply compute instead of serializing
+    # upload -> compute -> download per group; only the window-evicting
+    # np.asarray blocks. Round-3 measured the guided 8x4K-pan run LOSING
+    # to per-frame bases e2e (29.0 vs 17.9 s) purely on these per-group
+    # host syncs riding the remote-TPU tunnel. Peak device memory stays
+    # O(window x group), matching the batched path's policy.
+    window = 4
+    pending, outs, vals = [], [], []
+
+    def _drain(slot):
+        z, v, registered, keep, nch = slot
+        z = np.asarray(z)
+        if not registered and color:
+            z = np.moveaxis(z.reshape(k, nch, h, w), 1, -1)
+        outs.append(z[:keep])
+        gv = np.asarray(v)           # (m,) spectral / (0,) operator modes
+        vals.append(np.broadcast_to(gv, (keep,) + gv.shape))
+
     for lo in range(0, b, k):
         grp = frames[lo:lo + k]
         keep = len(grp)
         if keep < k:                 # keep the compiled shape static
             grp = np.concatenate([grp, np.repeat(grp[-1:], k - keep, 0)])
+        nch = grp.shape[-1] if color else 1
         shifts = None
         if register:
             # align every frame to the group's FIRST (phase correlation
@@ -226,7 +248,7 @@ def _filter_video_guided(frames: np.ndarray, cfg: PipelineConfig,
         else:
             guide = grp.mean(axis=0)  # sigma/sqrt(k) of per-frame noise
             y2d = _luma(guide) if color else guide
-            chw = (np.moveaxis(grp, -1, 1).reshape(k * grp.shape[-1], h, w)
+            chw = (np.moveaxis(grp, -1, 1).reshape(k * nch, h, w)
                    if color else grp)
             y2d = jnp.asarray(y2d, jnp.float32)
             chw = jnp.asarray(chw, jnp.float32)
@@ -236,16 +258,16 @@ def _filter_video_guided(frames: np.ndarray, cfg: PipelineConfig,
             z, v = _filter_channels_luma(y2d, chw, idx_a, perm, inv_perm,
                                          cfg)
         if shifts is not None:
+            # dispatched NOW (async device program) so the un-shift runs
+            # back-to-back with the group's apply; the download waits in
+            # the window like every other group
             from ..utils.register import finish_registered_group
-            z = np.asarray(finish_registered_group(
-                z, shifts, color, grp.shape[-1] if color else 1))
-        else:
-            z = np.asarray(z)
-            if color:
-                z = np.moveaxis(z.reshape(k, grp.shape[-1], h, w), 1, -1)
-        outs.append(z[:keep])
-        gv = np.asarray(v)           # (m,) spectral / (0,) operator modes
-        vals.append(np.broadcast_to(gv, (keep,) + gv.shape))
+            z = finish_registered_group(z, shifts, color, nch)
+        pending.append((z, v, shifts is not None, keep, nch))
+        if len(pending) >= window:
+            _drain(pending.pop(0))
+    for slot in pending:
+        _drain(slot)
     return np.concatenate(outs), np.concatenate(vals)
 
 
