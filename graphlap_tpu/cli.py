@@ -185,6 +185,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="blockwise recompute path (big images, no K strip)")
     p.add_argument("-block_cols", type=int, default=65536,
                    help="streaming column-block width")
+    p.add_argument("-strip_cache", action="store_true",
+                   help="streaming: materialize the kernel strip once "
+                        "(natural order) instead of recomputing tiles — "
+                        "the dense-capacity mode; enables -solver sketch "
+                        "on streaming runs")
     p.add_argument("-pallas", action="store_true",
                    help="fused Pallas kernels for the affinity/matvec path")
     p.add_argument("-fused_finish", action="store_true",
@@ -236,6 +241,7 @@ _PRESET_GUARDED_FLAGS = {
     "sinkhorn_coarse": ("sinkhorn_coarse",),
     "sinkhorn_polish": ("sinkhorn_polish",), "gram_coarse": ("gram_coarse",),
     "fused_finish": ("fused_finish",),
+    "strip_cache": ("strip_cache",),
     "solver": ("solver", "sketch_oversample", "sketch_power"),
     "filter_mode": ("filter_mode",),
     # asking for a basis checkpoint IS choosing the spectral form — the
@@ -313,6 +319,7 @@ def main(argv=None) -> int:
                         else "float32"),
         gram_dtype=args.gram_dtype, feature_dtype=args.feature_dtype,
         solver=args.solver, streaming=args.streaming,
+        strip_cache=args.strip_cache,
         block_cols=args.block_cols, use_pallas=args.pallas,
         fused_finish=args.fused_finish,
     )

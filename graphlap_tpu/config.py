@@ -217,6 +217,25 @@ class PipelineConfig:
                                      # (validated at config time)
     use_pallas: bool = False         # fused Pallas affinity kernel
     streaming: bool = False          # recompute K tiles blockwise (big images)
+    strip_cache: bool = False        # streaming=True only: materialize the
+                                     # (p, n_pad) kernel strip ONCE (natural
+                                     # pixel order, padding columns exactly
+                                     # zero) and run every strip product as
+                                     # a GEMM against it instead of
+                                     # recomputing tiles. The dense-capacity
+                                     # twin of the streaming model: same
+                                     # masks, same estimator, NO [A; B]
+                                     # permutation (the dense path's N-row
+                                     # feature gather measured ~20 ms of
+                                     # cfg2's 34 ms affinity stage). Caller
+                                     # must keep p*n_pad*itemsize within
+                                     # HBM (trace-time check). Incompatible
+                                     # with fused_finish (that fusion exists
+                                     # to avoid recompute, which strip_cache
+                                     # already avoids); uniquely ALLOWS
+                                     # solver='sketch' on the streaming
+                                     # entry points (thin passes against
+                                     # the materialized strip)
     block_cols: int = 65536          # streaming column-block width
     fused_finish: bool = False       # streaming + Pallas: fuse the FOUR
                                      # full-resolution finishing sweeps of
@@ -337,14 +356,26 @@ class PipelineConfig:
             # and emit ~3e14 scales (review finding) — reject uniformly
             raise ValueError("sinkhorn_iters must be >= 1 (use "
                              "normalization='none' for the raw kernel)")
-        if self.streaming and self.solver == "sketch":
-            # the randomized sketch is a DENSE-path solver (thin passes
-            # against the materialized strip); the streaming eigensolve
-            # would silently fall back to the slow one-shot formulation
-            # with a mismatched K_AA regularization (review finding)
+        if self.strip_cache and not self.streaming:
             raise ValueError(
-                "solver='sketch' is dense-path only — streaming configs "
-                "use solver='lobpcg' (default) or 'chol'")
+                "strip_cache materializes the STREAMING model's strip — "
+                "set streaming=True (the classic dense path has its own "
+                "[A; B] strip already)")
+        if self.strip_cache and self.fused_finish:
+            raise ValueError(
+                "strip_cache and fused_finish are mutually exclusive: the "
+                "fused finish exists to avoid tile recomputes, which "
+                "strip_cache already avoids by materializing the strip")
+        if self.streaming and self.solver == "sketch" and not self.strip_cache:
+            # the randomized sketch needs a materialized strip for its thin
+            # passes; the recompute streaming eigensolve would silently
+            # fall back to the slow one-shot formulation with a mismatched
+            # K_AA regularization (review finding). strip_cache provides
+            # exactly that strip, so it lifts the restriction.
+            raise ValueError(
+                "solver='sketch' needs a materialized strip — use the "
+                "dense path, or streaming with strip_cache=True; recompute "
+                "streaming configs use solver='lobpcg' (default) or 'chol'")
         if self.sinkhorn_coarse < 1:
             raise ValueError("sinkhorn_coarse must be >= 1")
         if self.gram_coarse < 1:
@@ -611,6 +642,7 @@ def tuned_config(cfg: PipelineConfig, n_pixels: int, level: str = "fast",
     # gates (p_pad, V cap) still fall back at runtime
     # (models/streaming._fused_finish_ok).
     if ("fused_finish" not in keep and level == "fast" and out.streaming
+            and not out.strip_cache
             and out.use_pallas and out.normalization == "sinkhorn"
             and out.sinkhorn_coarse > 1 and out.sinkhorn_polish == 1
             and out.gram_coarse > 1 and not out.operator_filter()):
@@ -620,25 +652,38 @@ def tuned_config(cfg: PipelineConfig, n_pixels: int, level: str = "fast",
 
 def denoise_tuned(cfg: PipelineConfig, sigma: float,
                   keep: frozenset | set = frozenset()) -> PipelineConfig:
-    """Noise-sigma-aware kernel bandwidths, from the measured quality
-    calibration (benchmarks/tune_quality.py sigma sweep, 648 rows across
-    sigma in {0.05..0.2} x both kernels x filter families — results in
-    benchmarks/results/quality_sweep.jsonl):
+    """Noise-sigma-aware denoise recipe, from the measured quality
+    calibrations (benchmarks/tune_quality.py sigma sweep, 648 rows across
+    sigma in {0.05..0.2} x both kernels x filter families, results in
+    benchmarks/results/quality_sweep.jsonl; round-4 rank study at
+    512^2-8 MP in benchmarks/results/rank_study.jsonl):
 
     * gaussian: the pure photometric kernel barely denoises (+0.09 dB at
       the round-2 defaults) — the BILATERAL form is the lever. h = 2.0 sigma
       + spatial_h = 8 px is the cross-sigma optimum (within 0.05 dB of the
       per-sigma best at every tested sigma; +5.1 dB at sigma=0.1/128^2).
-    * nlm: h = 1.5 sigma, no spatial term (patches localize already);
-      +6.5 dB at the cfg2 shape (512^2, sigma=0.1) with the identity
-      filter, vs +2.5 dB at the old h=0.25. (A rank-m 'lowpass' projection
-      with the same basis reaches +8.0 dB — pick it via filter_name.)
+    * nlm + identity (the default denoiser): route to the EXACT full-rank
+      operator — filter_mode='matvec' (z = W y, no gram/eigensolve) at
+      h = 1.0 sigma. Measured vs the best rank-m spectral identity at
+      sigma=0.1: +2.5 dB at 512^2, +2.1 at 1024^2, +3.4 dB at 8 MP
+      (rank_study.jsonl x*/mv_* rows) — a rank-m reconstruction of an
+      N-pixel image keeps only m spatial modes, which binds harder as N
+      grows (rank-50 at 8 MP with a sharp kernel COLLAPSES to 10 dB),
+      while the exact operator tolerates (and rewards) the sharper
+      h = 1.0 sigma kernel. Spectral-mode nlm keeps the rank-m rule
+      h = 1.5 sigma (explicit -filter_mode spectral, basis checkpointing,
+      or 'lowpass' — which needs the basis by construction).
 
     Bandwidth floors keep the kernel non-degenerate on clean images.
     Fields named in ``keep`` are left untouched (CLI: explicit flags win).
     """
     if cfg.kernel == "gaussian":
         chosen = dict(h=max(2.0 * sigma, 0.08), spatial_h=8.0)
+    elif (cfg.filter_name == "identity" and cfg.filter_mode == "spectral"
+            and "filter_mode" not in keep):
+        chosen = dict(h=max(1.0 * sigma, 0.05), filter_mode="matvec")
+    elif cfg.filter_mode != "spectral" and cfg.filter_name == "identity":
+        chosen = dict(h=max(1.0 * sigma, 0.05))
     else:
         chosen = dict(h=max(1.5 * sigma, 0.05))
     return cfg.replace(**{k: v for k, v in chosen.items() if k not in keep})

@@ -104,6 +104,29 @@ class StreamFactor(NamedTuple):
 _V_BYTES_CAP = 6e9
 
 
+def _strip_dot(strip: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """strip @ x with the strip's own precision policy: a bf16-STORED
+    strip runs native bf16 MXU passes (f32 accumulate — the same numeric
+    class as the dense path's bfloat16_store consumers); f32 strips keep
+    the package-wide HIGHEST contract."""
+    if strip.dtype == jnp.bfloat16:
+        return jnp.dot(strip, x.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32,
+                       precision="default")
+    return jnp.dot(strip, x.astype(jnp.float32),
+                   preferred_element_type=jnp.float32, precision="highest")
+
+
+def _strip_dot_t(strip: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """strip.T @ x (dot_general — no transposed copy materializes)."""
+    if strip.dtype == jnp.bfloat16:
+        return jnp.dot(strip.T, x.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32,
+                       precision="default")
+    return jnp.dot(strip.T, x.astype(jnp.float32),
+                   preferred_element_type=jnp.float32, precision="highest")
+
+
 class _StripCtx(NamedTuple):
     """Trace-time context shared by the normalization and eigensolve halves
     of the streaming factor: features, masks, the exact (p, p) block, and
@@ -131,6 +154,9 @@ class _StripCtx(NamedTuple):
     ktilde_apply: object
     fa_pad: jnp.ndarray | None     # Pallas-tiled A features (else None)
     f_t: jnp.ndarray | None        # Pallas-tiled transposed features
+    strip: jnp.ndarray | None      # cfg.strip_cache: the materialized
+                                   # (p, n_pad) strip, natural order,
+                                   # padding columns exactly zero
 
 
 def _strip_ctx(img2d: jnp.ndarray, idx_a: jnp.ndarray,
@@ -160,8 +186,43 @@ def _strip_ctx(img2d: jnp.ndarray, idx_a: jnp.ndarray,
     kaa = affinity_strip(feats_a, feats_a, dtype)     # exact (p, p)
     kaa_solve = _make_kaa_solve(kaa, cfg.eig_tol, cfg.solver)
 
-    fa_pad = f_t = None
-    if cfg.use_pallas:
+    fa_pad = f_t = strip = None
+    if cfg.strip_cache:
+        # dense-capacity mode: materialize the (p, n_pad) strip ONCE in
+        # NATURAL order (no [A; B] feature permute — the classic dense
+        # path's N-row gather measured ~20 ms of cfg2's affinity stage)
+        # and serve every strip product as a GEMM against it. Same masks
+        # and estimators as the recompute path; only the tile source
+        # changes. bf16 modes STORE the strip bf16 (the bandwidth lever);
+        # bfloat16_store keeps f32 distances/exp like the dense path.
+        itemsize = 2 if cfg.affinity_dtype in ("bfloat16",
+                                               "bfloat16_store") else 4
+        if p * n_pad * itemsize > 8e9:
+            raise ValueError(
+                f"strip_cache strip would be {p * n_pad * itemsize / 1e9:.1f}"
+                f" GB (p={p}, n_pad={n_pad}) — past the single-chip bound; "
+                f"use the recompute streaming path (strip_cache=False)")
+        store = (jnp.bfloat16 if cfg.affinity_dtype in
+                 ("bfloat16", "bfloat16_store") else None)
+        # poison the padding FEATURE rows (not a post-emit mask pass):
+        # d2 >= (1e3 - |f|)^2 >> 88 there, so exp underflows to exactly 0
+        # and the padded strip columns vanish from every product for free
+        feats_strip = (feats_pad if n_pad == n
+                       else feats_pad.at[n:].set(1e3))
+        if cfg.use_pallas:
+            from ..ops.pallas_affinity import affinity_strip_pallas
+            strip = affinity_strip_pallas(feats_a, feats_strip, dtype=dtype,
+                                          store_dtype=store)
+        else:
+            strip = affinity_strip(feats_a, feats_strip, dtype,
+                                   store_dtype=store)
+
+        def strip_matvec(v_scaled):
+            return _strip_dot(strip, v_scaled)
+
+        def strip_rmatvec(t_scaled):
+            return _strip_dot_t(strip, t_scaled)
+    elif cfg.use_pallas:
         # fused Pallas matvecs: K tiles live only in VMEM; the transposed
         # feature matrix is built once and reused across every pass
         from ..ops import pallas_streaming as pst
@@ -204,7 +265,7 @@ def _strip_ctx(img2d: jnp.ndarray, idx_a: jnp.ndarray,
                      valid=valid, b_mask=b_mask, ones_p=ones_p, kaa=kaa,
                      kaa_solve=kaa_solve, strip_matvec=strip_matvec,
                      strip_rmatvec=strip_rmatvec, ktilde_apply=ktilde_apply,
-                     fa_pad=fa_pad, f_t=f_t)
+                     fa_pad=fa_pad, f_t=f_t, strip=strip)
 
 
 def _coarse_sinkhorn_state(ctx: _StripCtx, cfg: PipelineConfig):
@@ -235,25 +296,39 @@ def _coarse_sinkhorn_state(ctx: _StripCtx, cfg: PipelineConfig):
     # fixed point is sensitive to sample clumping in a way the
     # energy-rescaled gram is not, so stride's worst case (0.031-0.054
     # with one polish) is the safer contract
-    feats_c = feats_pad[::k]
     mask_c = b_mask[::k]
     block_c = block // k
     ratio = jnp.sum(b_mask) / jnp.maximum(jnp.sum(mask_c), 1.0)
 
-    u0 = ratio * st.matvec(feats_a, feats_c, mask_c, ones_p,
-                           jnp.ones_like(mask_c), block_c, dtype)
+    if ctx.strip is not None:
+        # strip_cache: the decimated columns are a lazy strided slice of
+        # the materialized strip (XLA folds the stride into the dots)
+        strip_c = ctx.strip[:, ::k]
+        u0 = ratio * _strip_dot(strip_c, mask_c)
+
+        def coarse_step(t):
+            y = _strip_dot_t(strip_c, t)
+            return ratio * _strip_dot(strip_c,
+                                      mask_c / jnp.maximum(y, _EPS))
+    else:
+        feats_c = feats_pad[::k]
+        u0 = ratio * st.matvec(feats_a, feats_c, mask_c, ones_p,
+                               jnp.ones_like(mask_c), block_c, dtype)
+
+        def coarse_step(t):
+            return st.sinkhorn_coarse_step(feats_a, feats_c, t, mask_c,
+                                           ratio, block_c, dtype)
+
     r0 = jnp.ones(p, jnp.float32)
 
     def body(_, carry):
         r_a, u_r, *_ = carry
         c_a = 1.0 / jnp.maximum(kaa @ r_a + u_r, _EPS)
         t_r = r_a + kaa_solve(u_r)
-        u_c = st.sinkhorn_coarse_step(feats_a, feats_c, t_r, mask_c,
-                                      ratio, block_c, dtype)
+        u_c = coarse_step(t_r)
         r_a2 = 1.0 / jnp.maximum(kaa @ c_a + u_c, _EPS)
         t_c = c_a + kaa_solve(u_c)
-        u_r2 = st.sinkhorn_coarse_step(feats_a, feats_c, t_c, mask_c,
-                                       ratio, block_c, dtype)
+        u_r2 = coarse_step(t_c)
         return (r_a2, u_r2, c_a, t_r, t_c)
 
     zero_p = jnp.zeros(p, jnp.float32)
@@ -274,8 +349,11 @@ def _normalize_streaming(ctx: _StripCtx, cfg: PipelineConfig) -> jnp.ndarray:
 
     if cfg.normalization == "sinkhorn" and cfg.sinkhorn_coarse > 1:
         s_a_coarse, t_r, t_c = _coarse_sinkhorn_state(ctx, cfg)
-        kbt = st.rmatvec2(feats_a, feats_pad,
-                          jnp.stack([t_r, t_c], axis=1), b_mask, block, dtype)
+        t2 = jnp.stack([t_r, t_c], axis=1)
+        if ctx.strip is not None:
+            kbt = _strip_dot_t(ctx.strip, t2) * b_mask[:, None]
+        else:
+            kbt = st.rmatvec2(feats_a, feats_pad, t2, b_mask, block, dtype)
         prod = jnp.maximum(kbt[:, 0] * kbt[:, 1], _EPS)
         s = (b_mask / jnp.sqrt(prod))
         s = s.at[idx_a].set(s_a_coarse)
@@ -330,6 +408,14 @@ def _stream_cross(ctx: _StripCtx, cfg: PipelineConfig, s_a: jnp.ndarray,
         """sum_j (c_j k_j)(c_j k_j)^T over the columns in ``jidx`` (None =
         all), with the fused Pallas emitter when its tiling fits (kb /
         f32-distance tiles never round-trip HBM), else the XLA scan."""
+        if ctx.strip is not None:
+            sp = (jnp.take(ctx.strip, jidx, axis=1) if jidx is not None
+                  else ctx.strip)
+            ws = (sp.astype(jnp.float32) * cols[None, :]).astype(sp.dtype)
+            prec = "default" if sp.dtype == jnp.bfloat16 else "highest"
+            g = jnp.dot(ws, ws.T, preferred_element_type=jnp.float32,
+                        precision=prec)
+            return g * (s_a[:, None] * s_a[None, :])
         if cfg.use_pallas:
             from ..ops import pallas_streaming as pst
             if n_pad == f_t.shape[1] and blk % pst.EMIT_TN == 0:
@@ -391,16 +477,36 @@ def _eigensolve_streaming(img2d: jnp.ndarray, ctx: _StripCtx, s: jnp.ndarray,
     s_b_cols = s * b_mask                             # 0 on A columns + pads
 
     waa = kaa * (s_a[:, None] * s_a[None, :])
-    cross = _stream_cross(ctx, cfg, s_a, s_b_cols)
     m = cfg.num_eigvecs
-    vals_m, basis0 = _solve_pxp(cfg, waa, cross)
+    if cfg.solver == "sketch" and ctx.strip is not None:
+        # strip_cache enables the dense path's randomized-sketch solver on
+        # the streaming entry points: thin (p, k) passes against the
+        # materialized scaled strip — never the O(p^2 N) cross (the
+        # profiled cost king). Padding/A columns carry zero scale, so they
+        # vanish from the sandwich exactly.
+        from ..ops.nystrom import nystrom_sketch_factor
+        wab_s = (ctx.strip.astype(jnp.float32)
+                 * (s_a[:, None] * s_b_cols[None, :])).astype(ctx.strip.dtype)
+        vals_m, basis0 = nystrom_sketch_factor(
+            waa, wab_s, m, cfg.eig_tol, cfg.sketch_oversample,
+            cfg.sketch_power)
+    else:
+        cross = _stream_cross(ctx, cfg, s_a, s_b_cols)
+        vals_m, basis0 = _solve_pxp(cfg, waa, cross)
 
     v_a = waa @ basis0                                # (p, m)
     y = img2d.astype(jnp.float32).ravel()
     y_pad = jnp.zeros(n_pad, jnp.float32).at[:n].set(y)
     y_a = jnp.take(y_pad, idx_a)
 
-    if n_pad * m * 4 <= _V_BYTES_CAP:
+    if ctx.strip is not None:
+        # strip-backed colstats: ONE thin GEMM materializes V (the strip
+        # already bounds N, so the O(Nm) buffer always fits)
+        v_b = _strip_dot_t(ctx.strip, basis0 * s_a[:, None]) \
+            * s_b_cols[:, None]
+        norms_b = jnp.sum(v_b * v_b, axis=0)
+        coeffs_b = v_b.T @ y_pad
+    elif n_pad * m * 4 <= _V_BYTES_CAP:
         # Deliberately the XLA scan on BOTH paths — a fused Pallas
         # colstats+V kernel (ops/pallas_streaming.colstats_v_pallas) was
         # built and measured: the pass alone wins 0.214 -> 0.149 s at

@@ -89,8 +89,18 @@ def test_noise_sigma_estimator(noisy128):
 def test_denoise_tuned_rules():
     g = denoise_tuned(CONFIG1, 0.1)
     assert g.h == pytest.approx(0.2) and g.spatial_h == 8.0
+    # nlm identity routes to the EXACT full-rank operator at h = 1.0 sigma
+    # (round-4 rank study: +2.1-3.4 dB over the best rank-m spectral at
+    # every tested size, rank_study.jsonl)
     n = denoise_tuned(CONFIG2, 0.1)
-    assert n.h == pytest.approx(0.15) and n.spatial_h == CONFIG2.spatial_h
+    assert n.filter_mode == "matvec"
+    assert n.h == pytest.approx(0.1) and n.spatial_h == CONFIG2.spatial_h
+    # explicit spectral choice keeps the rank-m rule h = 1.5 sigma
+    ns = denoise_tuned(CONFIG2, 0.1, keep={"filter_mode"})
+    assert ns.filter_mode == "spectral" and ns.h == pytest.approx(0.15)
+    # non-identity spectral filters keep the rank-m rule too
+    lp = denoise_tuned(CONFIG2.replace(filter_name="lowpass"), 0.1)
+    assert lp.filter_mode == "spectral" and lp.h == pytest.approx(0.15)
     # floors on near-clean images
     assert denoise_tuned(CONFIG1, 0.0).h >= 0.08
     assert denoise_tuned(CONFIG2, 0.0).h >= 0.05

@@ -308,3 +308,80 @@ def test_fused_finish_shape_fallback(noisy):
     assert not ms._fused_finish_ok(ctx, cfg)
     r = filter_image(noisy, cfg, plan=plan)      # falls back, still runs
     assert np.isfinite(r.image).all()
+
+
+# ---------------------------------------------------------------------------
+# strip_cache: the dense-capacity mode (materialized natural-order strip)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("filter_name,param,mode", [
+    ("identity", 0.0, "spectral"),
+    ("identity", 1.0, "matvec"),
+    ("sharpen", 0.15, "matvec"),
+])
+def test_strip_cache_matches_recompute(noisy, filter_name, param, mode):
+    """cfg.strip_cache reproduces the recompute streaming path: same
+    masks, same estimators — only the tile source changes (one stored
+    strip vs per-block recompute), so outputs agree to f32
+    accumulation-order tolerance."""
+    base = PipelineConfig(kernel="nlm", h=0.25, sample_rho=0.03,
+                          num_eigvecs=24, filter_name=filter_name,
+                          filter_param=param, filter_mode=mode,
+                          sinkhorn_iters=10, streaming=True, block_cols=640)
+    plan = make_plan(noisy, base)
+    rec = filter_image(noisy, base, plan=plan)
+    cache = filter_image(noisy, base.replace(strip_cache=True), plan=plan)
+    np.testing.assert_allclose(cache.image, rec.image, atol=5e-4)
+
+
+def test_strip_cache_coarse_recipe_matches(noisy):
+    """The accelerated knobs (coarse Sinkhorn + polish + coarse gram) run
+    the SAME estimator on both tile sources."""
+    base = PipelineConfig(kernel="nlm", h=0.25, sample_rho=0.03,
+                          num_eigvecs=24, sinkhorn_iters=6,
+                          sinkhorn_coarse=4, sinkhorn_polish=1,
+                          gram_coarse=4, streaming=True, block_cols=1024)
+    plan = make_plan(noisy, base)
+    rec = filter_image(noisy, base, plan=plan)
+    cache = filter_image(noisy, base.replace(strip_cache=True), plan=plan)
+    np.testing.assert_allclose(cache.image, rec.image, atol=5e-4)
+
+
+def test_strip_cache_sketch_matches_dense_sketch(noisy):
+    """solver='sketch' is allowed WITH strip_cache (thin passes against
+    the materialized strip) and matches the classic dense path's sketch
+    output at the same fixed seed."""
+    base = PipelineConfig(kernel="nlm", h=0.25, sample_rho=0.03,
+                          num_eigvecs=24, sinkhorn_iters=10,
+                          solver="sketch", sketch_oversample=40,
+                          sketch_power=1)
+    plan = make_plan(noisy, base)
+    dense = filter_image(noisy, base, plan=plan)
+    cache = filter_image(noisy, base.replace(streaming=True,
+                                             strip_cache=True,
+                                             block_cols=640), plan=plan)
+    np.testing.assert_allclose(cache.image, dense.image, atol=7e-4)
+
+
+def test_strip_cache_validation():
+    with pytest.raises(ValueError, match="strip_cache"):
+        PipelineConfig(strip_cache=True)                   # needs streaming
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        PipelineConfig(streaming=True, strip_cache=True, use_pallas=True,
+                       sinkhorn_coarse=4, sinkhorn_polish=1, gram_coarse=4,
+                       fused_finish=True)
+    with pytest.raises(ValueError, match="sketch"):
+        PipelineConfig(streaming=True, solver="sketch")    # needs the cache
+
+
+def test_strip_cache_bf16_store(noisy):
+    """bfloat16_store semantics carry over: f32 distances/exp, strip
+    STORED bf16 — output stays within the measured store-rounding class
+    of the f32 run."""
+    import graphlap_tpu as gl
+    base = PipelineConfig(kernel="nlm", h=0.25, sample_rho=0.03,
+                          num_eigvecs=24, sinkhorn_iters=10,
+                          streaming=True, strip_cache=True, block_cols=640)
+    f32 = filter_image(noisy, base)
+    b16 = filter_image(noisy, base.replace(affinity_dtype="bfloat16_store"))
+    assert abs(gl.psnr(noisy, f32.image) - gl.psnr(noisy, b16.image)) < 0.05
