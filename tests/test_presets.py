@@ -307,7 +307,7 @@ def test_config_rejects_streaming_sketch_and_zero_iters():
     # the slow one-shot eigensolve with a mismatched K_AA ridge, and
     # sinkhorn_iters=0 under the COARSE fixed point emitted ~3e14 scales
     import pytest
-    with pytest.raises(ValueError, match="dense-path only"):
+    with pytest.raises(ValueError, match="materialized strip"):
         PipelineConfig(streaming=True, solver="sketch")
     with pytest.raises(ValueError, match="sinkhorn_iters"):
         PipelineConfig(sinkhorn_iters=0)
