@@ -481,15 +481,23 @@ def _eigensolve_streaming(img2d: jnp.ndarray, ctx: _StripCtx, s: jnp.ndarray,
     if cfg.solver == "sketch" and ctx.strip is not None:
         # strip_cache enables the dense path's randomized-sketch solver on
         # the streaming entry points: thin (p, k) passes against the
-        # materialized scaled strip — never the O(p^2 N) cross (the
-        # profiled cost king). Padding/A columns carry zero scale, so they
-        # vanish from the sandwich exactly.
+        # materialized strip — never the O(p^2 N) cross (the profiled
+        # cost king). The Sinkhorn scales fold into the thin passes (the
+        # sandwich closure) instead of materializing a scaled strip copy:
+        # the full O(pN) write+read round trip was ~7 ms of the cfg2
+        # eigensolve wall for zero numeric benefit (rounding lands on the
+        # thin operands either way). Padding/A columns carry zero scale,
+        # so they vanish from the sandwich exactly.
         from ..ops.nystrom import nystrom_sketch_factor
-        wab_s = (ctx.strip.astype(jnp.float32)
-                 * (s_a[:, None] * s_b_cols[None, :])).astype(ctx.strip.dtype)
+        s_b2 = s_b_cols * s_b_cols
+
+        def sandwich(t):
+            u = _strip_dot_t(ctx.strip, t * s_a[:, None]) * s_b2[:, None]
+            return _strip_dot(ctx.strip, u) * s_a[:, None]
+
         vals_m, basis0 = nystrom_sketch_factor(
-            waa, wab_s, m, cfg.eig_tol, cfg.sketch_oversample,
-            cfg.sketch_power)
+            waa, None, m, cfg.eig_tol, cfg.sketch_oversample,
+            cfg.sketch_power, sandwich=sandwich)
     else:
         cross = _stream_cross(ctx, cfg, s_a, s_b_cols)
         vals_m, basis0 = _solve_pxp(cfg, waa, cross)

@@ -224,10 +224,19 @@ def _strip_sandwich(wab: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
 
 def nystrom_sketch_factor(waa: jnp.ndarray, wab: jnp.ndarray, m: int,
                           eig_tol: float, oversample: int = 78,
-                          power: int = 2):
+                          power: int = 2, sandwich=None):
     """(vals (m,), factor X (p, m)) with V = C X — drop-in for
     nystrom_chol_factor's output contract, via randomized subspace
-    iteration on M = L^{-1} (W_AA^2 + W_AB W_AB^T) L^{-T}."""
+    iteration on M = L^{-1} (W_AA^2 + W_AB W_AB^T) L^{-T}.
+
+    ``sandwich``: optional callable t (p, k) -> W_AB W_AB^T t replacing
+    the materialized ``wab`` (which may then be None). Callers with a
+    large UNSCALED strip (models/streaming strip_cache) fold the Sinkhorn
+    scales into the thin passes here instead of materializing a second
+    scaled (p, N) strip — same two strip reads per apply, minus the full
+    O(pN) write+read round trip. Rounding moves from the strip entries to
+    the thin operands: the same bf16-GEMM-input class, measured at parity
+    (cfg2_sweep.jsonl ab_strip_cache_fold rows)."""
     import jax
     import jax.scipy.linalg as jsl
 
@@ -235,10 +244,12 @@ def nystrom_sketch_factor(waa: jnp.ndarray, wab: jnp.ndarray, m: int,
     k = min(m + oversample, p)
     eps = _ridge_eps(waa, eig_tol)
     l = jnp.linalg.cholesky(waa + eps * jnp.eye(p, dtype=waa.dtype))
+    if sandwich is None:
+        sandwich = lambda t: _strip_sandwich(wab, t)
 
     def m_apply(v):                                    # (p, k) -> M v
         t = jsl.solve_triangular(l, v, lower=True, trans="T")
-        u = waa @ (waa @ t) + _strip_sandwich(wab, t)
+        u = waa @ (waa @ t) + sandwich(t)
         return jsl.solve_triangular(l, u, lower=True)
 
     y = m_apply(jax.random.normal(jax.random.PRNGKey(0), (p, k), waa.dtype))
