@@ -76,6 +76,31 @@ def gram_sample_idx(n_pad: int, k: int, seed: int = 0) -> np.ndarray:
     return (slots + off).astype(np.int32)
 
 
+def sinkhorn_sample_idx(n_pad: int, k: int, w: int) -> np.ndarray:
+    """Static column sample for the coarse Sinkhorn (one per k-slot):
+    stride with a DIAGONAL per-image-row offset, (q * row) mod k.
+
+    The streaming paths run in natural pixel order, where a plain ::k
+    stride samples the vertical stripes x ≡ 0 (mod k) of every image row
+    and misses the columns between them — the same raster alias the gram
+    sampler hit, and measured up to 0.094 dB of fixed-point bias at cfg2
+    (cfg2_sweep.jsonl scfold_* rows, seed 3). Rotating the offset by a
+    k-coprime step per image row keeps the sample exactly one-per-slot
+    and deterministic (compile-time static, like the gram sample) while
+    covering every column phase within q rows: the same seed-3 instance
+    measures 0.0051 dB — the full-resolution fixed point's own 0.0041
+    (diag rows in cfg2_sweep.jsonl). A RANDOM jitter is NOT safe here:
+    the alternating fixed point is sensitive to sample clumping (0.104 dB
+    on one 8 MP instance, cfg4_sweep.jsonl jitsc_* rows); the diagonal is
+    exactly anti-clumped. The dense path's coarse sampler keeps its plain
+    stride: it strides PERMUTED [A; B] columns, which are already
+    raster-decorrelated (ops/sinkhorn.sinkhorn_scaling_coarse)."""
+    slots = np.arange(0, n_pad, k)[: n_pad // k]
+    q = 7 if k % 7 else 5
+    off = (q * (slots // w)) % k
+    return (slots + off).astype(np.int32)
+
+
 class StreamFactor(NamedTuple):
     """Everything the streaming eigensolve produces, pre-filter: the p-sized
     factor (V = [scaled extension] @ basis0), column scales, and the V^T y
@@ -140,6 +165,8 @@ class _StripCtx(NamedTuple):
     p: int
     n_pad: int
     block: int
+    w: int                         # image width (raster period — the
+                                   # coarse-sample diagonal needs it)
     dtype: object
     idx_a: jnp.ndarray
     feats_a: jnp.ndarray
@@ -260,7 +287,7 @@ def _strip_ctx(img2d: jnp.ndarray, idx_a: jnp.ndarray,
         bottom = strip_rmatvec(t) * b_mask
         return bottom.at[idx_a].set(top)              # p scatter
 
-    return _StripCtx(n=n, p=p, n_pad=n_pad, block=block, dtype=dtype,
+    return _StripCtx(n=n, p=p, n_pad=n_pad, block=block, w=w, dtype=dtype,
                      idx_a=idx_a, feats_a=feats_a, feats_pad=feats_pad,
                      valid=valid, b_mask=b_mask, ones_p=ones_p, kaa=kaa,
                      kaa_solve=kaa_solve, strip_matvec=strip_matvec,
@@ -290,20 +317,21 @@ def _coarse_sinkhorn_state(ctx: _StripCtx, cfg: PipelineConfig):
     # same alternating fixed point against the materialized strip
     # (deliberate twin, not shared code: this one runs through
     # streaming closures; a fix to either body applies to both).
-    # deliberately STRIDED (unlike the gram): a jittered sample was
-    # measured 0.021-0.037 dB on 4 image instances but 0.104 dB on a
-    # 5th (cfg4_sweep.jsonl jitsc_* vs the matrix row) — the coarse
-    # fixed point is sensitive to sample clumping in a way the
-    # energy-rescaled gram is not, so stride's worst case (0.031-0.054
-    # with one polish) is the safer contract
-    mask_c = b_mask[::k]
+    # Sample: DIAGONAL-offset stride (sinkhorn_sample_idx) — one column
+    # per k-slot like a plain stride (the anti-clumping a RANDOM jitter
+    # loses: 0.104 dB on one 8 MP instance, jitsc_* rows), but rotated
+    # per image row to kill the natural-order raster alias (0.094 ->
+    # 0.0051 dB on the worst cfg2 seed; the dense path's permuted-order
+    # stride never had the alias and keeps its plain ::k).
+    jidx = jnp.asarray(sinkhorn_sample_idx(ctx.n_pad, k, ctx.w))
+    mask_c = jnp.take(b_mask, jidx)
     block_c = block // k
     ratio = jnp.sum(b_mask) / jnp.maximum(jnp.sum(mask_c), 1.0)
 
     if ctx.strip is not None:
-        # strip_cache: the decimated columns are a lazy strided slice of
-        # the materialized strip (XLA folds the stride into the dots)
-        strip_c = ctx.strip[:, ::k]
+        # strip_cache: one (p, n_pad/k) gather of the materialized strip,
+        # reused by every iteration's two dots
+        strip_c = jnp.take(ctx.strip, jidx, axis=1)
         u0 = ratio * _strip_dot(strip_c, mask_c)
 
         def coarse_step(t):
@@ -311,7 +339,7 @@ def _coarse_sinkhorn_state(ctx: _StripCtx, cfg: PipelineConfig):
             return ratio * _strip_dot(strip_c,
                                       mask_c / jnp.maximum(y, _EPS))
     else:
-        feats_c = feats_pad[::k]
+        feats_c = jnp.take(feats_pad, jidx, axis=0)
         u0 = ratio * st.matvec(feats_a, feats_c, mask_c, ones_p,
                                jnp.ones_like(mask_c), block_c, dtype)
 

@@ -26,7 +26,8 @@ from jax import shard_map
 
 from ..config import PipelineConfig
 from ..ops import streaming as st
-from ..models.streaming import _V_BYTES_CAP, gram_sample_idx
+from ..models.streaming import (_V_BYTES_CAP, gram_sample_idx,
+                                sinkhorn_sample_idx)
 from ..ops.affinity import affinity_strip, extract_features_padded
 from ..ops.filters import FILTER_REGISTRY
 from ..ops.linalg import psd_pinv_sqrt, trunc_inv_sqrt_vals
@@ -576,9 +577,21 @@ def build_streaming_sharded_batch(mesh, cfg: PipelineConfig):
                 raise ValueError(
                     f"sinkhorn_coarse={k} must divide the active "
                     f"block width min(block_cols, N)={block}")
-            # deliberately strided — see models/streaming.py sinkhorn note
-            feats_c = shard(feats_pad[:, ::k], mesh, "data", "rows", None)
-            mask_c = b_mask[::k]
+            # diagonal-offset sample — models/streaming.sinkhorn_sample_idx
+            # (natural-order raster anti-alias). Each sampled index stays
+            # inside its k-slot and the rows-shard width is a multiple of
+            # block (>= k), so the take is SHARD-LOCAL: done inside
+            # shard_map with per-shard static indices — GSPMD sees a local
+            # gather, never an all-to-all.
+            jidx_np = sinkhorn_sample_idx(n_pad, k, w)
+            shard_w = n_pad // n_rows
+            jloc = jnp.asarray(jidx_np.reshape(n_rows, -1)
+                               - (np.arange(n_rows)[:, None] * shard_w),
+                               jnp.int32)
+            take_c = smap(lambda f_loc, jl: jnp.take(f_loc, jl[0], axis=1),
+                          (pBd, P("rows", None)), pBd)
+            feats_c = take_c(feats_pad, jloc)
+            mask_c = jnp.take(b_mask, jnp.asarray(jidx_np))
             block_c = block // k
             ratio = jnp.sum(b_mask) / jnp.maximum(jnp.sum(mask_c), 1.0)
             coarse = smap(partial(_coarse, block=block_c),
@@ -829,8 +842,17 @@ def build_streaming_sharded_guided(mesh, cfg: PipelineConfig, n_stack: int):
                 raise ValueError(
                     f"sinkhorn_coarse={k} must divide the active "
                     f"block width min(block_cols, N)={block}")
-            feats_c = shard(feats_pad[::k], mesh, "rows", None)
-            mask_c = b_mask[::k]
+            # diagonal-offset sample, shard-local take — see the batched
+            # builder's coarse branch for the locality argument
+            jidx_np = sinkhorn_sample_idx(n_pad, k, w)
+            shard_w = n_pad // n_rows
+            jloc = jnp.asarray(jidx_np.reshape(n_rows, -1)
+                               - (np.arange(n_rows)[:, None] * shard_w),
+                               jnp.int32)
+            take_c = smap(lambda f_loc, jl: jnp.take(f_loc, jl[0], axis=0),
+                          (pNd, P("rows", None)), pNd)
+            feats_c = take_c(feats_pad, jloc)
+            mask_c = jnp.take(b_mask, jnp.asarray(jidx_np))
             block_c = block // k
             ratio = jnp.sum(b_mask) / jnp.maximum(jnp.sum(mask_c), 1.0)
             coarse = smap(partial(_coarse, block=block_c),
