@@ -53,25 +53,28 @@ def make_workload(pallas: bool):
     cfg = gl.CONFIG2  # NLM 5x5, 2% sample, sinkhorn, identity filter, m=50
     # TPU production recipe (every step measured at this exact shape,
     # benchmarks/results/cfg2_sweep.jsonl, parity vs the all-f32 20-iter
-    # reference that is itself oracle-anchored):
-    #  * fused Pallas affinity emitter (single strip buffer in HBM);
+    # reference that is itself oracle-anchored — directly, at this very
+    # shape: parity_anchor.jsonl anchor="graded_cfg2"):
+    #  * strip_cache (r4): the STREAMING model with the strip materialized
+    #    once in NATURAL pixel order — no [A; B] N-row feature permute
+    #    (~20 ms of the classic dense path's affinity stage) and no
+    #    Pallas emitter needed (XLA's fused emit measures the same);
     #  * bfloat16_store: f32 distance math (bf16 GEMM INPUTS cost 0.135 dB
     #    via the GEMM-trick cancellation), strip STORED bf16 — halves every
-    #    downstream strip read incl. the auto-bf16 cross GEMM [0.0001 dB];
-    #  * Sinkhorn 8 iterations — 20 -> 10 moves the output by 0.0003 dB
-    #    (converged), 10 -> 8 by 0.0003-0.016 dB across 4 noise seeds
-    #    (cfg2_sweep.jsonl bf16_store_iters8* rows) for ~6% device wall;
-    #  * randomized sketch eigensolver: thin strip passes replace the
-    #    88%-of-MXU-peak cross GEMM — o110/p1 0.293 -> 0.194 s device at
-    #    0.0000-0.0008 dB vs LOBPCG across 4 seeds; o206/p0 (one fewer
-    #    M-apply) ~7 ms more at 0.0000-0.0001 dB across 3 seeds
-    #    (cfg2_sweep.jsonl sketch_*/skp0_* rows);
-    #  * dense coarse Sinkhorn (1/16 column slice) + one full-res polish:
-    #    0.194 -> 0.148 s at 0.0006-0.044 dB across 4 seeds (dsc16_p1*).
-    # Device wall 0.92 -> 0.31 -> 0.29 -> 0.19 -> 0.15 s across these steps.
+    #    downstream strip read [0.0001 dB];
+    #  * coarse Sinkhorn (1/16 columns, diagonal-offset anti-alias sample)
+    #    x 6 iterations + one full-res polish: 0.011-0.028 dB across 4
+    #    noise seeds (scfold_it6* rows; the plain ::16 stride aliased with
+    #    the raster at up to 0.094 dB — sinkhorn_sample_idx note);
+    #  * randomized sketch eigensolver o206/p0, scales folded into the
+    #    thin strip passes (no scaled-strip copy): 0.0000-0.0008 dB.
+    # Device wall 0.92 -> 0.31 -> 0.29 -> 0.19 -> 0.145 -> 0.120 s across
+    # rounds (sync-walled; ~31 ms of that is this box's scalar-readback
+    # tunnel RTT — the RTT-amortized device compute is ~93 ms).
     # CPU baseline: plain jnp (pallas interpret mode would be unfairly slow).
-    cfg = cfg.replace(use_pallas=pallas, affinity_dtype="bfloat16_store",
-                      sinkhorn_iters=8, solver="sketch",
+    cfg = cfg.replace(streaming=True, strip_cache=True, block_cols=H * W,
+                      use_pallas=False, affinity_dtype="bfloat16_store",
+                      sinkhorn_iters=6, solver="sketch",
                       sketch_oversample=206, sketch_power=0,
                       sinkhorn_coarse=16, sinkhorn_polish=1)
     img = gl.make_test_image(H, W)
@@ -104,8 +107,11 @@ def device_only_wall(image2d, cfg) -> float:
     plan = make_plan(image2d, cfg)
     img = jax.device_put(jnp.asarray(image2d, jnp.float32))
     idx_a = jax.device_put(jnp.asarray(plan.idx_a))
-    perm = jax.device_put(jnp.asarray(plan.perm))
-    inv_perm = jax.device_put(jnp.asarray(plan.inv_perm))
+    if cfg.streaming:
+        perm = inv_perm = idx_a          # never read (streaming contract)
+    else:
+        perm = jax.device_put(jnp.asarray(plan.perm))
+        inv_perm = jax.device_put(jnp.asarray(plan.inv_perm))
     sync = jax.jit(jnp.sum)
     float(sync(_filter_channel(img, idx_a, perm, inv_perm, cfg)[0]))
     walls = []
@@ -245,10 +251,13 @@ def main():
         from graphlap_tpu.models.pipeline import make_plan as _mk
         from graphlap_tpu.utils.roofline import (dense_stage_costs,
                                                  measure_device_peaks,
-                                                 roofline_report)
+                                                 roofline_report,
+                                                 strip_cache_stage_costs)
         peaks = measure_device_peaks()
         pl = _mk(noisy, cfg)
-        costs = dense_stage_costs(cfg, pl.n, pl.p, 25)
+        stage_costs = (strip_cache_stage_costs if cfg.strip_cache
+                       else dense_stage_costs)
+        costs = stage_costs(cfg, pl.n, pl.p, 25)
         roofline = roofline_report(costs, staged.timings, peaks,
                                    tile_dtype="bfloat16")
         roofline["device_peaks"] = {k: peaks[k] for k in

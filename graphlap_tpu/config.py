@@ -612,6 +612,24 @@ def tuned_config(cfg: PipelineConfig, n_pixels: int, level: str = "fast",
         if p >= 4 * k_sketch:
             chosen.update(solver="sketch", sketch_oversample=206,
                           sketch_power=0)
+        # strip_cache (r4): the same recipe through the STREAMING model
+        # with the strip materialized once in NATURAL pixel order — no
+        # [A; B] N-row feature permute (~20 ms of cfg2's affinity stage)
+        # and the coarse Sinkhorn picks up the diagonal-offset anti-alias
+        # sample (sinkhorn_sample_idx). Measured at cfg2: dense headline
+        # 0.133 -> 0.120 s sync-walled device at 0.011-0.028 dB across 4
+        # seeds with iters=6 (cfg2_sweep.jsonl scfold_it6* rows; the
+        # permuted-stride dense twin needed 8). Routed as a GROUP only
+        # when the caller kept none of the three coupled fields and the
+        # strip fits the single-chip bound.
+        if (not {"streaming", "strip_cache", "block_cols"} & set(keep)
+                and chosen.get("sinkhorn_coarse", 0) > 1
+                and chosen.get("solver") == "sketch"
+                and p * n_pixels * 2 <= 8e9):
+            chosen.update(streaming=True, strip_cache=True,
+                          block_cols=n_pixels, sinkhorn_iters=6,
+                          use_pallas=False)   # XLA's fused emit measures
+                                              # the same on the cached strip
     if cfg.filter_name == "sharpen" and cfg.filter_mode == "spectral":
         # Rank-m AFFINE filters are ill-posed on collapsed kernel spectra
         # (AFFINE_FILTERS note): every accelerated cfg3 recipe measured

@@ -275,6 +275,29 @@ def dense_stage_costs(cfg, n: int, p: int, d: int) -> dict:
             "filter": filt}
 
 
+def strip_cache_stage_costs(cfg, n: int, p: int, d: int) -> dict:
+    """Per-stage op counts for the strip_cache recipe (streaming model,
+    materialized natural-order strip — the r4 cfg2 headline). Keys match
+    the STREAMING staged timing names (normalize/eigensolve/filter): the
+    strip emit lands in ``normalize`` because stage_scales_streaming
+    builds the ctx first; the staged eigensolve/filter walls each rebuild
+    the ctx (re-emit), so their fractions are lower bounds — the fused
+    headline emits once."""
+    dense = dense_stage_costs(cfg, n, p, d)
+    m = cfg.num_eigvecs
+    out = {"normalize": _add(dense["affinity"], dense["normalize"]),
+           "eigensolve": dense["eigensolve"]}
+    itemsize = 2 if cfg.affinity_dtype in ("bfloat16", "bfloat16_store") else 4
+    strip = float(p) * n * itemsize
+    # strip-backed colstats (one strip read, m-wide) + the O(Nm) apply
+    out["eigensolve"] = _add(out["eigensolve"],
+                             {"mxu_flops": 2.0 * float(n) * p * m,
+                              "hbm_bytes": strip + 4.0 * n * m})
+    out["filter"] = {"trans": 0.0, "mxu_flops": 2.0 * n * m,
+                     "hbm_bytes": 4.0 * n * m}
+    return out
+
+
 # ---------------------------------------------------------------------------
 # report
 # ---------------------------------------------------------------------------

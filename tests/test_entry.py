@@ -96,7 +96,11 @@ def test_bench_contract_keys():
     assert bench.MEGAPIXELS > 0
     # workload builds without device work
     gl, cfg, img, noisy = bench.make_workload(pallas=True)
-    assert cfg.use_pallas and img.shape == (bench.H, bench.W)
+    # r4 headline: strip_cache streaming recipe (natural-order strip; the
+    # Pallas emitter measures the same as XLA's fused emit there, so the
+    # pallas flag no longer shapes the headline config)
+    assert cfg.streaming and cfg.strip_cache
+    assert img.shape == (bench.H, bench.W)
 
 
 def test_bench_cpu_baseline_cache_is_fresh():

@@ -48,19 +48,22 @@ def test_sinkhorn_calibration_matches_sweep():
 def test_tuned_config_dense_fast():
     cfg = tuned_config(CONFIG2, 512 * 512, "fast")
     assert cfg.affinity_dtype == "bfloat16_store"
-    # 8 iters: 0.0003-0.016 dB seed-swept, ~6% device win over 10
-    # (cfg2_sweep.jsonl bf16_store_iters8* rows)
-    assert cfg.use_pallas and cfg.sinkhorn_iters == 8
-    # dense coarse Sinkhorn + polish (0.0006-0.044 dB seed-swept at cfg2,
-    # dsc16_p1* rows); gram decimation stays streaming-only
+    # strip_cache routing (r4): the dense-class recipe runs through the
+    # streaming model with a materialized natural-order strip — no [A; B]
+    # feature permute, diagonal-offset anti-alias coarse sample, iters=6:
+    # 0.133 -> 0.120 s device at 0.011-0.028 dB across 4 seeds
+    # (cfg2_sweep.jsonl scfold_it6* rows)
+    assert cfg.streaming and cfg.strip_cache
+    assert cfg.block_cols == 512 * 512 and not cfg.use_pallas
+    assert cfg.sinkhorn_iters == 6
+    # coarse Sinkhorn + polish; gram decimation stays spectral-streaming-only
     assert cfg.sinkhorn_coarse == 16 and cfg.sinkhorn_polish == 1
     assert cfg.gram_coarse == 1
-    # the sketch eigensolver is the dense fast default at headline p
+    # the sketch eigensolver is the fast default at headline p
     assert cfg.solver == "sketch"
-    # dense turbo differs only in Sinkhorn depth (6 iters, <=0.051 dB)
+    # turbo lands on the same strip_cache recipe (iters already 6)
     turbo = tuned_config(CONFIG2, 512 * 512, "turbo")
-    assert turbo.sinkhorn_iters == 6
-    assert turbo.replace(sinkhorn_iters=8) == cfg
+    assert turbo == cfg
 
 
 def test_tuned_config_dense_small_image_stays_exact():
@@ -189,7 +192,7 @@ def test_tuned_config_keep_respects_user_fields():
                        keep={"affinity_dtype", "sinkhorn_iters"})
     assert cfg.affinity_dtype == "float32"        # untouched
     assert cfg.sinkhorn_iters == CONFIG2.sinkhorn_iters
-    assert cfg.use_pallas                          # still applied
+    assert cfg.strip_cache                         # still applied
 
 
 def test_tuned_config_bad_level():
