@@ -478,11 +478,14 @@ def run_row(name, cfg, clean, image):
             from graphlap_tpu.utils.roofline import (dense_stage_costs,
                                                      measure_device_peaks,
                                                      roofline_report,
-                                                     streaming_stage_costs)
+                                                     streaming_stage_costs,
+                                                     strip_cache_stage_costs)
             peaks = measure_device_peaks()
             d_feat = (cfg.patch_size ** 2 if cfg.kernel == "nlm" else
                       1 + (2 if cfg.spatial_h > 0 else 0))
-            costs = (streaming_stage_costs(cfg, n, plan.p, d_feat)
+            costs = (strip_cache_stage_costs(cfg, n, plan.p, d_feat)
+                     if cfg.strip_cache else
+                     streaming_stage_costs(cfg, n, plan.p, d_feat)
                      if cfg.streaming else
                      dense_stage_costs(cfg, n, plan.p, d_feat))
             tile_dt = ("bfloat16" if cfg.affinity_dtype != "float32"

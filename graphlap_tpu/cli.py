@@ -125,6 +125,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="full-resolution polish iterations after coarse "
                         "Sinkhorn (contracts decimation bias under the "
                         "parity gate)")
+    p.add_argument("-sinkhorn_sample", default="diag",
+                   choices=["diag", "stride"],
+                   help="coarse-Sinkhorn column sample on streaming paths: "
+                        "diagonal per-row offset (natural-order raster "
+                        "anti-alias, default) or the plain ::k stride")
     p.add_argument("-gram_coarse", type=int, default=1,
                    help="streaming only: estimate the O(Np^2) cross from "
                         "every k-th column (8 MP-scale accelerator)")
@@ -240,6 +245,7 @@ _PRESET_GUARDED_FLAGS = {
     "sinkhorn_iters": ("sinkhorn_iters",),
     "sinkhorn_coarse": ("sinkhorn_coarse",),
     "sinkhorn_polish": ("sinkhorn_polish",), "gram_coarse": ("gram_coarse",),
+    "sinkhorn_sample": ("sinkhorn_sample",),
     "fused_finish": ("fused_finish",),
     "strip_cache": ("strip_cache",),
     "solver": ("solver", "sketch_oversample", "sketch_power"),
@@ -310,7 +316,8 @@ def main(argv=None) -> int:
         sample_seed=args.sample_seed, num_eigvecs=args.eigvals,
         normalization=args.normalization, sinkhorn_iters=args.sinkhorn_iters,
         sinkhorn_coarse=args.sinkhorn_coarse,
-        sinkhorn_polish=args.sinkhorn_polish, gram_coarse=args.gram_coarse,
+        sinkhorn_polish=args.sinkhorn_polish,
+        sinkhorn_sample=args.sinkhorn_sample, gram_coarse=args.gram_coarse,
         filter_name=args.filter_name, filter_param=args.filter_param,
         filter_mode=args.filter_mode, cheb_degree=args.cheb_degree,
         rgb_mode=args.rgb_mode,

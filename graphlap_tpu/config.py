@@ -86,6 +86,16 @@ class PipelineConfig:
                                      # ~0.1 dB off the exact trajectory at
                                      # 8 MP; polish pulls it back under the
                                      # gate at a fraction of full-res cost)
+    sinkhorn_sample: str = "diag"    # coarse-Sinkhorn column sample on the
+                                     # STREAMING paths: "diag" rotates the
+                                     # in-slot offset by a k-coprime step
+                                     # per image row (kills the
+                                     # natural-order raster alias — up to
+                                     # 0.094 dB at cfg2, sinkhorn_sample_idx
+                                     # note); "stride" is the plain ::k of
+                                     # rounds 2-3. The dense path always
+                                     # strides (permuted [A;B] columns are
+                                     # raster-decorrelated already).
     gram_jitter_seed: int = 0        # seed of the jittered coarse-gram
                                      # column sample (models/streaming.
                                      # gram_sample_idx, active at
@@ -350,6 +360,9 @@ class PipelineConfig:
         if self.rgb_mode not in ("per_channel", "luma_basis"):
             raise ValueError(f"rgb_mode must be 'per_channel' or "
                              f"'luma_basis', got {self.rgb_mode!r}")
+        if self.sinkhorn_sample not in ("diag", "stride"):
+            raise ValueError(f"sinkhorn_sample must be 'diag' or 'stride', "
+                             f"got {self.sinkhorn_sample!r}")
         if self.sinkhorn_iters < 1:
             # iters=0 is sane for the full-res loop (s=1, raw kernel) but
             # the COARSE fixed point would divide by its zeroed carries

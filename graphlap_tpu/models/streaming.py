@@ -76,7 +76,8 @@ def gram_sample_idx(n_pad: int, k: int, seed: int = 0) -> np.ndarray:
     return (slots + off).astype(np.int32)
 
 
-def sinkhorn_sample_idx(n_pad: int, k: int, w: int) -> np.ndarray:
+def sinkhorn_sample_idx(n_pad: int, k: int, w: int,
+                        mode: str = "diag") -> np.ndarray:
     """Static column sample for the coarse Sinkhorn (one per k-slot):
     stride with a DIAGONAL per-image-row offset, (q * row) mod k.
 
@@ -94,8 +95,14 @@ def sinkhorn_sample_idx(n_pad: int, k: int, w: int) -> np.ndarray:
     on one 8 MP instance, cfg4_sweep.jsonl jitsc_* rows); the diagonal is
     exactly anti-clumped. The dense path's coarse sampler keeps its plain
     stride: it strides PERMUTED [A; B] columns, which are already
-    raster-decorrelated (ops/sinkhorn.sinkhorn_scaling_coarse)."""
+    raster-decorrelated (ops/sinkhorn.sinkhorn_scaling_coarse).
+
+    ``mode="stride"`` (cfg.sinkhorn_sample) returns the plain ::k of
+    rounds 2-3, kept selectable for A/B and for recipes calibrated on
+    it."""
     slots = np.arange(0, n_pad, k)[: n_pad // k]
+    if mode == "stride":
+        return slots.astype(np.int32)
     q = 7 if k % 7 else 5
     off = (q * (slots // w)) % k
     return (slots + off).astype(np.int32)
@@ -323,7 +330,8 @@ def _coarse_sinkhorn_state(ctx: _StripCtx, cfg: PipelineConfig):
     # per image row to kill the natural-order raster alias (0.094 ->
     # 0.0051 dB on the worst cfg2 seed; the dense path's permuted-order
     # stride never had the alias and keeps its plain ::k).
-    jidx = jnp.asarray(sinkhorn_sample_idx(ctx.n_pad, k, ctx.w))
+    jidx = jnp.asarray(sinkhorn_sample_idx(ctx.n_pad, k, ctx.w,
+                                           cfg.sinkhorn_sample))
     mask_c = jnp.take(b_mask, jidx)
     block_c = block // k
     ratio = jnp.sum(b_mask) / jnp.maximum(jnp.sum(mask_c), 1.0)

@@ -583,7 +583,7 @@ def build_streaming_sharded_batch(mesh, cfg: PipelineConfig):
             # block (>= k), so the take is SHARD-LOCAL: done inside
             # shard_map with per-shard static indices — GSPMD sees a local
             # gather, never an all-to-all.
-            jidx_np = sinkhorn_sample_idx(n_pad, k, w)
+            jidx_np = sinkhorn_sample_idx(n_pad, k, w, cfg.sinkhorn_sample)
             shard_w = n_pad // n_rows
             jloc = jnp.asarray(jidx_np.reshape(n_rows, -1)
                                - (np.arange(n_rows)[:, None] * shard_w),
@@ -844,7 +844,7 @@ def build_streaming_sharded_guided(mesh, cfg: PipelineConfig, n_stack: int):
                     f"block width min(block_cols, N)={block}")
             # diagonal-offset sample, shard-local take — see the batched
             # builder's coarse branch for the locality argument
-            jidx_np = sinkhorn_sample_idx(n_pad, k, w)
+            jidx_np = sinkhorn_sample_idx(n_pad, k, w, cfg.sinkhorn_sample)
             shard_w = n_pad // n_rows
             jloc = jnp.asarray(jidx_np.reshape(n_rows, -1)
                                - (np.arange(n_rows)[:, None] * shard_w),

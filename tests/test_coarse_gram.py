@@ -106,3 +106,30 @@ def test_gram_sample_idx_regimes():
         assert not np.array_equal(idx, slots)               # actually jittered
         assert np.array_equal(idx, gram_sample_idx(n_pad, k))  # deterministic
     assert GRAM_JITTER_MIN == 16
+
+
+def test_sinkhorn_sample_idx_diagonal():
+    """Coarse-Sinkhorn sampler contract (sinkhorn_sample_idx): exactly one
+    in-slot index per k columns, deterministic, and the offset ROTATES by a
+    k-coprime step per image row so every column phase is covered within k
+    rows — the natural-order raster anti-alias (a plain ::k stride sampled
+    only the vertical stripes x = 0 mod k and measured up to 0.094 dB of
+    fixed-point bias at cfg2; cfg2_sweep.jsonl scfold_* vs the diag A/B)."""
+    from graphlap_tpu.models.streaming import sinkhorn_sample_idx
+
+    for n_pad, k, w in ((512 * 512, 16, 512), (8192, 8, 64), (4096, 64, 64)):
+        idx = sinkhorn_sample_idx(n_pad, k, w)
+        assert idx.shape == (n_pad // k,)
+        slots = np.arange(0, n_pad, k)
+        assert np.all(idx >= slots) and np.all(idx < slots + k)   # in-slot
+        assert np.array_equal(idx, sinkhorn_sample_idx(n_pad, k, w))
+        # column-phase coverage: across image rows the sampled x mod k
+        # must hit every residue class (the stride hits exactly one)
+        phases = np.unique(idx % k)
+        assert phases.size == k
+        # offsets constant within a row, rotated between rows
+        rows = idx // w
+        off = idx % k
+        first_rows = rows[: 2 * (w // k)]
+        if w // k >= 1 and np.unique(first_rows).size > 1:
+            assert np.unique(off[: w // k]).size == 1   # constant in row 0
