@@ -125,11 +125,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="full-resolution polish iterations after coarse "
                         "Sinkhorn (contracts decimation bias under the "
                         "parity gate)")
-    p.add_argument("-sinkhorn_sample", default="diag",
-                   choices=["diag", "stride"],
+    p.add_argument("-sinkhorn_sample", default="auto",
+                   choices=["auto", "diag", "stride"],
                    help="coarse-Sinkhorn column sample on streaming paths: "
-                        "diagonal per-row offset (natural-order raster "
-                        "anti-alias, default) or the plain ::k stride")
+                        "auto (measured split: diagonal anti-alias on "
+                        "strip_cache, plain stride on recompute), diag, "
+                        "or stride")
     p.add_argument("-gram_coarse", type=int, default=1,
                    help="streaming only: estimate the O(Np^2) cross from "
                         "every k-th column (8 MP-scale accelerator)")

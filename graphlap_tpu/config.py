@@ -86,16 +86,25 @@ class PipelineConfig:
                                      # ~0.1 dB off the exact trajectory at
                                      # 8 MP; polish pulls it back under the
                                      # gate at a fraction of full-res cost)
-    sinkhorn_sample: str = "diag"    # coarse-Sinkhorn column sample on the
-                                     # STREAMING paths: "diag" rotates the
+    sinkhorn_sample: str = "auto"    # coarse-Sinkhorn column sample on the
+                                     # STREAMING paths. "diag" rotates the
                                      # in-slot offset by a k-coprime step
-                                     # per image row (kills the
-                                     # natural-order raster alias — up to
-                                     # 0.094 dB at cfg2, sinkhorn_sample_idx
-                                     # note); "stride" is the plain ::k of
-                                     # rounds 2-3. The dense path always
-                                     # strides (permuted [A;B] columns are
-                                     # raster-decorrelated already).
+                                     # per image row; "stride" is the
+                                     # plain ::k. MEASURED split (both
+                                     # 4-seed sweeps vs per-seed f32-exact
+                                     # trajectories): diag wins on the
+                                     # strip_cache path (cfg2: 0.011-0.028
+                                     # vs stride's 0.031-0.094 dB — the
+                                     # natural-order raster alias) but
+                                     # LOSES on the recompute path (cfg4:
+                                     # 0.064-0.077 vs stride's
+                                     # 0.0007-0.0063 dB; ss_* rows in
+                                     # cfg4_sweep.jsonl). "auto" (default)
+                                     # resolves diag iff strip_cache —
+                                     # exactly the measured split. The
+                                     # dense path always strides (permuted
+                                     # [A;B] columns are already
+                                     # raster-decorrelated).
     gram_jitter_seed: int = 0        # seed of the jittered coarse-gram
                                      # column sample (models/streaming.
                                      # gram_sample_idx, active at
@@ -360,9 +369,9 @@ class PipelineConfig:
         if self.rgb_mode not in ("per_channel", "luma_basis"):
             raise ValueError(f"rgb_mode must be 'per_channel' or "
                              f"'luma_basis', got {self.rgb_mode!r}")
-        if self.sinkhorn_sample not in ("diag", "stride"):
-            raise ValueError(f"sinkhorn_sample must be 'diag' or 'stride', "
-                             f"got {self.sinkhorn_sample!r}")
+        if self.sinkhorn_sample not in ("auto", "diag", "stride"):
+            raise ValueError(f"sinkhorn_sample must be 'auto', 'diag' or "
+                             f"'stride', got {self.sinkhorn_sample!r}")
         if self.sinkhorn_iters < 1:
             # iters=0 is sane for the full-res loop (s=1, raw kernel) but
             # the COARSE fixed point would divide by its zeroed carries
@@ -435,6 +444,16 @@ class PipelineConfig:
         return ("bfloat16"
                 if self.affinity_dtype in ("bfloat16", "bfloat16_store")
                 else "float32")
+
+    def resolved_sinkhorn_sample(self) -> str:
+        """'diag' or 'stride' — the coarse-Sinkhorn sample the streaming
+        paths actually use. 'auto' encodes the measured split: diagonal on
+        the strip_cache path (where the plain stride raster-aliases, cfg2
+        scfold rows), stride on the recompute path (where the diagonal
+        measures a consistent ~0.07 dB WORSE, cfg4 ss_* rows)."""
+        if self.sinkhorn_sample != "auto":
+            return self.sinkhorn_sample
+        return "diag" if self.strip_cache else "stride"
 
     def num_samples(self, n_pixels: int) -> int:
         """p = min(cap, ceil(rho * N)), at least num_eigvecs."""

@@ -97,9 +97,12 @@ def sinkhorn_sample_idx(n_pad: int, k: int, w: int,
     stride: it strides PERMUTED [A; B] columns, which are already
     raster-decorrelated (ops/sinkhorn.sinkhorn_scaling_coarse).
 
-    ``mode="stride"`` (cfg.sinkhorn_sample) returns the plain ::k of
-    rounds 2-3, kept selectable for A/B and for recipes calibrated on
-    it."""
+    The win does NOT transfer to the RECOMPUTE streaming path: the same
+    diagonal measures a consistent 0.064-0.077 dB at cfg4 (8 MP, k=64)
+    where the plain stride holds 0.0007-0.0063 across the same 4 seeds
+    (cfg4_sweep.jsonl ss_* rows) — so ``mode`` is caller-selected and
+    cfg.resolved_sinkhorn_sample() ("auto") routes diag iff strip_cache,
+    exactly the measured split."""
     slots = np.arange(0, n_pad, k)[: n_pad // k]
     if mode == "stride":
         return slots.astype(np.int32)
@@ -331,7 +334,7 @@ def _coarse_sinkhorn_state(ctx: _StripCtx, cfg: PipelineConfig):
     # 0.0051 dB on the worst cfg2 seed; the dense path's permuted-order
     # stride never had the alias and keeps its plain ::k).
     jidx = jnp.asarray(sinkhorn_sample_idx(ctx.n_pad, k, ctx.w,
-                                           cfg.sinkhorn_sample))
+                                           cfg.resolved_sinkhorn_sample()))
     mask_c = jnp.take(b_mask, jidx)
     block_c = block // k
     ratio = jnp.sum(b_mask) / jnp.maximum(jnp.sum(mask_c), 1.0)

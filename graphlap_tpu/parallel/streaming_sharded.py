@@ -197,6 +197,14 @@ def build_streaming_sharded(mesh, cfg: PipelineConfig):
     with the pixel axis sharded over mesh axis 'rows'. Memoized on
     (mesh, cfg) — see build_sharded_pipeline."""
 
+    if cfg.solver == "sketch":
+        # this builder runs the RECOMPUTE operators only; the materialized
+        # strip the sketch's thin passes want lives in the batched builder
+        # (filter_image_streaming_sharded routes strip_cache configs there)
+        raise ValueError(
+            "solver='sketch' is strip_cache-only on the sharded streaming "
+            "path — route through build_streaming_sharded_batch (the "
+            "filter_image entry does this), or use 'chol'/'lobpcg'")
     dtype = jnp.bfloat16 if cfg.affinity_dtype == "bfloat16" else jnp.float32
     n_rows = int(mesh.shape["rows"])   # KeyError on a rows-less mesh is
                                        # clearer than a late spec failure
@@ -545,13 +553,83 @@ def build_streaming_sharded_batch(mesh, cfg: PipelineConfig):
         mv = smap(partial(_mv, block=block), (dB2, pBd, pB), dB3)
         rmv = smap(partial(_rmv, block=block), (dB2, pBd, dB3), pB)
         gramf = smap(partial(_gram, block=block), (dB2, pBd, dB3, pB), dB2)
+
+        # strip_cache on the mesh: each device materializes the LOCAL
+        # (B_loc, p, n_loc) slice of every frame's strip — the mode's
+        # single-chip 8 GB bound becomes per-device (rows-sharding divides
+        # the strip), and the sketch eigensolver's sandwich runs as local
+        # GEMMs + one (p, k) psum. Same estimators as the single-device
+        # strip_cache path (models/streaming._strip_ctx); equivalence
+        # pinned in tests/test_sharded.py.
+        strip = None
+        sB = P("data", None, "rows")
+        if cfg.strip_cache:
+            from ..models.streaming import _strip_dot, _strip_dot_t
+            n_data = int(mesh.shape["data"])
+            itemsize = 2 if cfg.affinity_dtype in ("bfloat16",
+                                                   "bfloat16_store") else 4
+            per_dev = _cdiv(bsz, n_data) * p * (n_pad // n_rows) * itemsize
+            if per_dev > 8e9:
+                raise ValueError(
+                    f"strip_cache per-device strip slice would be "
+                    f"{per_dev / 1e9:.1f} GB (B_loc={_cdiv(bsz, n_data)}, "
+                    f"p={p}, n_loc={n_pad // n_rows}) — past the per-chip "
+                    f"bound; use the recompute path (strip_cache=False)")
+            store = (jnp.bfloat16 if cfg.affinity_dtype in
+                     ("bfloat16", "bfloat16_store") else None)
+
+            def _emit(fa, f_loc, valid_loc):
+                # padding columns are zeroed by the mask (the single-device
+                # path poisons the feature rows instead — same exact
+                # result: exp underflow there, multiply-by-0 here)
+                def one(a, f):
+                    sl = affinity_strip(a, f, dtype) * valid_loc[None, :]
+                    return sl if store is None else sl.astype(store)
+                return jax.vmap(one)(fa, f_loc)
+
+            strip = smap(_emit, (dB2, pBd, P("rows")), sB)(
+                feats_a, feats_pad, valid)
+
+            def _mv_s(s_loc, v_loc):
+                return jax.lax.psum(jax.vmap(_strip_dot)(s_loc, v_loc),
+                                    "rows")
+
+            def _rmv_s(s_loc, t):
+                return jax.vmap(_strip_dot_t)(s_loc, t)
+
+            mv_s = smap(_mv_s, (sB, pB), dB3)
+            rmv_s = smap(_rmv_s, (sB, dB3), pB)
+            rmv2_s = smap(_rmv_s, (sB, P("data", None, None)), pBd)
+            mv_k = lambda v: mv_s(strip, v)
+            rmv_k = lambda t: rmv_s(strip, t)
+        else:
+            mv_k = lambda v: mv(feats_a, feats_pad, v)
+            rmv_k = lambda t: rmv(feats_a, feats_pad, t)
+
         # V materialization gate — see build_streaming_sharded
         # v_b is sharded over BOTH axes (out spec P('data','rows',None)):
         # gate on per-DEVICE bytes, not per-rows-group (review finding —
-        # /n_rows alone forced the slow recompute apply at config-5 scale)
-        mat_v = (bsz * n_pad * cfg.num_eigvecs * 4
+        # /n_rows alone forced the slow recompute apply at config-5 scale).
+        # A materialized strip always bounds N, so strip_cache keeps V.
+        mat_v = (strip is not None
+                 or bsz * n_pad * cfg.num_eigvecs * 4
                  <= _V_BYTES_CAP * mesh.devices.size)
-        if mat_v:
+        if strip is not None:
+            def _colstats_s(s_loc, basis, y_loc, sa_b, sb_loc):
+                from ..models.streaming import _strip_dot_t as sdt
+
+                def one(sl, b0, y, sa, sb):
+                    vb = sdt(sl, b0 * sa[:, None]) * sb[:, None]
+                    return jnp.sum(vb * vb, axis=0), vb.T @ y, vb
+
+                norms, coeffs, vb = jax.vmap(one)(s_loc, basis, y_loc,
+                                                  sa_b, sb_loc)
+                return (jax.lax.psum(norms, "rows"),
+                        jax.lax.psum(coeffs, "rows"), vb)
+
+            colstats_s = smap(_colstats_s, (sB, dB2, pB, dB3, pB),
+                              (dB3, dB3, pBd))
+        elif mat_v:
             colstats = smap(partial(_colstats, block=block),
                             (dB2, pBd, dB2, pB, dB3, pB), (dB3, dB3, pBd))
         else:
@@ -562,10 +640,10 @@ def build_streaming_sharded_batch(mesh, cfg: PipelineConfig):
 
         def ktilde_apply(s):                                  # (B, n_pad)
             s_a = gather_p(s, idx_a)
-            u = mv(feats_a, feats_pad, s * b_mask[None, :])
+            u = mv_k(s * b_mask[None, :])
             top = jnp.einsum("bij,bj->bi", kaa, s_a) + u
             t = s_a + solve(u)
-            bottom = rmv(feats_a, feats_pad, t) * b_mask[None, :]
+            bottom = rmv_k(t) * b_mask[None, :]
             return scatter_p(bottom, idx_a, top)
 
         if cfg.normalization == "sinkhorn" and cfg.sinkhorn_coarse > 1:
@@ -583,23 +661,44 @@ def build_streaming_sharded_batch(mesh, cfg: PipelineConfig):
             # block (>= k), so the take is SHARD-LOCAL: done inside
             # shard_map with per-shard static indices — GSPMD sees a local
             # gather, never an all-to-all.
-            jidx_np = sinkhorn_sample_idx(n_pad, k, w, cfg.sinkhorn_sample)
+            jidx_np = sinkhorn_sample_idx(n_pad, k, w,
+                                          cfg.resolved_sinkhorn_sample())
             shard_w = n_pad // n_rows
             jloc = jnp.asarray(jidx_np.reshape(n_rows, -1)
                                - (np.arange(n_rows)[:, None] * shard_w),
                                jnp.int32)
-            take_c = smap(lambda f_loc, jl: jnp.take(f_loc, jl[0], axis=1),
-                          (pBd, P("rows", None)), pBd)
-            feats_c = take_c(feats_pad, jloc)
             mask_c = jnp.take(b_mask, jnp.asarray(jidx_np))
             block_c = block // k
             ratio = jnp.sum(b_mask) / jnp.maximum(jnp.sum(mask_c), 1.0)
-            coarse = smap(partial(_coarse, block=block_c),
-                          (dB2, pBd, dB3, pB), dB3)
             mask_cb = jnp.broadcast_to(mask_c, (bsz, mask_c.shape[0]))
+            if strip is not None:
+                from ..models.streaming import _strip_dot, _strip_dot_t
 
-            mvc = smap(partial(_mv, block=block_c), (dB2, pBd, pB), dB3)
-            u0 = ratio * mvc(feats_a, feats_c, mask_cb)
+                # decimated slice of the LOCAL strip (shard-local take)
+                strip_c = smap(
+                    lambda s_loc, jl: jnp.take(s_loc, jl[0], axis=2),
+                    (sB, P("rows", None)), sB)(strip, jloc)
+
+                def _coarse_s(sc_loc, t, mc_loc):
+                    def one(sl, tt, mk):
+                        y = _strip_dot_t(sl, tt)
+                        return _strip_dot(sl, mk / jnp.maximum(y, _EPS))
+                    return jax.lax.psum(jax.vmap(one)(sc_loc, t, mc_loc),
+                                        "rows")
+
+                coarse_s = smap(_coarse_s, (sB, dB3, pB), dB3)
+                coarse_k = lambda t: coarse_s(strip_c, t, mask_cb)
+                u0 = ratio * mv_s(strip_c, mask_cb)
+            else:
+                take_c = smap(
+                    lambda f_loc, jl: jnp.take(f_loc, jl[0], axis=1),
+                    (pBd, P("rows", None)), pBd)
+                feats_c = take_c(feats_pad, jloc)
+                coarse = smap(partial(_coarse, block=block_c),
+                              (dB2, pBd, dB3, pB), dB3)
+                coarse_k = lambda t: coarse(feats_a, feats_c, t, mask_cb)
+                mvc = smap(partial(_mv, block=block_c), (dB2, pBd, pB), dB3)
+                u0 = ratio * mvc(feats_a, feats_c, mask_cb)
             r0 = jnp.ones((bsz, p), jnp.float32)
 
             def cbody(_, carry):
@@ -607,22 +706,25 @@ def build_streaming_sharded_batch(mesh, cfg: PipelineConfig):
                 kaa_r = jnp.einsum("bij,bj->bi", kaa.astype(jnp.float32), r_a)
                 c_a = 1.0 / jnp.maximum(kaa_r + u_r, _EPS)
                 t_r = r_a + solve(u_r)
-                u_c = ratio * coarse(feats_a, feats_c, t_r, mask_cb)
+                u_c = ratio * coarse_k(t_r)
                 kaa_c = jnp.einsum("bij,bj->bi", kaa.astype(jnp.float32), c_a)
                 r_a2 = 1.0 / jnp.maximum(kaa_c + u_c, _EPS)
                 t_c = c_a + solve(u_c)
-                u_r2 = ratio * coarse(feats_a, feats_c, t_c, mask_cb)
+                u_r2 = ratio * coarse_k(t_c)
                 return (r_a2, u_r2, c_a, t_r, t_c)
 
             zero_p = jnp.zeros((bsz, p), jnp.float32)
             r_a, u_r, c_a, t_r, t_c = jax.lax.fori_loop(
                 0, cfg.sinkhorn_iters, cbody, (r0, u0, r0, zero_p, zero_p))
             s_a_coarse = jnp.sqrt(jnp.maximum(r_a * c_a, 0.0))
-            rmv2 = smap(partial(_rmv2, block=block),
-                        (dB2, pBd, P("data", None, None)),
-                        P("data", "rows", None))
-            kbt = rmv2(feats_a, feats_pad,
-                       jnp.stack([t_r, t_c], axis=2)) * b_mask[None, :, None]
+            t2 = jnp.stack([t_r, t_c], axis=2)
+            if strip is not None:
+                kbt = rmv2_s(strip, t2) * b_mask[None, :, None]
+            else:
+                rmv2 = smap(partial(_rmv2, block=block),
+                            (dB2, pBd, P("data", None, None)),
+                            P("data", "rows", None))
+                kbt = rmv2(feats_a, feats_pad, t2) * b_mask[None, :, None]
             prod = jnp.maximum(kbt[..., 0] * kbt[..., 1], _EPS)
             s = jnp.where(b_mask[None, :] > 0,
                           b_mask[None, :] / jnp.sqrt(prod), 0.0)
@@ -663,27 +765,63 @@ def build_streaming_sharded_batch(mesh, cfg: PipelineConfig):
         s_b_cols = s * b_mask[None, :]
 
         waa = kaa * (s_a[:, :, None] * s_a[:, None, :])
-        if cfg.gram_coarse > 1:
-            # jittered decimated cross estimate (models/streaming.py
-            # gram_coarse + gram_sample_idx anti-aliasing note); local
-            # sample takes + (B, p, p) psum (_gram_dec_b)
-            kg = cfg.gram_coarse
-            if block % kg != 0:
-                raise ValueError(
-                f"gram_coarse={kg} must divide the active block "
-                f"width min(block_cols, N)={block}")
-            jidx = jnp.asarray(gram_sample_idx(n_pad, kg,
-                                               cfg.gram_jitter_seed))
-            gramd = smap(partial(_gram_dec_b, block=block // kg),
-                         (dB2, pBd, dB3, pB, P("rows")), (dB2, dB))
-            g_est, sum_cg2 = gramd(feats_a, feats_pad, s_a, s_b_cols, jidx)
-            ratio_g = (jnp.sum(s_b_cols * s_b_cols, axis=1)
-                       / jnp.maximum(sum_cg2, _EPS))
-            cross = ratio_g[:, None, None] * g_est
-        else:
-            cross = gramf(feats_a, feats_pad, s_a, s_b_cols)
         m = cfg.num_eigvecs
-        if cfg.solver in ("chol", "lobpcg"):
+        if cfg.solver == "sketch" and strip is not None:
+            # sharded twin of the single-device strip_cache sketch
+            # (models/streaming._eigensolve_streaming): the sandwich's two
+            # strip passes run as LOCAL GEMMs + one (p, k) psum per apply;
+            # the p-class triangular solves replicate per device (cheap).
+            # Same scale-folded closure, same PRNGKey — identical estimator.
+            from ..models.streaming import _strip_dot, _strip_dot_t
+            from ..ops.nystrom import nystrom_sketch_factor
+
+            def _sketch(waa_b, s_loc, sa_b, sb_loc):
+                def one(wa, sl, sa, sb):
+                    sb2 = sb * sb
+
+                    def sandwich(t):
+                        u = _strip_dot_t(sl, t * sa[:, None]) * sb2[:, None]
+                        return jax.lax.psum(_strip_dot(sl, u),
+                                            "rows") * sa[:, None]
+
+                    return nystrom_sketch_factor(
+                        wa, None, m, cfg.eig_tol, cfg.sketch_oversample,
+                        cfg.sketch_power, sandwich=sandwich)
+
+                return jax.vmap(one)(waa_b, s_loc, sa_b, sb_loc)
+
+            vals_m, basis0 = smap(_sketch, (dB2, sB, dB3, pB),
+                                  (dB3, dB2))(waa, strip, s_a, s_b_cols)
+        else:
+            if cfg.solver == "sketch":
+                raise ValueError(
+                    "solver='sketch' on the sharded streaming path needs "
+                    "strip_cache=True (thin passes want a materialized "
+                    "strip); use solver='chol'/'lobpcg' for the recompute "
+                    "builders")
+            if cfg.gram_coarse > 1:
+                # jittered decimated cross estimate (models/streaming.py
+                # gram_coarse + gram_sample_idx anti-aliasing note); local
+                # sample takes + (B, p, p) psum (_gram_dec_b)
+                kg = cfg.gram_coarse
+                if block % kg != 0:
+                    raise ValueError(
+                        f"gram_coarse={kg} must divide the active block "
+                        f"width min(block_cols, N)={block}")
+                jidx = jnp.asarray(gram_sample_idx(n_pad, kg,
+                                                   cfg.gram_jitter_seed))
+                gramd = smap(partial(_gram_dec_b, block=block // kg),
+                             (dB2, pBd, dB3, pB, P("rows")), (dB2, dB))
+                g_est, sum_cg2 = gramd(feats_a, feats_pad, s_a, s_b_cols,
+                                       jidx)
+                ratio_g = (jnp.sum(s_b_cols * s_b_cols, axis=1)
+                           / jnp.maximum(sum_cg2, _EPS))
+                cross = ratio_g[:, None, None] * g_est
+            else:
+                cross = gramf(feats_a, feats_pad, s_a, s_b_cols)
+        if cfg.solver == "sketch" and strip is not None:
+            pass                       # vals_m/basis0 above
+        elif cfg.solver in ("chol", "lobpcg"):
             method = "lobpcg" if cfg.solver == "lobpcg" else "eigh"
             vals_m, basis0 = jax.vmap(
                 lambda a, c: nystrom_chol_factor(a, c, m, cfg.eig_tol,
@@ -706,7 +844,10 @@ def build_streaming_sharded_batch(mesh, cfg: PipelineConfig):
         y_pad = jnp.zeros((bsz, n_pad), jnp.float32).at[:, :n].set(y)
         y_a = gather_p(y_pad, idx_a)
 
-        if mat_v:
+        if strip is not None:
+            norms_b, coeffs_b, v_b = colstats_s(strip, basis0, y_pad,
+                                                s_a, s_b_cols)
+        elif mat_v:
             norms_b, coeffs_b, v_b = colstats(feats_a, feats_pad, basis0,
                                               y_pad, s_a, s_b_cols)
         else:
@@ -754,6 +895,14 @@ def build_streaming_sharded_guided(mesh, cfg: PipelineConfig, n_stack: int):
     idx_a (p,)) -> (z (n_stack, H, W), vals (m,) — empty in operator
     modes)."""
 
+    if cfg.solver == "sketch":
+        # recompute-only builder (see build_streaming_sharded note);
+        # silently running the oneshot ladder here would diverge from the
+        # single-device strip_cache sketch without any signal
+        raise ValueError(
+            "solver='sketch' is not supported on the guided sharded "
+            "builder (recompute operators, no materialized strip); use "
+            "'chol'/'lobpcg', or drop strip_cache from the config")
     dtype = jnp.bfloat16 if cfg.affinity_dtype == "bfloat16" else jnp.float32
     n_rows = int(mesh.shape["rows"])   # KeyError on a rows-less mesh is
                                        # clearer than a late spec failure
@@ -844,7 +993,8 @@ def build_streaming_sharded_guided(mesh, cfg: PipelineConfig, n_stack: int):
                     f"block width min(block_cols, N)={block}")
             # diagonal-offset sample, shard-local take — see the batched
             # builder's coarse branch for the locality argument
-            jidx_np = sinkhorn_sample_idx(n_pad, k, w, cfg.sinkhorn_sample)
+            jidx_np = sinkhorn_sample_idx(n_pad, k, w,
+                                          cfg.resolved_sinkhorn_sample())
             shard_w = n_pad // n_rows
             jloc = jnp.asarray(jidx_np.reshape(n_rows, -1)
                                - (np.arange(n_rows)[:, None] * shard_w),
@@ -1009,9 +1159,11 @@ def build_streaming_sharded_guided(mesh, cfg: PipelineConfig, n_stack: int):
 def filter_image_streaming_sharded(image: np.ndarray, cfg: PipelineConfig,
                                    plan, mesh):
     """Host entry: one grayscale image through the rows-sharded streaming
-    pipeline. Coarse-SINKHORN configs route through the batched builder
-    (B=1) — the single-frame builder implements only full-res Sinkhorn."""
-    if cfg.sinkhorn_coarse > 1 and cfg.normalization == "sinkhorn":
+    pipeline. Coarse-SINKHORN and strip_cache configs route through the
+    batched builder (B=1) — the single-frame builder implements only
+    full-res Sinkhorn over the recompute operators."""
+    if ((cfg.sinkhorn_coarse > 1 and cfg.normalization == "sinkhorn")
+            or cfg.strip_cache):
         if "data" in mesh.shape and mesh.shape["data"] > 1:
             # the batched builder shards frames over 'data'; B=1 cannot
             # split over data>1 (shard_map divisibility error — review

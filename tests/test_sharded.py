@@ -231,3 +231,62 @@ def test_coarse_single_image_on_data_mesh(frames):
     z, _ = filter_image_streaming_sharded(frames[0], ccfg, plan,
                                           make_mesh(4, 2))   # data=2
     np.testing.assert_allclose(z, ref.image, atol=2e-4)
+
+
+def test_strip_cache_sketch_sharded_matches_single(frames):
+    """The r4 cfg2-class headline recipe (strip_cache + coarse diag
+    Sinkhorn + polish + scale-folded sketch) through the mesh: the batched
+    builder materializes LOCAL strip slices, the sketch sandwich runs as
+    local GEMMs + one (p, k) psum. Must match the single-device
+    strip_cache path — this is what 'filter_image(..., preset_cfg, mesh)'
+    executes after the preset adoption."""
+    from graphlap_tpu.parallel.streaming_sharded import (
+        filter_image_streaming_sharded,
+    )
+    cfg = CFG.replace(streaming=True, strip_cache=True, block_cols=32 * 32,
+                      sinkhorn_iters=4, sinkhorn_coarse=4, sinkhorn_polish=1,
+                      solver="sketch", sketch_oversample=8, sketch_power=0,
+                      num_eigvecs=8)
+    plan = make_plan(frames[0], cfg)
+    ref = filter_image(frames[0], cfg, plan=plan)
+    for mesh in (make_mesh(8, 1), make_mesh(4, 2)):
+        z, vals = filter_image_streaming_sharded(frames[0], cfg, plan, mesh)
+        np.testing.assert_allclose(z, ref.image, atol=2e-4)
+        np.testing.assert_allclose(vals, ref.eigvals, atol=2e-4)
+
+
+def test_strip_cache_batched_sharded_matches_single(frames):
+    """Batched (B=2) strip_cache through (data=2, rows=4): per-frame equal
+    to the single-device strip_cache outputs (chol solver — pins the
+    strip-backed ktilde/coarse/colstats independent of the sketch)."""
+    from graphlap_tpu.parallel.streaming_sharded import (
+        build_streaming_sharded_batch,
+    )
+    import jax.numpy as jnp
+
+    cfg = CFG.replace(streaming=True, strip_cache=True, block_cols=32 * 32,
+                      sinkhorn_iters=4, sinkhorn_coarse=4, sinkhorn_polish=1,
+                      solver="chol", num_eigvecs=8)
+    plan = make_plan(frames[0], cfg)
+    mesh = make_mesh(n_rows=4, n_data=2)
+    z, vals = build_streaming_sharded_batch(mesh, cfg)(
+        jnp.asarray(frames, jnp.float32), jnp.asarray(plan.idx_a))
+    for i in range(frames.shape[0]):
+        ref = filter_image(frames[i], cfg, plan=plan)
+        np.testing.assert_allclose(np.asarray(z)[i], ref.image, atol=2e-4)
+
+
+def test_sketch_without_strip_cache_rejected_on_mesh(frames):
+    """The recompute-only sharded builders refuse solver='sketch' loudly
+    instead of silently running a different estimator."""
+    from graphlap_tpu.parallel.streaming_sharded import (
+        build_streaming_sharded,
+        build_streaming_sharded_guided,
+    )
+    cfg = CFG.replace(streaming=True, strip_cache=True, block_cols=32 * 32,
+                      solver="sketch", num_eigvecs=8)
+    mesh = make_mesh(8, 1)
+    with pytest.raises(ValueError, match="sketch"):
+        build_streaming_sharded(mesh, cfg)
+    with pytest.raises(ValueError, match="sketch"):
+        build_streaming_sharded_guided(mesh, cfg, 2)
