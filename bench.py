@@ -252,14 +252,22 @@ def main():
         from graphlap_tpu.utils.roofline import (dense_stage_costs,
                                                  measure_device_peaks,
                                                  roofline_report,
-                                                 strip_cache_stage_costs)
+                                                 strip_cache_stage_costs,
+                                                 xla_stage_costs)
         peaks = measure_device_peaks()
         pl = _mk(noisy, cfg)
-        stage_costs = (strip_cache_stage_costs if cfg.strip_cache
-                       else dense_stage_costs)
-        costs = stage_costs(cfg, pl.n, pl.p, 25)
+        # counts from XLA's cost analysis of the compiled stage executables
+        # (tracks the implementation); analytic model as fallback
+        costs = xla_stage_costs(noisy.shape, cfg, pl)
+        cost_source = "xla_cost_analysis"
+        if costs is None:
+            cost_source = "analytic"
+            stage_costs = (strip_cache_stage_costs if cfg.strip_cache
+                           else dense_stage_costs)
+            costs = stage_costs(cfg, pl.n, pl.p, 25)
         roofline = roofline_report(costs, staged.timings, peaks,
                                    tile_dtype="bfloat16")
+        roofline["cost_source"] = cost_source
         roofline["device_peaks"] = {k: peaks[k] for k in
                                     ("bf16_matmul_tflops", "exp_bf16_g_per_s",
                                      "hbm_stream_gbs")}

@@ -479,18 +479,27 @@ def run_row(name, cfg, clean, image):
                                                      measure_device_peaks,
                                                      roofline_report,
                                                      streaming_stage_costs,
-                                                     strip_cache_stage_costs)
+                                                     strip_cache_stage_costs,
+                                                     xla_stage_costs)
             peaks = measure_device_peaks()
-            d_feat = (cfg.patch_size ** 2 if cfg.kernel == "nlm" else
-                      1 + (2 if cfg.spatial_h > 0 else 0))
-            costs = (strip_cache_stage_costs(cfg, n, plan.p, d_feat)
-                     if cfg.strip_cache else
-                     streaming_stage_costs(cfg, n, plan.p, d_feat)
-                     if cfg.streaming else
-                     dense_stage_costs(cfg, n, plan.p, d_feat))
+            # authoritative counts from XLA's cost analysis of the actual
+            # stage executables; the analytic models remain the fallback
+            # (they drifted from the code and overcounted — frac > 1 rows)
+            costs = xla_stage_costs(image.shape, cfg, plan)
+            cost_source = "xla_cost_analysis"
+            if costs is None:
+                cost_source = "analytic"
+                d_feat = (cfg.patch_size ** 2 if cfg.kernel == "nlm" else
+                          1 + (2 if cfg.spatial_h > 0 else 0))
+                costs = (strip_cache_stage_costs(cfg, n, plan.p, d_feat)
+                         if cfg.strip_cache else
+                         streaming_stage_costs(cfg, n, plan.p, d_feat)
+                         if cfg.streaming else
+                         dense_stage_costs(cfg, n, plan.p, d_feat))
             tile_dt = ("bfloat16" if cfg.affinity_dtype != "float32"
                        else "float32")
             roofline = roofline_report(costs, s.timings, peaks, tile_dt)
+            roofline["cost_source"] = cost_source
         except Exception:
             pass
 

@@ -299,6 +299,91 @@ def strip_cache_stage_costs(cfg, n: int, p: int, d: int) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# XLA-derived per-stage op counts (authoritative over the analytic models)
+# ---------------------------------------------------------------------------
+
+def _ca_costs(lowered) -> dict:
+    """flops / transcendentals / bytes-accessed of one lowered stage, from
+    XLA's HloCostAnalysis of the OPTIMIZED module (post-fusion, so the
+    bytes figure approximates true HBM traffic, not per-op operand sums
+    of values that never leave VMEM)."""
+    ca = lowered.compile().cost_analysis()
+    d = ca[0] if isinstance(ca, (list, tuple)) else ca
+    return {"trans": float(d.get("transcendentals", 0.0)),
+            "mxu_flops": float(d.get("flops", 0.0)),
+            "hbm_bytes": float(d.get("bytes accessed", 0.0))}
+
+
+def xla_stage_costs(image_shape, cfg, plan) -> dict | None:
+    """Per-stage op counts extracted from XLA's cost analysis of THIS
+    config's compiled stage executables (the same jits whose walls
+    filter_image_staged reports).
+
+    The round-3 analytic models (streaming/dense/strip_cache_stage_costs)
+    hand-maintain the counts and drifted from the implementation — e.g.
+    they charged the >6 GB-V streaming filter stage a full-resolution
+    recompute pass the code replaced with a decimated apply, producing
+    frac_of_roofline > 1 in committed matrix rows. This derives the counts
+    from the optimized HLO instead, so they track the code by
+    construction. Lowering uses ShapeDtypeStructs (no data movement);
+    compiles hit the jit/persistent cache when the row already ran staged.
+    Returns None (callers fall back to the analytic model) on any failure.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import pipeline as P
+
+    h, w = image_shape[:2]
+    img = jax.ShapeDtypeStruct((h, w), jnp.float32)
+    idx = jax.ShapeDtypeStruct(plan.idx_a.shape, plan.idx_a.dtype)
+    try:
+        if cfg.streaming:
+            from ..models import streaming as S
+            s_sh = jax.eval_shape(S.stage_scales_streaming, img, idx, cfg)
+            costs = {"normalize":
+                     _ca_costs(S.stage_scales_streaming.lower(img, idx, cfg))}
+            if cfg.operator_filter():
+                # staged matvec mode books the whole apply under "filter"
+                costs["filter"] = _ca_costs(
+                    S.stage_matvec_streaming.lower(img, idx, s_sh, cfg))
+            else:
+                fac_sh = jax.eval_shape(
+                    S.stage_factor_streaming, img, idx, s_sh, cfg)
+                costs["eigensolve"] = _ca_costs(
+                    S.stage_factor_streaming.lower(img, idx, s_sh, cfg))
+                n = h * w
+                n_arrays = len(S.StreamFactor._fields) - 2
+                fn = S._stage_apply_jit(cfg, n, min(cfg.block_cols, n), h, w)
+                costs["filter"] = _ca_costs(
+                    fn.lower(tuple(fac_sh[:n_arrays]), idx))
+        else:
+            perm = jax.ShapeDtypeStruct(plan.perm.shape, plan.perm.dtype)
+            kaa, kab = jax.eval_shape(P._stage_affinity, img, idx, perm, cfg)
+            costs = {"affinity":
+                     _ca_costs(P._stage_affinity.lower(img, idx, perm, cfg))}
+            if cfg.operator_filter():
+                s_sh = jax.eval_shape(P._stage_normalize_scales,
+                                      kaa, kab, cfg)
+                costs["normalize"] = _ca_costs(
+                    P._stage_normalize_scales.lower(kaa, kab, cfg))
+                costs["filter"] = _ca_costs(P._stage_matvec_filter.lower(
+                    img, kaa, kab, *s_sh, perm, perm, cfg))
+            else:
+                waa, wab = jax.eval_shape(P._stage_normalize, kaa, kab, cfg)
+                costs["normalize"] = _ca_costs(
+                    P._stage_normalize.lower(kaa, kab, cfg))
+                basis_sh = jax.eval_shape(P._stage_eigh, waa, wab, cfg)
+                costs["eigensolve"] = _ca_costs(
+                    P._stage_eigh.lower(waa, wab, cfg))
+                costs["filter"] = _ca_costs(P._stage_filter.lower(
+                    img, basis_sh.vals, basis_sh.vecs, perm, perm, cfg))
+        return costs
+    except Exception:
+        return None
+
+
+# ---------------------------------------------------------------------------
 # report
 # ---------------------------------------------------------------------------
 
