@@ -17,6 +17,13 @@ an N-row random gather costs seconds at 8 MP (measured: the permuted
 variant spent ~4 of its 5.6 s base in gathers, independent of p, m and
 d). Here the only index ops are p-sized: gather the sample rows, scatter
 the p-sized results back — everything N-sized is a contiguous mask.
+
+CROSS-MODULE CONTRACT (ADVICE r3): because nothing here reads
+perm/inv_perm, models/pipeline.py passes ``idx_a`` (shape (p,)) in their
+place so the N-sized permutations are never staged to the device. Any
+future streaming entry point that wants a real permutation must take it
+as a NEW parameter — do not start reading the perm/inv_perm slots, they
+carry p-sized aliases at every existing call site.
 """
 
 from __future__ import annotations
