@@ -252,19 +252,18 @@ def main():
         from graphlap_tpu.utils.roofline import (dense_stage_costs,
                                                  measure_device_peaks,
                                                  roofline_report,
+                                                 select_stage_costs,
                                                  strip_cache_stage_costs,
                                                  xla_stage_costs)
         peaks = measure_device_peaks()
         pl = _mk(noisy, cfg)
-        # counts from XLA's cost analysis of the compiled stage executables
-        # (tracks the implementation); analytic model as fallback
-        costs = xla_stage_costs(noisy.shape, cfg, pl)
-        cost_source = "xla_cost_analysis"
-        if costs is None:
-            cost_source = "analytic"
-            stage_costs = (strip_cache_stage_costs if cfg.strip_cache
-                           else dense_stage_costs)
-            costs = stage_costs(cfg, pl.n, pl.p, 25)
+        # XLA-counted stage costs where the HLO is fully counted, analytic
+        # where scans make it opaque (see roofline.select_stage_costs)
+        xla = xla_stage_costs(noisy.shape, cfg, pl)
+        stage_costs = (strip_cache_stage_costs if cfg.strip_cache
+                       else dense_stage_costs)
+        costs, cost_source = select_stage_costs(
+            xla, stage_costs(cfg, pl.n, pl.p, 25))
         roofline = roofline_report(costs, staged.timings, peaks,
                                    tile_dtype="bfloat16")
         roofline["cost_source"] = cost_source

@@ -478,24 +478,24 @@ def run_row(name, cfg, clean, image):
             from graphlap_tpu.utils.roofline import (dense_stage_costs,
                                                      measure_device_peaks,
                                                      roofline_report,
+                                                     select_stage_costs,
                                                      streaming_stage_costs,
                                                      strip_cache_stage_costs,
                                                      xla_stage_costs)
             peaks = measure_device_peaks()
-            # authoritative counts from XLA's cost analysis of the actual
-            # stage executables; the analytic models remain the fallback
-            # (they drifted from the code and overcounted — frac > 1 rows)
-            costs = xla_stage_costs(image.shape, cfg, plan)
-            cost_source = "xla_cost_analysis"
-            if costs is None:
-                cost_source = "analytic"
-                d_feat = (cfg.patch_size ** 2 if cfg.kernel == "nlm" else
-                          1 + (2 if cfg.spatial_h > 0 else 0))
-                costs = (strip_cache_stage_costs(cfg, n, plan.p, d_feat)
-                         if cfg.strip_cache else
-                         streaming_stage_costs(cfg, n, plan.p, d_feat)
-                         if cfg.streaming else
-                         dense_stage_costs(cfg, n, plan.p, d_feat))
+            # counts from XLA's cost analysis of the actual stage
+            # executables where the HLO is fully counted (loop-free /
+            # Pallas full-sweep), analytic model where scans make the
+            # HLO count opaque — select_stage_costs documents the rule
+            xla = xla_stage_costs(image.shape, cfg, plan)
+            d_feat = (cfg.patch_size ** 2 if cfg.kernel == "nlm" else
+                      1 + (2 if cfg.spatial_h > 0 else 0))
+            analytic = (strip_cache_stage_costs(cfg, n, plan.p, d_feat)
+                        if cfg.strip_cache else
+                        streaming_stage_costs(cfg, n, plan.p, d_feat)
+                        if cfg.streaming else
+                        dense_stage_costs(cfg, n, plan.p, d_feat))
+            costs, cost_source = select_stage_costs(xla, analytic)
             tile_dt = ("bfloat16" if cfg.affinity_dtype != "float32"
                        else "float32")
             roofline = roofline_report(costs, s.timings, peaks, tile_dt)

@@ -61,10 +61,11 @@ def measure_device_peaks(force: bool = False, cache: Path | None = None) -> dict
 
     Returns/caches: {device_kind, bf16_matmul_tflops, f32_matmul_tflops,
     exp_f32_g_per_s, exp_bf16_g_per_s, hbm_stream_gbs, ts}. The exp rate
-    is isolated from HBM by chaining 16 dependent exps per element; the
-    matmul peaks use an 8192^3 GEMM (bf16 inputs need precision='default'
-    — Mosaic/XLA reject bf16 at the repo-pinned HIGHEST). Every bench is
-    synced by scalar readback (see _timed) with the null RTT subtracted.
+    is the two-chain-length difference of fused unrolled exp chains (RTT-
+    and HBM-free — see the inline note); the matmul peaks use an 8192^3
+    GEMM chain (bf16 inputs need precision='default' — Mosaic/XLA reject
+    bf16 at the repo-pinned HIGHEST). Every bench is synced by scalar
+    readback (see _timed) with the null RTT subtracted.
     """
     import jax
     import jax.numpy as jnp
@@ -93,10 +94,13 @@ def measure_device_peaks(force: bool = False, cache: Path | None = None) -> dict
     a16, b16 = a32.astype(jnp.bfloat16), b32.astype(jnp.bfloat16)
     mm_chain = 64
 
+    # pure GEMM chain: accumulate straight into the operand dtype so no
+    # epilogue (astype / rescale) rides the loop. Norm growth is ~2x per
+    # iteration (random b at unit scale), well inside the shared 8-bit
+    # exponent range of f32 AND bf16 for 64 iterations.
     def _mmchain(a, b, prec, dt):
         def body(_, c):
-            return jnp.dot(c, b, preferred_element_type=jnp.float32,
-                           precision=prec).astype(dt) * 0.01
+            return jnp.dot(c, b, preferred_element_type=dt, precision=prec)
         return jnp.sum(jax.lax.fori_loop(0, mm_chain, body, a)
                        .astype(jnp.float32))
 
@@ -106,22 +110,33 @@ def measure_device_peaks(force: bool = False, cache: Path | None = None) -> dict
     t32 = _timed(mm32, a32, b32, rtt=rtt)
     flops = 2.0 * s * s * s * mm_chain
 
-    # exp throughput: dependent exps so the VPU, not HBM, is the bound
-    # (exp(-x) of a non-negative input stays in [0, 1])
-    ne = 1 << 26
+    # exp throughput: statically UNROLLED dependent chains, so the exps
+    # fuse into one kernel and the array makes ONE HBM round trip; the
+    # rate is taken from the DIFFERENCE of two chain lengths, which
+    # cancels the RTT, dispatch, and HBM-trip constants exactly. (The
+    # previous fori_loop form round-tripped the carry through HBM every
+    # iteration — the "exp peak" it measured was the HBM roofline in
+    # disguise, and real fused kernels measured >1x "peak". A lone
+    # absolute chain is no better: at ~3.5 Texp/s the whole chain is
+    # ~5 ms of device work vs ~30 ms tunnel RTT on this box. Chains stay
+    # <= 512 unrolled ops — past that XLA's fusion splits and the wall
+    # jumps 10x. exp(-x) of non-negative input stays in [0, 1].)
+    ne = 1 << 27            # 512 MB f32: diff window ~15-30 ms >> jitter
     x32 = jnp.abs(jax.random.normal(key, (ne,), jnp.float32))
     x16 = x32.astype(jnp.bfloat16)
-    chain = 128
+    c_lo, c_hi = 64, 448
 
-    def _expchain(x):
-        def body(_, v):
-            return jnp.exp(-v)
-        return jnp.sum(jax.lax.fori_loop(0, chain, body, x)
-                       .astype(jnp.float32))
+    def _expchain(chain):
+        def f(x):
+            for _ in range(chain):
+                x = jnp.exp(-x)
+            return jnp.sum(x.astype(jnp.float32))
+        return jax.jit(f)
 
-    exp_j = jax.jit(_expchain)
-    te32 = _timed(exp_j, x32, rtt=rtt)
-    te16 = _timed(exp_j, x16, rtt=rtt)
+    lo_j, hi_j = _expchain(c_lo), _expchain(c_hi)
+    te32 = max(_timed(hi_j, x32) - _timed(lo_j, x32), 1e-9)
+    te16 = max(_timed(hi_j, x16) - _timed(lo_j, x16), 1e-9)
+    exp_ops = (c_hi - c_lo) * ne
 
     # HBM read-stream: the scalar carry dependence forces a fresh 4-byte
     # read per element per iteration (a READ-bandwidth ceiling — what the
@@ -143,8 +158,8 @@ def measure_device_peaks(force: bool = False, cache: Path | None = None) -> dict
         "sync_rtt_s": round(rtt, 5),
         "bf16_matmul_tflops": round(flops / t16 / 1e12, 1),
         "f32_matmul_tflops": round(flops / t32 / 1e12, 1),
-        "exp_f32_g_per_s": round(chain * ne / te32 / 1e9, 2),
-        "exp_bf16_g_per_s": round(chain * ne / te16 / 1e9, 2),
+        "exp_f32_g_per_s": round(exp_ops / te32 / 1e9, 2),
+        "exp_bf16_g_per_s": round(exp_ops / te16 / 1e9, 2),
         "hbm_stream_gbs": round(4.0 * nb * hbm_iters / tb / 1e9, 1),
         "ts": time.time(),
     }
@@ -217,6 +232,20 @@ def streaming_stage_costs(cfg, n: int, p: int, d: int) -> dict:
     if n * m * 4 <= 6e9:                     # V materialized (_V_BYTES_CAP)
         eig = _add(eig, {"hbm_bytes": 4.0 * n * m})
 
+    if cfg.operator_filter():
+        # matvec mode: no eigensolve stage; the filter IS ktilde applies
+        # (each = one rmatvec + one matvec full recompute sweep), one per
+        # polynomial degree of f (ops/filters.MATVEC_FILTERS)
+        deg = {"identity": 1, "sharpen": 1, "twicing": 2}.get(
+            cfg.filter_name, None)
+        if deg is None:
+            deg = (int(cfg.filter_param) if cfg.filter_name == "power"
+                   else cfg.cheb_degree)
+        per_apply = _add(_pass_cost(p, n, d), _pass_cost(p, n, d))
+        per_apply = _add(per_apply, {"mxu_flops": 2.0 * p * p})  # solve
+        return {"normalize": norm,
+                "filter": _add(dict(zero), per_apply, max(deg, 1))}
+
     filt = dict(zero)
     if n * m * 4 <= 6e9:
         filt = _add(filt, {"mxu_flops": 2.0 * n * m,
@@ -254,6 +283,20 @@ def dense_stage_costs(cfg, n: int, p: int, d: int) -> dict:
         norm = _add(norm, {"mxu_flops": 2.0 * 2.0 * 2.0 * p * n,
                            "hbm_bytes": 2.0 * strip}, it)
 
+    if cfg.operator_filter():
+        # matvec mode: each ktilde apply reads the strip twice (rmatvec +
+        # matvec) and does the p x p completion solve; one per degree
+        deg = {"identity": 1, "sharpen": 1, "twicing": 2}.get(
+            cfg.filter_name, None)
+        if deg is None:
+            deg = (int(cfg.filter_param) if cfg.filter_name == "power"
+                   else cfg.cheb_degree)
+        per_apply = {"trans": 0.0, "mxu_flops": 2.0 * 2.0 * p * n + 2.0 * p * p,
+                     "hbm_bytes": 2.0 * strip}
+        filt = _add({"trans": 0.0, "mxu_flops": 0.0, "hbm_bytes": 0.0},
+                    per_apply, max(deg, 1))
+        return {"affinity": aff, "normalize": norm, "filter": filt}
+
     eig = {"trans": 0.0, "mxu_flops": 0.0, "hbm_bytes": 0.0}
     if cfg.solver == "sketch":
         k = m + cfg.sketch_oversample
@@ -285,6 +328,11 @@ def strip_cache_stage_costs(cfg, n: int, p: int, d: int) -> dict:
     headline emits once."""
     dense = dense_stage_costs(cfg, n, p, d)
     m = cfg.num_eigvecs
+    if cfg.operator_filter():
+        # matvec mode: strip emit folds into normalize; applies read the
+        # cached strip (the dense model's filter entry already says so)
+        return {"normalize": _add(dense["affinity"], dense["normalize"]),
+                "filter": dense["filter"]}
     out = {"normalize": _add(dense["affinity"], dense["normalize"]),
            "eigensolve": dense["eigensolve"]}
     itemsize = 2 if cfg.affinity_dtype in ("bfloat16", "bfloat16_store") else 4
@@ -381,6 +429,37 @@ def xla_stage_costs(image_shape, cfg, plan) -> dict | None:
         return costs
     except Exception:
         return None
+
+
+def select_stage_costs(xla: dict | None, analytic: dict) -> tuple[dict, dict]:
+    """Per-stage choice between XLA-derived and analytic counts.
+
+    The XLA counts are exact for loop-free programs and for Pallas
+    full-sweep kernels (their author CostEstimates cover the whole grid),
+    but this backend's HloCostAnalysis counts a while/scan BODY ONCE —
+    the 32/64 MP rows' lax.scan passes undercount by the trip count
+    (~N/block, measured: a 2-full-pass stage reported ~one block's
+    transcendentals). When the HLO-counted work is a small fraction of
+    the model's, the stage is loop-carried: trust the model there.
+    Returns (costs, per-stage source tags).
+    """
+    if xla is None:
+        return analytic, {k: "analytic" for k in analytic}
+    out, src = {}, {}
+    for stage, a in analytic.items():
+        x = xla.get(stage)
+        if x is None:
+            out[stage], src[stage] = a, "analytic"
+            continue
+        opaque = ((a["trans"] > 0 and x["trans"] < 0.25 * a["trans"])
+                  or (a["mxu_flops"] > 0
+                      and x["mxu_flops"] < 0.25 * a["mxu_flops"]))
+        out[stage] = a if opaque else x
+        src[stage] = "analytic(scan-opaque-hlo)" if opaque else "xla"
+    for stage, x in xla.items():          # stages the model doesn't cover
+        if stage not in out:
+            out[stage], src[stage] = x, "xla"
+    return out, src
 
 
 # ---------------------------------------------------------------------------

@@ -15,7 +15,11 @@ import pytest
 
 import graphlap_tpu as gl
 from graphlap_tpu.models.pipeline import make_plan
-from graphlap_tpu.utils.roofline import roofline_report, xla_stage_costs
+from graphlap_tpu.utils.roofline import (dense_stage_costs, roofline_report,
+                                         select_stage_costs,
+                                         streaming_stage_costs,
+                                         strip_cache_stage_costs,
+                                         xla_stage_costs)
 
 PEAKS = {"bf16_matmul_tflops": 175.5, "f32_matmul_tflops": 30.6,
          "exp_f32_g_per_s": 84.4, "exp_bf16_g_per_s": 174.4,
@@ -91,3 +95,42 @@ def test_report_shape_and_bounds(img):
     # a stage absent from walls is skipped, not crashed
     rep2 = roofline_report(costs, {"affinity": 1.0}, PEAKS, "float32")
     assert set(rep2) == {"affinity"}
+
+
+def test_select_prefers_xla_unless_scan_opaque():
+    analytic = {"normalize": {"trans": 100.0, "mxu_flops": 10.0,
+                              "hbm_bytes": 0.0},
+                "filter": {"trans": 100.0, "mxu_flops": 10.0,
+                           "hbm_bytes": 0.0}}
+    xla = {"normalize": {"trans": 90.0, "mxu_flops": 9.0, "hbm_bytes": 1.0},
+           # body-counted-once: far below the model -> scan-opaque
+           "filter": {"trans": 2.0, "mxu_flops": 0.2, "hbm_bytes": 1.0},
+           # a stage the model doesn't cover passes through
+           "extra": {"trans": 1.0, "mxu_flops": 1.0, "hbm_bytes": 1.0}}
+    costs, src = select_stage_costs(xla, analytic)
+    assert costs["normalize"] is xla["normalize"] and src["normalize"] == "xla"
+    assert costs["filter"] is analytic["filter"]
+    assert src["filter"] == "analytic(scan-opaque-hlo)"
+    assert costs["extra"] is xla["extra"] and src["extra"] == "xla"
+    # no XLA counts at all -> pure analytic
+    costs2, src2 = select_stage_costs(None, analytic)
+    assert costs2 is analytic and set(src2.values()) == {"analytic"}
+
+
+def test_analytic_models_cover_matvec_mode():
+    """matvec-mode configs must not KeyError the analytic fallbacks and
+    must book the apply sweeps under 'filter' with no eigensolve stage."""
+    for extra in ({}, {"streaming": True, "block_cols": 2048},
+                  {"streaming": True, "block_cols": 2048,
+                   "strip_cache": True}):
+        cfg = gl.PipelineConfig(kernel="nlm", h=0.15, sample_rho=0.02,
+                                num_eigvecs=10, filter_mode="matvec",
+                                filter_name="identity", **extra)
+        fn = (strip_cache_stage_costs if extra.get("strip_cache")
+              else streaming_stage_costs if extra.get("streaming")
+              else dense_stage_costs)
+        costs = fn(cfg, 64 * 64, 82, 25)
+        assert "eigensolve" not in costs
+        assert costs["filter"]["mxu_flops"] > 0
+        if extra.get("streaming") and not extra.get("strip_cache"):
+            assert costs["filter"]["trans"] >= 2 * 82 * 64 * 64  # 2 sweeps
