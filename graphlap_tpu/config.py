@@ -602,8 +602,22 @@ def tuned_config(cfg: PipelineConfig, n_pixels: int, level: str = "fast",
             chosen["feature_dtype"] = "bfloat16"
         k_s = calibrated_sinkhorn_coarse(n_pixels, p, max_k=kb)
         if k_s > 1:
+            pol = 1 if level == "fast" else 0
+            if (level == "fast" and cfg.operator_filter()
+                    and cfg.filter_name in ("identity", "power")):
+                # sharp-kernel matvec denoise route (denoise_tuned h = sigma):
+                # the Sinkhorn scales enter the OUTPUT directly (no rank-m
+                # projection to absorb scale error), and with bf16 tiles
+                # the coarse+1-polish estimator measured 0.209-0.223 dB vs
+                # the f32 full-res twin at 8 MP while EVERY control passed
+                # (f32+coarse+pol1: 0.009; bf16 full-res: 0.041) — one more
+                # polish contraction brings it under the gate at 0.090 dB
+                # and +0.12 dB output (cfg4q_parity.jsonl). The sharpen
+                # matvec route keeps pol=1 (0.0008 dB measured at its
+                # wider h — cfg3_sweep.jsonl).
+                pol = 2
             chosen.update(sinkhorn_coarse=k_s, sinkhorn_iters=6,
-                          sinkhorn_polish=1 if level == "fast" else 0)
+                          sinkhorn_polish=pol)
         else:
             chosen.update(sinkhorn_coarse=1, sinkhorn_polish=0,
                           sinkhorn_iters=min(cfg.sinkhorn_iters, 10))
@@ -630,7 +644,12 @@ def tuned_config(cfg: PipelineConfig, n_pixels: int, level: str = "fast",
         nb = n_pixels - p
         nb_floor = 131072 if level == "fast" else 65536
         if nb >= nb_floor:
-            chosen.update(sinkhorn_coarse=16, sinkhorn_polish=1)
+            # matvec denoise route: same direct s-sensitivity as the
+            # streaming branch (cfg4q_parity.jsonl) — one extra polish
+            pol = (2 if (level == "fast" and cfg.operator_filter()
+                         and cfg.filter_name in ("identity", "power"))
+                   else 1)
+            chosen.update(sinkhorn_coarse=16, sinkhorn_polish=pol)
         # Eigensolver: the randomized sketch replaces the cross GEMM +
         # p-wide trsm chain (88% of MXU peak -> unavoidable except
         # algorithmically) with thin (p, k) strip passes. Measured at cfg2

@@ -138,6 +138,23 @@ def measure_device_peaks(force: bool = False, cache: Path | None = None) -> dict
     te16 = max(_timed(hi_j, x16) - _timed(lo_j, x16), 1e-9)
     exp_ops = (c_hi - c_lo) * ne
 
+    # composite distance-epilogue rate: what a kernel-recompute pass
+    # actually does per element AFTER its cross GEMM — d2 = max(norms -
+    # 2*cross, 0), then exp(-d2) (pallas_streaming._kb_tile). The pure-exp
+    # ceiling overstates recompute headroom ~3x because these extra VPU
+    # ops share the unit; this is the honest per-element ceiling for the
+    # streaming sweeps. Same two-chain-difference method; the chain stays
+    # bounded (x in [0, 1] => d2 in [0, 1.5] => exp(-d2) in [0.22, 1]).
+    def _d2expchain(chain):
+        def f(x):
+            for _ in range(chain):
+                x = jnp.exp(-jnp.maximum(1.5 - 2.0 * x, 0.0))
+            return jnp.sum(x.astype(jnp.float32))
+        return jax.jit(f)
+
+    dlo_j, dhi_j = _d2expchain(c_lo), _d2expchain(c_hi)
+    td32 = max(_timed(dhi_j, x32) - _timed(dlo_j, x32), 1e-9)
+
     # HBM read-stream: the scalar carry dependence forces a fresh 4-byte
     # read per element per iteration (a READ-bandwidth ceiling — what the
     # strip-reading passes are bound by); the +acc*eps prevents CSE.
@@ -160,6 +177,7 @@ def measure_device_peaks(force: bool = False, cache: Path | None = None) -> dict
         "f32_matmul_tflops": round(flops / t32 / 1e12, 1),
         "exp_f32_g_per_s": round(exp_ops / te32 / 1e9, 2),
         "exp_bf16_g_per_s": round(exp_ops / te16 / 1e9, 2),
+        "d2exp_g_per_s": round(exp_ops / td32 / 1e9, 2),
         "hbm_stream_gbs": round(4.0 * nb * hbm_iters / tb / 1e9, 1),
         "ts": time.time(),
     }
@@ -480,6 +498,8 @@ def roofline_report(costs: dict, walls: dict, peaks: dict,
                      else "exp_f32_g_per_s"] * 1e9
     hbm_peak = peaks["hbm_stream_gbs"] * 1e9
 
+    d2exp_peak = peaks.get("d2exp_g_per_s", 0) * 1e9
+
     out = {}
     for stage, c in costs.items():
         w = walls.get(stage)
@@ -490,6 +510,12 @@ def roofline_report(costs: dict, walls: dict, peaks: dict,
             "mxu": c["mxu_flops"] / w / mm_peak,
             "hbm": c["hbm_bytes"] / w / hbm_peak,
         }
+        if d2exp_peak:
+            # every transcendental in these pipelines arrives through the
+            # distance epilogue (d2 build + exp share the VPU) — this is
+            # the per-element ceiling a recompute sweep can actually hit,
+            # ~3x lower than the pure-exp rate
+            fr["d2exp"] = c["trans"] / w / d2exp_peak
         bound = max(fr, key=fr.get)
         out[stage] = {
             "wall_s": round(w, 4),
@@ -502,4 +528,6 @@ def roofline_report(costs: dict, walls: dict, peaks: dict,
             "bound": bound,
             "frac_of_roofline": round(fr[bound], 3),
         }
+        if d2exp_peak:
+            out[stage]["frac_d2exp_peak"] = round(fr["d2exp"], 3)
     return out
