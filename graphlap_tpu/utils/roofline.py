@@ -140,11 +140,18 @@ def measure_device_peaks(force: bool = False, cache: Path | None = None) -> dict
 
     # composite distance-epilogue rate: what a kernel-recompute pass
     # actually does per element AFTER its cross GEMM — d2 = max(norms -
-    # 2*cross, 0), then exp(-d2) (pallas_streaming._kb_tile). The pure-exp
-    # ceiling overstates recompute headroom ~3x because these extra VPU
-    # ops share the unit; this is the honest per-element ceiling for the
-    # streaming sweeps. Same two-chain-difference method; the chain stays
-    # bounded (x in [0, 1] => d2 in [0, 1.5] => exp(-d2) in [0.22, 1]).
+    # 2*cross, 0), then exp(-d2) (pallas_streaming._kb_tile). Measured
+    # RESULT on v5e: ~1.45 T/s, within 4% of the pure-exp rate — the exp
+    # dominates the epilogue and the extra VPU ops ride along free-ish.
+    # Kept as its own ceiling because it is the workload-faithful one
+    # (future hardware may not have that property). Same two-chain-
+    # difference method; the chain stays bounded (x in [0, 1] => d2 in
+    # [0, 1.5] => exp(-d2) in [0.22, 1]). SHORTER chains than the
+    # pure-exp bench: each link is ~5 ops, and a 448-link version blew
+    # XLA's fusion budget into split kernels with HBM round trips (first
+    # measurement: a bogus 88 G/s, 16x under exp).
+    dc_lo, dc_hi = 16, 80
+
     def _d2expchain(chain):
         def f(x):
             for _ in range(chain):
@@ -152,8 +159,9 @@ def measure_device_peaks(force: bool = False, cache: Path | None = None) -> dict
             return jnp.sum(x.astype(jnp.float32))
         return jax.jit(f)
 
-    dlo_j, dhi_j = _d2expchain(c_lo), _d2expchain(c_hi)
+    dlo_j, dhi_j = _d2expchain(dc_lo), _d2expchain(dc_hi)
     td32 = max(_timed(dhi_j, x32) - _timed(dlo_j, x32), 1e-9)
+    d2exp_ops = (dc_hi - dc_lo) * ne
 
     # HBM read-stream: the scalar carry dependence forces a fresh 4-byte
     # read per element per iteration (a READ-bandwidth ceiling — what the
@@ -177,7 +185,7 @@ def measure_device_peaks(force: bool = False, cache: Path | None = None) -> dict
         "f32_matmul_tflops": round(flops / t32 / 1e12, 1),
         "exp_f32_g_per_s": round(exp_ops / te32 / 1e9, 2),
         "exp_bf16_g_per_s": round(exp_ops / te16 / 1e9, 2),
-        "d2exp_g_per_s": round(exp_ops / td32 / 1e9, 2),
+        "d2exp_g_per_s": round(d2exp_ops / td32 / 1e9, 2),
         "hbm_stream_gbs": round(4.0 * nb * hbm_iters / tb / 1e9, 1),
         "ts": time.time(),
     }
@@ -512,9 +520,9 @@ def roofline_report(costs: dict, walls: dict, peaks: dict,
         }
         if d2exp_peak:
             # every transcendental in these pipelines arrives through the
-            # distance epilogue (d2 build + exp share the VPU) — this is
-            # the per-element ceiling a recompute sweep can actually hit,
-            # ~3x lower than the pure-exp rate
+            # distance epilogue (d2 build + exp share the VPU) — the
+            # workload-faithful per-element ceiling (measured within 4%
+            # of pure exp on v5e: the exp dominates its epilogue)
             fr["d2exp"] = c["trans"] / w / d2exp_peak
         bound = max(fr, key=fr.get)
         out[stage] = {
