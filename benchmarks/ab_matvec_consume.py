@@ -81,6 +81,50 @@ def matvec_vpu(feats_a_pad, feats_t, v):
     return out[:, 0]
 
 
+def _rmatvec_kernel_vpu(a_ref, b_ref, t_ref, out_ref):
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    kb = _kb_tile(a_ref[:], b_ref[:], a_ref.dtype)
+    # VPU consume: f32 multiply + sublane reduction over the p rows
+    prod = kb.astype(jnp.float32) * t_ref[:].astype(jnp.float32).T
+    out_ref[:] += jnp.sum(prod, axis=0, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def rmatvec_vpu(feats_a_pad, feats_t, t):
+    p_pad = feats_a_pad.shape[0]
+    n_pad = feats_t.shape[1]
+    dp = feats_a_pad.shape[1]
+    dtype = feats_a_pad.dtype
+    tn = _tile_n(dtype)
+    grid = (n_pad // tn, 1)
+    out = pl.pallas_call(
+        _rmatvec_kernel_vpu,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((p_pad, dp), lambda j, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dp, tn), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p_pad), lambda j, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tn), lambda j, i: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * p_pad * n_pad * (dp + 1),
+            bytes_accessed=(p_pad + n_pad) * dp * dtype.itemsize,
+            transcendentals=p_pad * n_pad,
+        ),
+    )(feats_a_pad, feats_t, t.astype(dtype).reshape(1, p_pad))
+    return out[0]
+
+
 def timed(f, *args, runs=5):
     sync = jax.jit(jnp.sum)
     float(sync(f(*args)))
@@ -101,22 +145,29 @@ def main():
     ft = jnp.asarray(rng.random((dp, n_pad)) * 0.1, dtype)
     v = jnp.asarray(rng.random((n_pad,)), jnp.float32)
 
-    t_mxu = timed(matvec_pallas, fa, ft, v)
-    t_vpu = timed(matvec_vpu, fa, ft, v)
-    # numerics: same class? (bf16 product rounding differs: MXU consume
-    # multiplies in bf16 with f32 accum; VPU consume multiplies in f32)
-    o_mxu = np.asarray(matvec_pallas(fa, ft, v))
-    o_vpu = np.asarray(matvec_vpu(fa, ft, v))
-    rel = float(np.max(np.abs(o_mxu - o_vpu)) / (np.max(np.abs(o_mxu)) + 1e-30))
+    t_p = jnp.asarray(rng.random((p_pad,)), jnp.float32)
 
-    rec = {"p_pad": p_pad, "n_pad": n_pad, "dp": dp, "dtype": "bfloat16",
-           "t_mxu_consume_s": round(t_mxu, 4), "t_vpu_consume_s": round(t_vpu, 4),
-           "speedup": round(t_mxu / t_vpu, 3), "max_rel_diff": rel,
-           "ts": time.time()}
     RESULTS.parent.mkdir(parents=True, exist_ok=True)
-    with RESULTS.open("a") as f:
-        f.write(json.dumps(rec) + "\n")
-    print(json.dumps(rec), flush=True)
+    for name, base, cand, args in (
+            ("matvec", matvec_pallas, matvec_vpu, (fa, ft, v)),
+            ("rmatvec", rmatvec_pallas, rmatvec_vpu, (fa, ft, t_p))):
+        t_mxu = timed(base, *args)
+        t_vpu = timed(cand, *args)
+        # numerics: the MXU consume multiplies in bf16 with f32 accum;
+        # the VPU consume multiplies in f32 (slightly MORE precise)
+        o_mxu = np.asarray(base(*args))
+        o_vpu = np.asarray(cand(*args))
+        rel = float(np.max(np.abs(o_mxu - o_vpu))
+                    / (np.max(np.abs(o_mxu)) + 1e-30))
+        rec = {"pass": name, "p_pad": p_pad, "n_pad": n_pad, "dp": dp,
+               "dtype": "bfloat16",
+               "t_mxu_consume_s": round(t_mxu, 4),
+               "t_vpu_consume_s": round(t_vpu, 4),
+               "speedup": round(t_mxu / t_vpu, 3), "max_rel_diff": rel,
+               "ts": time.time()}
+        with RESULTS.open("a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":

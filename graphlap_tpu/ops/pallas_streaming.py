@@ -119,10 +119,15 @@ def _matvec_kernel(a_ref, b_ref, v_ref, out_ref):
         out_ref[:] = jnp.zeros_like(out_ref)
 
     kb = _kb_tile(a_ref[:], b_ref[:], a_ref.dtype)
-    prec = "default" if kb.dtype == jnp.bfloat16 else "highest"
-    out_ref[:] += jnp.dot(kb, v_ref[:].T.astype(kb.dtype),
-                          preferred_element_type=jnp.float32,
-                          precision=prec)
+    # VPU consume (f32 multiply + lane reduction): the rank-1 MXU dot
+    # kb @ v pays for 128 output columns to produce one — measured 1.11x
+    # at the 8 MP shape (benchmarks/ab_matvec_consume.py), and the f32
+    # product is slightly MORE precise than the bf16-input dot it
+    # replaces (6.5e-8 max rel diff). The rmatvec kernel keeps its MXU
+    # consume: the (1, p) @ (p, tn) orientation measured FASTER than the
+    # sublane-reduction VPU variant (0.84x) — see the same A/B.
+    prod = kb.astype(jnp.float32) * v_ref[:].astype(jnp.float32)
+    out_ref[:] += jnp.sum(prod, axis=1, keepdims=True)
 
 
 def _rmatvec_kernel(a_ref, b_ref, t_ref, out_ref):
@@ -377,6 +382,12 @@ def _ext2_matvec_kernel(a_ref, b_ref, t2_ref, bm_ref, u_ref, s_ref):
     prod = jnp.maximum(kbt[0:1, :] * kbt[1:2, :], FINISH_EPS)
     s = bm_ref[:] / jnp.sqrt(prod)                         # (1, tn) f32
     s_ref[:] = s
+    # consume stays on the MXU here DESPITE _matvec_kernel's measured VPU
+    # win: this kernel's stack already holds kbt/s/u alongside kb, and
+    # both VPU variants blow the 16 MB scoped-VMEM limit at the (4096,
+    # 1024) tile — f32 product temp: 16.25M; dtype-mul + f32-accum sum:
+    # 16.02M (real compile failures, 2026-08-19). The rank-1 MXU dot
+    # keeps the stack under the limit at the measured-optimal tile.
     u_ref[:] += jnp.dot(kb, s.astype(dtype).T,
                         preferred_element_type=jnp.float32, precision=prec)
 
