@@ -90,11 +90,50 @@ def _tile_p_of(p_pad: int) -> int:
 
 
 def _tile_n(dtype) -> int:
-    # keep the (TILE_P, TILE_N) kernel tile ~8 MB of VMEM. f32 needs the
-    # narrower tile: at (4096, 512) the f32 kb + d2 stack intermediates
-    # measured 17.92 MB scoped VMEM (> the 16 MB limit) on v5e — a real
-    # compile failure for -pallas without -bf16 at 1024^2-class images
+    # the PAD QUANTUM for the n axis (callers pad n_pad to a multiple of
+    # this), NOT the widest tile the kernels run: _pick_tn grows the
+    # actual column tile past it when n_pad allows. f32 keeps the narrow
+    # quantum: at (4096, 512) the f32 kb + d2 stack intermediates
+    # measured 17.92 MB scoped VMEM — over Mosaic's DEFAULT 16 MB limit,
+    # a real compile failure for -pallas without -bf16 at 1024^2-class
+    # images before the limit was raised (VMEM_LIMIT_BYTES below)
     return 1024 if dtype == jnp.bfloat16 else 256
+
+
+# Mosaic's default scoped-VMEM limit is 16 MB — a compiler default, not
+# the hardware (a v5e core carries ~128 MiB of VMEM). Raising it to 64 MB
+# admits wider column tiles: fewer, fatter grid steps on the same
+# schedule. Measured at the 8 MP cfg4 shape (benchmarks/sweep_vmem_tiles
+# .py -> results/vmem_tiles.jsonl, bf16): matvec 0.1063 -> 0.1018 s
+# (tn 1024 -> 4096), rmatvec 0.0903 -> 0.0879 (1024 -> 4096), ext2
+# 0.1377 -> 0.1342 (1024 -> 2048), finish 0.1416 -> 0.1349 (512 -> 2048).
+# tn=4096 REGRESSES the two fused-finish kernels (0.154/0.156 — the
+# whole-p tile plus four n-wide buffers outgrow pipelining headroom), so
+# each kernel carries its own measured cap. The raised limit alone is
+# wall-neutral at the old tiles (within noise across the sweep grid).
+VMEM_LIMIT_BYTES = 64 << 20
+
+
+def _cparams():
+    return pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES)
+
+
+def _pick_tn(n_pad: int, dtype, cap: int) -> int:
+    """Widest measured-safe column tile: grows the _tile_n quantum by
+    powers of two while it divides n_pad, up to the kernel's ``cap``.
+    Callers' pad contract is unchanged (n_pad % _tile_n == 0); bigger
+    tiles are an internal schedule choice, exact for any divisor."""
+    t = _tile_n(dtype)
+    while t * 2 <= cap and n_pad % (t * 2) == 0:
+        t *= 2
+    return t
+
+
+# Measured-optimal caps per kernel (vmem_tiles.jsonl; f32 keeps the
+# quantum — unswept on-chip, and the f32 paths are non-headline)
+MATVEC_TN_CAP = 4096
+EXT2_TN_CAP = 2048
+FIN_TN_CAP = 2048
 
 
 def _kb_tile(a, bt, dtype):
@@ -255,11 +294,12 @@ def matvec_pallas(feats_a_pad, feats_t, v, interpret: bool | None = None,
     dp = _check_dp(feats_a_pad, feats_t)
     dtype = feats_a_pad.dtype
     tp = _tile_p_of(p_pad)
-    tn = _tile_n(dtype)
-    if n_pad % tn != 0:
+    if n_pad % _tile_n(dtype) != 0:
         raise ValueError(
-            f"matvec_pallas needs n_pad % {tn} == 0 (tile of {dtype}), "
-            f"got {n_pad} — pad with _tile_n, not a fixed width")
+            f"matvec_pallas needs n_pad % {_tile_n(dtype)} == 0 (tile of "
+            f"{dtype}), got {n_pad} — pad with _tile_n, not a fixed width")
+    tn = (_pick_tn(n_pad, dtype, MATVEC_TN_CAP)
+          if dtype == jnp.bfloat16 else _tile_n(dtype))
     grid = (p_pad // tp, n_pad // tn)
     out_shape = (jax.ShapeDtypeStruct((p_pad, 1), jnp.float32, vma=frozenset(vma))
                  if vma else jax.ShapeDtypeStruct((p_pad, 1), jnp.float32))
@@ -283,6 +323,7 @@ def matvec_pallas(feats_a_pad, feats_t, v, interpret: bool | None = None,
             + 4 * (p_pad + n_pad),
             transcendentals=p_pad * n_pad,
         ),
+        compiler_params=_cparams(),
         interpret=interpret,
     )(feats_a_pad, feats_t, v.astype(dtype).reshape(1, n_pad))
     return out[:, 0]
@@ -301,11 +342,12 @@ def rmatvec_pallas(feats_a_pad, feats_t, t, interpret: bool | None = None,
     dp = _check_dp(feats_a_pad, feats_t)
     dtype = feats_a_pad.dtype
     tp = _tile_p_of(p_pad)
-    tn = _tile_n(dtype)
-    if n_pad % tn != 0:
+    if n_pad % _tile_n(dtype) != 0:
         raise ValueError(
-            f"rmatvec_pallas needs n_pad % {tn} == 0 (tile of {dtype}), "
-            f"got {n_pad} — pad with _tile_n, not a fixed width")
+            f"rmatvec_pallas needs n_pad % {_tile_n(dtype)} == 0 (tile of "
+            f"{dtype}), got {n_pad} — pad with _tile_n, not a fixed width")
+    tn = (_pick_tn(n_pad, dtype, MATVEC_TN_CAP)
+          if dtype == jnp.bfloat16 else _tile_n(dtype))
     grid = (n_pad // tn, p_pad // tp)
     out_shape = (jax.ShapeDtypeStruct((1, n_pad), jnp.float32, vma=frozenset(vma))
                  if vma else jax.ShapeDtypeStruct((1, n_pad), jnp.float32))
@@ -329,6 +371,7 @@ def rmatvec_pallas(feats_a_pad, feats_t, t, interpret: bool | None = None,
             + 4 * (p_pad + n_pad),
             transcendentals=p_pad * n_pad,
         ),
+        compiler_params=_cparams(),
         interpret=interpret,
     )(feats_a_pad, feats_t, t.astype(dtype).reshape(1, p_pad))
     return out[0]
@@ -420,7 +463,8 @@ def ext2_matvec_pallas(feats_a_pad, f_t, t2, b_mask,
     dtype = feats_a_pad.dtype
     _require_whole_p(p_pad, "ext2_matvec_pallas")
     if tn is None:
-        tn = _tile_n(dtype)
+        tn = (_pick_tn(n_pad, dtype, EXT2_TN_CAP)
+              if dtype == jnp.bfloat16 else _tile_n(dtype))
     if n_pad % tn != 0:
         raise ValueError(
             f"ext2_matvec_pallas needs n_pad % {tn} == 0 (tile of {dtype}),"
@@ -455,22 +499,28 @@ def ext2_matvec_pallas(feats_a_pad, f_t, t2, b_mask,
             + 4 * (3 * p_pad + 2 * n_pad),
             transcendentals=p_pad * n_pad,
         ),
+        compiler_params=_cparams(),
         interpret=interpret,
     )(feats_a_pad, f_t, t2.astype(dtype), b_mask.astype(jnp.float32)
       .reshape(1, n_pad))
     return u[:, 0], s[0]
 
 
-# fused-finish column tile. bf16 takes (4096, 512): measured 0.185 s vs
-# 0.243 s at tn=256 at 8 MP (profile.jsonl finish_m128_tn512 row — fewer,
-# fatter grid steps win once the f32 distance stack fits). f32 keeps 256:
-# its (4096, 512) cross/d2 stack measured 17.92 MB scoped VMEM (> the
-# 16 MB limit) in the matvec kernels — same working set here.
+# fused-finish column tile, f32 fallback. bf16 resolves via _pick_tn up
+# to FIN_TN_CAP=2048 under the raised VMEM limit (vmem_tiles.jsonl:
+# 0.1416 s at 512 -> 0.1349 at 2048 at 8 MP; 4096 regresses). f32 keeps
+# 256: its (4096, 512) cross/d2 stack measured 17.92 MB scoped VMEM in
+# the matvec kernels — compiles under the raised limit but is unswept
+# on-chip, and the f32 paths are non-headline.
 FIN_TN = 256
 
 
-def _fin_tn(dtype) -> int:
-    return 512 if dtype == jnp.bfloat16 else FIN_TN
+def _fin_tn(n_pad: int, dtype) -> int:
+    if dtype == jnp.bfloat16:
+        # 512 is the bf16 floor (the old measured optimum under the 16 MB
+        # limit); n_pad is padded to the 1024 quantum so _pick_tn >= 1024
+        return _pick_tn(n_pad, dtype, FIN_TN_CAP)
+    return FIN_TN
 
 
 def _finish_colstats_kernel(a_ref, b_ref, t_ref, sp_ref, bm_ref, g_ref,
@@ -529,7 +579,7 @@ def finish_colstats_pallas(feats_a_pad, f_t, t, s_pre, b_mask, gr, y,
     ``s_pre``/``b_mask`` are 0 on A columns and padding, so those columns
     produce s_j = 0 and vanish from V/norms/coeffs (A rows are handled on
     the p side, as in the unfused path). ``tn`` overrides the column-tile
-    width (benchmarks only; None = _fin_tn(dtype))."""
+    width (benchmarks only; None = _fin_tn(n_pad, dtype))."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     p_pad = feats_a_pad.shape[0]
@@ -543,7 +593,7 @@ def finish_colstats_pallas(feats_a_pad, f_t, t, s_pre, b_mask, gr, y,
             f"finish_colstats_pallas needs gr padded to 64 or {M_PAD} "
             f"columns (m_pad_of), got {m_pad}")
     if tn is None:
-        tn = _fin_tn(dtype)
+        tn = _fin_tn(n_pad, dtype)
     if n_pad % tn != 0:
         raise ValueError(
             f"finish_colstats_pallas needs n_pad % {tn} == 0, got {n_pad} "
@@ -594,6 +644,7 @@ def finish_colstats_pallas(feats_a_pad, f_t, t, s_pre, b_mask, gr, y,
             + 4 * n_pad * (m_pad + 4) + 4 * p_pad * (m_pad + 2),
             transcendentals=p_pad * n_pad,
         ),
+        compiler_params=_cparams(),
         interpret=interpret,
     )(feats_a_pad, f_t, t.astype(dtype).reshape(1, p_pad),
       s_pre.astype(jnp.float32).reshape(1, n_pad),

@@ -336,10 +336,14 @@ def test_strip_cache_matches_recompute(noisy, filter_name, param, mode):
 
 def test_strip_cache_coarse_recipe_matches(noisy):
     """The accelerated knobs (coarse Sinkhorn + polish + coarse gram) run
-    the SAME estimator on both tile sources."""
+    the SAME estimator on both tile sources. The coarse sample is pinned
+    ('auto' resolves diag-iff-strip_cache since the r4 split — the two
+    paths would deliberately pick DIFFERENT column samples and this
+    equivalence would compare different estimators)."""
     base = PipelineConfig(kernel="nlm", h=0.25, sample_rho=0.03,
                           num_eigvecs=24, sinkhorn_iters=6,
                           sinkhorn_coarse=4, sinkhorn_polish=1,
+                          sinkhorn_sample="stride",
                           gram_coarse=4, streaming=True, block_cols=1024)
     plan = make_plan(noisy, base)
     rec = filter_image(noisy, base, plan=plan)
