@@ -130,9 +130,12 @@ def _pick_tn(n_pad: int, dtype, cap: int) -> int:
 
 
 # Measured-optimal caps per kernel (vmem_tiles.jsonl; f32 keeps the
-# quantum — unswept on-chip, and the f32 paths are non-headline)
+# quantum — unswept on-chip, and the f32 paths are non-headline).
+# ext2's cap is the quantum: with its VPU consume (ab_matvec_consume
+# .jsonl ext2 rows) tn=1024 beats 2048 (0.1184 vs 0.1250) — the f32
+# product temp grows with the tile and squeezes pipelining headroom.
 MATVEC_TN_CAP = 4096
-EXT2_TN_CAP = 2048
+EXT2_TN_CAP = 1024
 FIN_TN_CAP = 2048
 
 
@@ -425,14 +428,14 @@ def _ext2_matvec_kernel(a_ref, b_ref, t2_ref, bm_ref, u_ref, s_ref):
     prod = jnp.maximum(kbt[0:1, :] * kbt[1:2, :], FINISH_EPS)
     s = bm_ref[:] / jnp.sqrt(prod)                         # (1, tn) f32
     s_ref[:] = s
-    # consume stays on the MXU here DESPITE _matvec_kernel's measured VPU
-    # win: this kernel's stack already holds kbt/s/u alongside kb, and
-    # both VPU variants blow the 16 MB scoped-VMEM limit at the (4096,
-    # 1024) tile — f32 product temp: 16.25M; dtype-mul + f32-accum sum:
-    # 16.02M (real compile failures, 2026-08-19). The rank-1 MXU dot
-    # keeps the stack under the limit at the measured-optimal tile.
-    u_ref[:] += jnp.dot(kb, s.astype(dtype).T,
-                        preferred_element_type=jnp.float32, precision=prec)
+    # VPU consume, like _matvec_kernel. Historical note: under Mosaic's
+    # default 16 MB scoped-VMEM limit this variant FAILED to compile at
+    # the (4096, 1024) tile (f32 product temp 16.25M) and the kernel kept
+    # a rank-1 MXU dot; with VMEM_LIMIT_BYTES=64MB it fits and measures
+    # 1.175x the MXU consume at tn=1024 (ab_matvec_consume.jsonl ext2
+    # rows, 8 MP shape) — which also moves the optimal tile back to the
+    # 1024 quantum (EXT2_TN_CAP note above).
+    u_ref[:] += jnp.sum(kb.astype(jnp.float32) * s, axis=1, keepdims=True)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "tn"))
