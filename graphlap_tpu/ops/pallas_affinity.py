@@ -34,9 +34,21 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .pallas_streaming import VMEM_LIMIT_BYTES
+
 D_PAD = 128      # contraction depth (feature dim padded)
-TILE_P = 128     # sample-row tile
-TILE_N = 512     # pixel-column tile
+# Emitter tiles, retuned under the raised 64 MB scoped-VMEM limit
+# (pallas_streaming.VMEM_LIMIT_BYTES; benchmarks/sweep_emit_tiles.py ->
+# vmem_tiles.jsonl emit rows): the original (128, 512) — sized for
+# Mosaic's default 16 MB — needed ~21k grid steps at the cfg2 strip
+# shape, and per-step overhead dominated a pass whose pure HBM-write
+# floor is ~4 ms. (512, 2048) measures 0.0428 -> 0.0361 s at cfg2 and
+# 0.0802 -> 0.0641 at the cfg3 channel shape (sync-walled incl. ~31 ms
+# RTT — the device compute roughly halves). Wider tp pads more sample
+# rows (p_pad 5248 -> 5632 at cfg2) — the padded rows are sliced off by
+# the caller and cost only emit FLOPs, already in the measurement.
+TILE_P = 512     # sample-row tile
+TILE_N = 2048    # pixel-column tile
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -115,6 +127,8 @@ def affinity_strip_pallas(feats_a: jnp.ndarray, feats_all: jnp.ndarray,
             + p_pad * n_pad * out_dtype.itemsize,
             transcendentals=p_pad * n_pad,
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
         interpret=interpret,
     )(a, bt)
     return out[:p, :n]
