@@ -13,6 +13,8 @@ the mesh over all devices, and feed each host its local frame shard.
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 
 from ..config import PipelineConfig
@@ -22,16 +24,90 @@ from ..parallel.sharded import build_sharded_pipeline
 from .pipeline import make_plan
 
 
+def estimate_motion(frames: np.ndarray, max_pairs: int = 3) -> float:
+    """Median per-frame global displacement (px, full-res units) across up
+    to ``max_pairs`` consecutive luma pairs — the routing input for
+    ``route_temporal_guide``. Phase correlation (utils/register
+    .estimate_shift) on 2x-decimated luma for >=2K frames (the routing
+    boundaries are coarse enough that the halved sub-pixel resolution
+    doesn't matter; the full-res FFT at 4K costs ~1 s/pair on this
+    box's single host core)."""
+    from ..utils.register import estimate_shift
+    from .pipeline import _luma
+
+    frames = np.asarray(frames, np.float32)
+    if frames.ndim == 4:
+        frames = np.stack([_luma(f) for f in frames])
+    if frames.ndim != 3 or frames.shape[0] < 2:
+        return 0.0
+    dec = 2 if min(frames.shape[1:3]) >= 1024 else 1
+    lum = frames[:, ::dec, ::dec]
+    vs = []
+    for i in range(min(max_pairs, frames.shape[0] - 1)):
+        dy, dx = estimate_shift(lum[i], lum[i + 1])
+        vs.append(float(np.hypot(dy, dx)) * dec)
+    return float(np.median(vs))
+
+
+# Measured temporal-guide routing table (benchmarks/motion_guide.py ->
+# results/motion_guide.jsonl, 8-frame groups, sigma=0.1): per-frame
+# displacement v -> largest group size k that still beats per-frame
+# bases. Registered groups hold much longer (the guide is built from the
+# aligned stack): by-PSNR optima were 8r at v<=0.25, 4r at 0.5, 2r at
+# 1-2, per-frame at 4. The v=1 boundary is deliberately CONSERVATIVE for
+# 4r: the production-scale 8x4K pan row measured 4r at -0.075 dB vs
+# per-frame (matrix.jsonl cfg5_video_8x4k_pan_registered, r4) even
+# though the 64^2 study had it winning — sharper content and sub-pixel
+# registration residue eat the margin, so v ~ 1 routes to 2r.
+# Unregistered: the k <= 1 + 0.75/v rule (filter_video docstring).
+_REGISTERED_K_BY_V = ((0.3, 8), (0.6, 4), (2.0, 2))
+
+
+def route_temporal_guide(frames: np.ndarray, register: bool = True,
+                         k_max: int = 8) -> tuple[int, bool]:
+    """(k, register) for ``filter_video(temporal_guide='auto')``: estimate
+    the per-frame motion and apply the measured boundaries above. k = 1
+    means guided basis reuse LOSES to per-frame bases in this motion
+    regime — the caller falls back (with a warning)."""
+    b = np.asarray(frames).shape[0]
+    v = estimate_motion(frames)
+    if register:
+        k = 1
+        for bound, kk in _REGISTERED_K_BY_V:
+            if v <= bound:
+                k = kk
+                break
+    else:
+        k = int(1.0 + 0.75 / max(v, 1e-6)) if v > 0 else k_max
+    k = max(1, min(k, k_max, b))
+    while k > 1 and b % k:      # static group shape: k must tile the batch
+        k -= 1
+    if k == 1:
+        warnings.warn(
+            f"temporal_guide='auto': estimated motion {v:.2f} px/frame is "
+            f"past the measured guided-reuse boundary "
+            f"({'registered' if register else 'unregistered'} groups lose "
+            f"to per-frame bases there — benchmarks/results/motion_guide"
+            f".jsonl); using per-frame bases", stacklevel=3)
+    return k, register and k > 1
+
+
 def filter_video(frames: np.ndarray, cfg: PipelineConfig,
                  mesh=None, plan: SamplePlan | None = None,
                  frames_per_step: int | None = None,
-                 temporal_guide: int = 1, register_guide: bool = False):
+                 temporal_guide: int | str = 1,
+                 register_guide: bool = False):
     """Filter (B, H, W) grayscale frames. Returns (filtered, eigvals).
 
     All frames share one sampling plan (same geometry); each frame gets its
     own affinity graph and eigenbasis. ``frames_per_step`` bounds per-step
     memory: the batch is processed in chunks of that many frames (each chunk
     one sharded jit step; same compiled executable reused across chunks).
+
+    ``temporal_guide="auto"`` estimates the per-frame motion and routes
+    through the measured boundaries (route_temporal_guide): group size
+    shrinks as motion grows, and past the regime where basis reuse loses
+    to per-frame bases it falls back with a warning.
 
     ``temporal_guide`` > 1 switches to TEMPORAL BASIS REUSE: frames are
     grouped in runs of that many, each group filtered through ONE shared
@@ -53,6 +129,12 @@ def filter_video(frames: np.ndarray, cfg: PipelineConfig,
     (the v=1 px/frame case flips from a 3 dB loss to a win; tested).
     """
     frames = np.asarray(frames, np.float32)
+    if temporal_guide == "auto":
+        # measured motion-regime routing (route_temporal_guide): guided
+        # reuse is declined (with a warning) where it loses both axes —
+        # the r4 pan row shipped a both-lose configuration by hand
+        temporal_guide, register_guide = route_temporal_guide(
+            frames, register=register_guide)
     if temporal_guide > 1:
         # the guided path's per-step unit IS the k-frame group (shrink
         # temporal_guide to bound memory) — refuse frames_per_step rather

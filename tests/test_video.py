@@ -366,3 +366,62 @@ def test_register_guide_composes_with_mesh():
     z2, _ = filter_video(frames, scfg, mesh=make_mesh(8, 1),
                          temporal_guide=4, register_guide=True)
     np.testing.assert_allclose(z2, z1, atol=3e-4)
+
+
+def _pan_scene(v=1.0, b=8, side=64, sigma=0.02, seed=3):
+    """Camera pan at ``v`` px/frame: integer/subpixel crops of one
+    oversized scene (same construction as benchmarks/run.py row5tr)."""
+    pad = int(np.ceil(v * b)) + 2
+    base = make_test_image(side + pad, side + pad, seed=1)
+    rng = np.random.default_rng(seed)
+    clean = np.stack([base[int(round(t * v)):int(round(t * v)) + side,
+                           int(round(t * v)):int(round(t * v)) + side]
+                      for t in range(b)])
+    frames = np.clip(clean + sigma * rng.standard_normal(clean.shape),
+                     0, 1).astype(np.float32)
+    return clean, frames
+
+
+def test_route_temporal_guide_measured_boundaries():
+    """The auto-router applies the measured motion table: static scenes
+    get the largest registered groups, ~1 px/frame pans route to k=2
+    registered (the 64^2 study optimum AND the conservative call at the
+    4K pan row), and fast motion declines guided reuse entirely."""
+    from graphlap_tpu.models.video import (estimate_motion,
+                                           route_temporal_guide)
+
+    _, static = _static_scene(b=8)
+    assert estimate_motion(static) < 0.2
+    assert route_temporal_guide(static, register=True) == (8, True)
+
+    _, pan1 = _pan_scene(v=1.0)
+    v_est = estimate_motion(pan1)
+    assert 0.7 < v_est < 1.7, f"pan estimate {v_est}"
+    assert route_temporal_guide(pan1, register=True) == (2, True)
+    # unregistered groups lose at 1 px/frame (k <= 1 + 0.75/v < 2)
+    k, reg = route_temporal_guide(pan1, register=False)
+    assert (k, reg) == (1, False)
+
+    _, pan4 = _pan_scene(v=4.0)
+    with pytest.warns(UserWarning, match="boundary"):
+        k, reg = route_temporal_guide(pan4, register=True)
+    assert (k, reg) == (1, False)
+
+
+def test_filter_video_temporal_guide_auto():
+    """temporal_guide='auto' end-to-end: a static scene routes to guided
+    groups (same output class as explicit k), a fast pan falls back to
+    per-frame bases with the boundary warning."""
+    clean, frames = _static_scene(b=4)
+    za, _ = filter_video(frames, CONFIG1, temporal_guide="auto",
+                         register_guide=True)
+    z4, _ = filter_video(frames, CONFIG1, temporal_guide=4,
+                         register_guide=True)
+    np.testing.assert_allclose(za, z4, atol=3e-4)
+
+    _, pan = _pan_scene(v=4.0, b=4)
+    with pytest.warns(UserWarning, match="boundary"):
+        zp, _ = filter_video(pan, CONFIG1, temporal_guide="auto",
+                             register_guide=True)
+    zi, _ = filter_video(pan, CONFIG1)
+    np.testing.assert_allclose(zp, zi, atol=3e-4)
