@@ -31,6 +31,66 @@ from sweep_cfg4 import device_wall_and_out
 RESULTS = Path(__file__).parent / "results" / "cfg4q_parity.jsonl"
 
 
+def seeds_main():
+    """VERDICT r4 #4: the shipped 4q route (pol2) measured 0.0898 dB on
+    ONE draw — 11% from the graded gate. This mode sweeps >=4 noise
+    seeds x 2 image instances of pol2 AND pol3 against the per-draw f32
+    full-res twin (the cfg4 jseed harness pattern), so tuned_config's
+    polish routing rests on a cross-draw bound, not one lucky draw.
+
+        python benchmarks/sweep_4q_parity.py seeds
+    """
+    import graphlap_tpu as gl
+    from graphlap_tpu.models.pipeline import make_plan
+
+    h, w = 2048, 4096
+    mp = h * w / 1e6
+    base = gl.PipelineConfig(
+        kernel="nlm", h=0.25, sample_rho=0.01, sample_cap=4096,
+        num_eigvecs=50, sinkhorn_iters=10, filter_name="identity",
+        streaming=True, block_cols=131072)
+    q = gl.tuned_config(gl.denoise_tuned(base, 0.1), h * w, "fast")
+    twin = q.replace(affinity_dtype="float32", feature_dtype="float32",
+                     sinkhorn_coarse=1, sinkhorn_polish=0, use_pallas=False,
+                     sinkhorn_iters=max(q.sinkhorn_iters, 10))
+    RESULTS.parent.mkdir(parents=True, exist_ok=True)
+    worst = {"pol2": 0.0, "pol3": 0.0}
+    for iseed in (0, 1):
+        img = gl.make_test_image(h, w, seed=iseed)
+        plan = None
+        for nseed in range(4):
+            noisy = np.clip(gl.add_gaussian_noise(img, 0.1, seed=nseed),
+                            0, 1)
+            if plan is None:
+                plan = make_plan(noisy, q)
+            _, ref_out = device_wall_and_out(noisy, twin, plan, reps=1)
+            psnr_ref = gl.psnr(img, ref_out)
+            for name, cfg in (("pol2", q.replace(sinkhorn_polish=2)),
+                              ("pol3", q.replace(sinkhorn_polish=3))):
+                wall, out = device_wall_and_out(noisy, cfg, plan, reps=1)
+                d = abs(gl.psnr(img, out) - psnr_ref)
+                worst[name] = max(worst[name], d)
+                rec = {"recipe": f"jseed_{name}", "image_seed": iseed,
+                       "noise_seed": nseed,
+                       "device_wall_s": round(wall, 4),
+                       "device_mp_per_s": round(mp / wall, 3),
+                       "psnr_out_db": round(gl.psnr(img, out), 4),
+                       "psnr_ref_db": round(psnr_ref, 4),
+                       "dpsnr_vs_clean_db": round(d, 4),
+                       "config_hash": cfg.config_hash(),
+                       "ts": time.time()}
+                with RESULTS.open("a") as f:
+                    f.write(json.dumps(rec) + "\n")
+                print(json.dumps(rec), flush=True)
+    rec = {"recipe": "jseed_summary",
+           "pol2_max_dpsnr_db": round(worst["pol2"], 4),
+           "pol3_max_dpsnr_db": round(worst["pol3"], 4),
+           "draws": 8, "ts": time.time()}
+    with RESULTS.open("a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec), flush=True)
+
+
 def main():
     import graphlap_tpu as gl
     from graphlap_tpu.models.pipeline import make_plan
@@ -91,4 +151,8 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    if len(sys.argv) > 1 and sys.argv[1] == "seeds":
+        seeds_main()
+    else:
+        main()
