@@ -636,11 +636,22 @@ def run_video_row(name, cfg, frames, frames_per_step=None, n_runs=3,
         st_res = gl.filter_image_staged(frames[0], cfg, plan=plan)
         staged = {k: round(v, 4) for k, v in st_res.timings.items()}
 
+    # compile-time HBM of the batched chunk executable (VERDICT r4 #8:
+    # the per-channel pipeline analysis is the wrong executable here)
+    peak_hbm = hbm_source = None
+    if cfg.streaming:
+        from graphlap_tpu.utils.meminfo import video_hbm_analysis
+        ma = video_hbm_analysis((fps,) + frames.shape[1:], cfg, plan, mesh)
+        if ma is not None and ma["total"] > 0:
+            peak_hbm = round(ma["total"] / 2**30, 3)
+            hbm_source = "memory_analysis"
+
     h, w = frames.shape[1:]
     clean = [gl.make_test_image(h, w, seed=s) for s in range(b)]
     rec = {
         "row": name, "backend": jax.default_backend(),
         "device": str(jax.devices()[0]), "shape": list(frames.shape),
+        "peak_hbm_gib": peak_hbm, "peak_hbm_source": hbm_source,
         "p": plan.p, "m": cfg.num_eigvecs, "config_hash": cfg.config_hash(),
         "wall_s": round(wall, 4), "mp_per_s": round(mp / wall, 4),
         # run-to-run spread: e2e walls on this box ride the remote-TPU

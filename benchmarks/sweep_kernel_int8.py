@@ -1,0 +1,394 @@
+"""int8 MXU variants of the fused streaming passes (VERDICT r4 #1, stage 4).
+
+sweep_kernel_sched.py isolated the wall: the cross GEMM alone is 71 ms
+of ext2's 118 ms at the 8 MP shape — a thin-K structural limit (d=25 of
+the MXU's 128 contraction slots). The v5e MXU runs int8 at 2x the bf16
+rate, so quantizing the FEATURES to int8 halves the only stage that is
+at its roofline. Numerics: with one shared symmetric scale s for both
+operands (legal here — A and B features come from the same image),
+
+    d2 = s^2 * (na_q + nb_q - 2 * a_q . b_q)
+
+is EXACT integer arithmetic in int32 up to the initial quantization —
+no bf16 GEMM-trick cancellation at all. Quantization error per feature
+is <= s/2 = fmax/254; for exp(-d2) the error concentrates where
+|a - b| is small, i.e. where it matters least in absolute kb terms.
+fmax is config-determined (features are patch/h with y in [0,1]), so
+the scale bakes in at trace time — no SMEM scalar needed.
+
+Variants: ext2_int8 / fin_int8 / matvec_int8, correctness vs the f32
+XLA reference at realistic NLM magnitude first (reported next to the
+production bf16 kernels' own error, the honest yardstick), then 8 MP
+walls.
+
+    python benchmarks/sweep_kernel_int8.py            # real TPU
+Appends rows to benchmarks/results/kernel_sched.jsonl (int8_* rows).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import time
+from pathlib import Path
+
+import jax
+
+from graphlap_tpu.utils.cache import setup_compilation_cache
+
+setup_compilation_cache(Path(__file__).parent.parent)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from graphlap_tpu.ops import pallas_streaming as ps
+
+RESULTS = Path(__file__).parent / "results" / "kernel_sched.jsonl"
+
+P_PAD = 4096
+D = 25
+DP = 32
+M_PAD = 128
+EPS = ps.FINISH_EPS
+
+
+def _params():
+    return pltpu.CompilerParams(vmem_limit_bytes=ps.VMEM_LIMIT_BYTES)
+
+
+def _kb_tile_int8(a_ref, b_ref, naq_ref, nbq_ref, scale2: float):
+    """exp(-d2) bf16 with d2 from exact int32 arithmetic."""
+    cross = jnp.dot(a_ref[:], b_ref[:], preferred_element_type=jnp.int32)
+    d2q = naq_ref[:] + nbq_ref[:] - 2 * cross            # int32, exact
+    d2 = jnp.maximum(d2q.astype(jnp.float32) * scale2, 0.0)
+    return jnp.exp(-d2.astype(jnp.bfloat16))
+
+
+def _make_ext2_int8_kernel(scale2: float):
+    def kernel(a_ref, b_ref, naq_ref, nbq_ref, t2_ref, bm_ref,
+               u_ref, s_ref):
+        j = pl.program_id(0)
+
+        @pl.when(j == 0)
+        def _():
+            u_ref[:] = jnp.zeros_like(u_ref)
+
+        kb = _kb_tile_int8(a_ref, b_ref, naq_ref, nbq_ref, scale2)
+        kbt = jnp.dot(t2_ref[:], kb, preferred_element_type=jnp.float32,
+                      precision="default")
+        prod = jnp.maximum(kbt[0:1, :] * kbt[1:2, :], EPS)
+        s = bm_ref[:] / jnp.sqrt(prod)
+        s_ref[:] = s
+        u_ref[:] += jnp.sum(kb.astype(jnp.float32) * s, axis=1,
+                            keepdims=True)
+    return kernel
+
+
+def _make_fin_int8_kernel(scale2: float):
+    def kernel(a_ref, b_ref, naq_ref, nbq_ref, t_ref, sp_ref, bm_ref,
+               g_ref, y_ref, v_ref, ns_ref, co_ref, s_ref):
+        j = pl.program_id(0)
+        cross = jnp.dot(a_ref[:], b_ref[:],
+                        preferred_element_type=jnp.int32)
+        d2q = naq_ref[:] + nbq_ref[:] - 2 * cross
+        d2 = jnp.maximum(d2q.astype(jnp.float32) * scale2, 0.0)
+        kb = jnp.exp(-d2).astype(jnp.bfloat16)   # f32 exp (colstats class)
+        ks = jnp.dot(t_ref[:], kb, preferred_element_type=jnp.float32,
+                     precision="default")
+        s_new = jnp.sqrt(sp_ref[:] / jnp.maximum(ks, EPS)) * bm_ref[:]
+        s_ref[:] = s_new
+        vb = jnp.dot((kb * s_new.astype(jnp.bfloat16)).T,
+                     g_ref[:].astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32,
+                     precision="default")
+        v_ref[:] = vb
+        ns = jnp.sum(vb * vb, axis=0, keepdims=True)
+        co = jnp.dot(y_ref[:], vb, preferred_element_type=jnp.float32,
+                     precision="highest")
+
+        @pl.when(j == 0)
+        def _():
+            ns_ref[:] = ns
+            co_ref[:] = co
+
+        @pl.when(j > 0)
+        def _():
+            ns_ref[:] += ns
+            co_ref[:] += co
+    return kernel
+
+
+def _make_matvec_int8_kernel(scale2: float):
+    def kernel(a_ref, b_ref, naq_ref, nbq_ref, v_ref, out_ref):
+        j = pl.program_id(0)
+
+        @pl.when(j == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        kb = _kb_tile_int8(a_ref, b_ref, naq_ref, nbq_ref, scale2)
+        out_ref[:] += jnp.sum(kb.astype(jnp.float32) * v_ref[:], axis=1,
+                              keepdims=True)
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("scale2", "tn", "n_pad"))
+def ext2_int8(aq, bq, naq, nbq, t2, bm, scale2: float, tn: int,
+              n_pad: int):
+    u, s = pl.pallas_call(
+        _make_ext2_int8_kernel(scale2),
+        grid=(n_pad // tn,),
+        in_specs=[
+            pl.BlockSpec((P_PAD, DP), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((DP, tn), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P_PAD, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, P_PAD), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((P_PAD, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((P_PAD, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * P_PAD * n_pad * (DP + 3),
+            bytes_accessed=(P_PAD + n_pad) * DP
+            + 4 * (3 * P_PAD + 2 * n_pad),
+            transcendentals=P_PAD * n_pad,
+        ),
+        compiler_params=_params(),
+    )(aq, bq, naq.reshape(P_PAD, 1), nbq.reshape(1, n_pad),
+      t2.astype(jnp.bfloat16), bm.reshape(1, n_pad))
+    return u[:, 0], s[0]
+
+
+@functools.partial(jax.jit, static_argnames=("scale2", "tn", "n_pad"))
+def fin_int8(aq, bq, naq, nbq, t, s_pre, bm, gr, y, scale2: float,
+             tn: int, n_pad: int):
+    v, ns, co, s = pl.pallas_call(
+        _make_fin_int8_kernel(scale2),
+        grid=(n_pad // tn,),
+        in_specs=[
+            pl.BlockSpec((P_PAD, DP), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((DP, tn), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P_PAD, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P_PAD), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P_PAD, M_PAD), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tn, M_PAD), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M_PAD), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M_PAD), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, M_PAD), jnp.float32),
+            jax.ShapeDtypeStruct((1, M_PAD), jnp.float32),
+            jax.ShapeDtypeStruct((1, M_PAD), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * P_PAD * n_pad * (DP + M_PAD + 1),
+            bytes_accessed=(P_PAD + n_pad) * DP
+            + 4 * n_pad * (M_PAD + 4) + 4 * P_PAD * (M_PAD + 2),
+            transcendentals=P_PAD * n_pad,
+        ),
+        compiler_params=_params(),
+    )(aq, bq, naq.reshape(P_PAD, 1), nbq.reshape(1, n_pad),
+      t.astype(jnp.bfloat16).reshape(1, P_PAD),
+      s_pre.reshape(1, n_pad), bm.reshape(1, n_pad), gr,
+      y.reshape(1, n_pad))
+    return v, ns[0], co[0], s[0]
+
+
+@functools.partial(jax.jit, static_argnames=("scale2", "tn", "n_pad"))
+def matvec_int8(aq, bq, naq, nbq, v, scale2: float, tn: int, n_pad: int):
+    out = pl.pallas_call(
+        _make_matvec_int8_kernel(scale2),
+        grid=(n_pad // tn,),
+        in_specs=[
+            pl.BlockSpec((P_PAD, DP), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((DP, tn), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P_PAD, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((P_PAD, 1), lambda j: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((P_PAD, 1), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * P_PAD * n_pad * (DP + 1),
+            bytes_accessed=(P_PAD + n_pad) * DP + 4 * (P_PAD + n_pad),
+            transcendentals=P_PAD * n_pad,
+        ),
+        compiler_params=_params(),
+    )(aq, bq, naq.reshape(P_PAD, 1), nbq.reshape(1, n_pad),
+      v.reshape(1, n_pad))
+    return out[:, 0]
+
+
+# --------------------------------------------------------------------------
+
+def _quantize(f: np.ndarray, ft: np.ndarray):
+    """Shared symmetric per-tensor scale; exact int32 norms of the
+    QUANTIZED features (what d2q decomposes over)."""
+    fmax = max(np.abs(f).max(), np.abs(ft).max())
+    s = fmax / 127.0
+    aq = np.clip(np.rint(f / s), -127, 127).astype(np.int8)
+    bq = np.clip(np.rint(ft / s), -127, 127).astype(np.int8)
+    naq = np.sum(aq[:, :D].astype(np.int32) ** 2, axis=1)
+    nbq = np.sum(bq[:D].astype(np.int32) ** 2, axis=0)
+    return aq, bq, naq, nbq, float(s * s)
+
+
+def _f32_reference(f, ft, t2, bm):
+    """ext2 math in f64 numpy — the honest yardstick for BOTH the int8
+    variant and the production bf16 kernel."""
+    a = f[:, :D].astype(np.float64)
+    b = ft[:D].astype(np.float64)
+    d2 = np.maximum(
+        (a * a).sum(1)[:, None] + (b * b).sum(0)[None, :]
+        - 2.0 * (a @ b), 0.0)
+    kb = np.exp(-d2)
+    kbt = np.asarray(t2, np.float64) @ kb
+    prod = np.maximum(kbt[0] * kbt[1], EPS)
+    s = np.asarray(bm, np.float64) / np.sqrt(prod)
+    u = (kb * s[None, :]).sum(1)
+    return u, s
+
+
+def _mkdata(rng, n_pad, scale):
+    f = rng.random((P_PAD, DP)).astype(np.float32) * scale
+    f[:, D:] = 0.0
+    ft = rng.random((DP, n_pad)).astype(np.float32) * scale
+    ft[D:, :] = 0.0
+    return f, ft
+
+
+def main():
+    assert jax.default_backend() != "cpu", "run on the TPU"
+    rng = np.random.default_rng(0)
+    RESULTS.parent.mkdir(parents=True, exist_ok=True)
+
+    # ---- correctness at realistic NLM magnitude (h=0.15 -> |f| ~ 6.7),
+    # small shape, vs the f64 reference; production bf16 error alongside
+    n_small = 1 << 13      # f64 reference temps are (p, n) — keep host-RAM small
+    f, ft = _mkdata(rng, n_small, 6.7)
+    aq, bq, naq, nbq, scale2 = _quantize(f, ft)
+    t2 = np.asarray(rng.random((2, P_PAD)), np.float32)
+    bm = np.ones((n_small,), np.float32)
+
+    u_ref, s_ref = _f32_reference(f, ft, t2, bm)
+    u_i, s_i = ext2_int8(jnp.asarray(aq), jnp.asarray(bq),
+                         jnp.asarray(naq), jnp.asarray(nbq),
+                         jnp.asarray(t2), jnp.asarray(bm),
+                         scale2, 1024, n_small)
+    u_b, s_b = ps.ext2_matvec_pallas(
+        jnp.asarray(f, jnp.bfloat16), jnp.asarray(ft, jnp.bfloat16),
+        jnp.asarray(t2), jnp.asarray(bm))
+    def rel(x, r):
+        x = np.asarray(x, np.float64)
+        return float(np.max(np.abs(x - r)) / np.max(np.abs(r)))
+    rec = {"pass": "int8_check", "scale2": round(scale2, 8),
+           "ext2_rel_u_int8": round(rel(u_i, u_ref), 6),
+           "ext2_rel_s_int8": round(rel(s_i, s_ref), 6),
+           "ext2_rel_u_bf16prod": round(rel(u_b, u_ref), 6),
+           "ext2_rel_s_bf16prod": round(rel(s_b, s_ref), 6),
+           "ts": time.time()}
+    with RESULTS.open("a") as fh:
+        fh.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec), flush=True)
+
+    # ---- walls at the 8 MP shape ----------------------------------------
+    n_pad = 8 * 1024 * 1024
+    f, ft = _mkdata(rng, n_pad, 6.7)
+    aq_np, bq_np, naq_np, nbq_np, scale2 = _quantize(f, ft)
+    del f, ft
+    aq = jnp.asarray(aq_np)
+    bq = jnp.asarray(bq_np)
+    naq = jnp.asarray(naq_np)
+    nbq = jnp.asarray(nbq_np)
+    t2j = jnp.asarray(t2)
+    bm = jnp.ones((n_pad,), jnp.float32)
+    t = jnp.asarray(rng.random(P_PAD), jnp.float32)
+    s_pre = jnp.asarray(rng.random(n_pad), jnp.float32)
+    gr = jnp.asarray(rng.random((P_PAD, M_PAD)), jnp.float32)
+    y = jnp.asarray(rng.random(n_pad), jnp.float32)
+    vvec = jnp.asarray(rng.random(n_pad), jnp.float32)
+
+    sync = jax.jit(jnp.sum)
+
+    def wall(fn, *a, reps=5):
+        float(sync(jax.tree.leaves(fn(*a))[0]))
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(sync(jax.tree.leaves(fn(*a))[0]))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    cases = []
+    for tn in (1024, 2048, 4096):
+        cases.append((f"ext2_int8", tn,
+                      lambda tn=tn: wall(ext2_int8, aq, bq, naq, nbq, t2j,
+                                         bm, scale2, tn, n_pad)))
+    for tn in (1024, 2048):
+        cases.append((f"fin_int8", tn,
+                      lambda tn=tn: wall(fin_int8, aq, bq, naq, nbq, t,
+                                         s_pre, bm, gr, y, scale2, tn,
+                                         n_pad)))
+        cases.append((f"matvec_int8", tn * 2,
+                      lambda tn=tn: wall(matvec_int8, aq, bq, naq, nbq,
+                                         vvec, scale2, tn * 2, n_pad)))
+    for name, tn, run in cases:
+        try:
+            w = run()
+            rec = {"pass": name, "tn": tn, "wall_s": round(w, 4),
+                   "ok": True, "ts": time.time()}
+        except Exception as e:
+            rec = {"pass": name, "tn": tn, "ok": False,
+                   "err": str(e).split("\n")[0][:200], "ts": time.time()}
+        with RESULTS.open("a") as fh:
+            fh.write(json.dumps(rec) + "\n")
+        print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    main()

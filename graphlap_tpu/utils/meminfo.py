@@ -73,6 +73,26 @@ def pipeline_hbm_analysis(image_shape: tuple, cfg, plan) -> dict | None:
     return executable_hbm_bytes(lowered)
 
 
+def video_hbm_analysis(chunk_shape: tuple, cfg, plan, mesh) -> dict | None:
+    """Compile-time HBM footprint of the batched streaming VIDEO step —
+    the executable `run_video_row` actually times (one frames_per_step
+    chunk through build_streaming_sharded_batch). Fills the matrix rows'
+    peak_hbm column for the cfg5 shapes, where the per-channel pipeline
+    analysis (pipeline_hbm_analysis) is the wrong executable."""
+    import jax
+
+    from ..parallel.streaming_sharded import build_streaming_sharded_batch
+
+    run = build_streaming_sharded_batch(mesh, cfg)   # already a jit
+    chunk = jax.ShapeDtypeStruct(chunk_shape, jnp.float32)
+    idx_a = jax.ShapeDtypeStruct(plan.idx_a.shape, jnp.int32)
+    try:
+        lowered = run.lower(chunk, idx_a)
+    except Exception:
+        return None
+    return executable_hbm_bytes(lowered)
+
+
 def peak_hbm_gib(image_shape: tuple, cfg, plan) -> tuple[float | None, str]:
     """(peak GiB, source) — runtime memory_stats when the backend has it,
     else the compile-time analysis, else (None, 'unavailable')."""
