@@ -59,9 +59,28 @@ def _params():
     return pltpu.CompilerParams(vmem_limit_bytes=ps.VMEM_LIMIT_BYTES)
 
 
+INT8_DOT_W = 512   # Mosaic rejects the i8 matmul at (4096, 32)x(32, 1024)
+                   # ("Bad lhs type" — the wide i32 accumulator); 512 works
+
+
+def _cross_int8(a, b):
+    """int8 dot in 512-wide column chunks. precision MUST be "default":
+    the package pins jax_default_matmul_precision=highest, and Mosaic
+    rejects integer matmuls at HIGHEST ("Bad lhs type") — the same trap
+    as bf16 dots (CLAUDE.md)."""
+    tn = b.shape[1]
+    if tn <= INT8_DOT_W:
+        return jnp.dot(a, b, preferred_element_type=jnp.int32,
+                       precision="default")
+    return jnp.concatenate(
+        [jnp.dot(a, b[:, i * INT8_DOT_W:(i + 1) * INT8_DOT_W],
+                 preferred_element_type=jnp.int32, precision="default")
+         for i in range(tn // INT8_DOT_W)], axis=1)
+
+
 def _kb_tile_int8(a_ref, b_ref, naq_ref, nbq_ref, scale2: float):
     """exp(-d2) bf16 with d2 from exact int32 arithmetic."""
-    cross = jnp.dot(a_ref[:], b_ref[:], preferred_element_type=jnp.int32)
+    cross = _cross_int8(a_ref[:], b_ref[:])
     d2q = naq_ref[:] + nbq_ref[:] - 2 * cross            # int32, exact
     d2 = jnp.maximum(d2q.astype(jnp.float32) * scale2, 0.0)
     return jnp.exp(-d2.astype(jnp.bfloat16))
@@ -91,8 +110,7 @@ def _make_fin_int8_kernel(scale2: float):
     def kernel(a_ref, b_ref, naq_ref, nbq_ref, t_ref, sp_ref, bm_ref,
                g_ref, y_ref, v_ref, ns_ref, co_ref, s_ref):
         j = pl.program_id(0)
-        cross = jnp.dot(a_ref[:], b_ref[:],
-                        preferred_element_type=jnp.int32)
+        cross = _cross_int8(a_ref[:], b_ref[:])
         d2q = naq_ref[:] + nbq_ref[:] - 2 * cross
         d2 = jnp.maximum(d2q.astype(jnp.float32) * scale2, 0.0)
         kb = jnp.exp(-d2).astype(jnp.bfloat16)   # f32 exp (colstats class)
@@ -365,7 +383,7 @@ def main():
         return min(ts)
 
     cases = []
-    for tn in (1024, 2048, 4096):
+    for tn in (512, 1024, 2048):
         cases.append((f"ext2_int8", tn,
                       lambda tn=tn: wall(ext2_int8, aq, bq, naq, nbq, t2j,
                                          bm, scale2, tn, n_pad)))

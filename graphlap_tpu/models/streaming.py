@@ -40,7 +40,12 @@ from ..ops import streaming as st
 from ..ops.affinity import affinity_strip, extract_features_padded
 from ..ops.filters import FILTER_REGISTRY
 from ..ops.linalg import psd_pinv_sqrt, trunc_inv_sqrt_vals
-from ..ops.nystrom import _LIVE_NORM2, nystrom_chol_factor
+from ..ops.nystrom import (
+    _LIVE_NORM2,
+    _orthonormalize,
+    _ridge_eps,
+    nystrom_chol_factor,
+)
 from ..ops.sinkhorn import _make_kaa_solve
 
 _EPS = 1e-30
@@ -201,6 +206,12 @@ class _StripCtx(NamedTuple):
     strip: jnp.ndarray | None      # cfg.strip_cache: the materialized
                                    # (p, n_pad) strip, natural order,
                                    # padding columns exactly zero
+    strip_pad: jnp.ndarray | None = None
+                                   # strip_cache + use_pallas: the same
+                                   # strip at (p_pad, n_pad) with EXACT-
+                                   # ZERO padding rows — the operand the
+                                   # fused strip sweeps consume (strip
+                                   # above is its [:p] prefix view)
 
 
 def _strip_ctx(img2d: jnp.ndarray, idx_a: jnp.ndarray,
@@ -230,7 +241,7 @@ def _strip_ctx(img2d: jnp.ndarray, idx_a: jnp.ndarray,
     kaa = affinity_strip(feats_a, feats_a, dtype)     # exact (p, p)
     kaa_solve = _make_kaa_solve(kaa, cfg.eig_tol, cfg.solver)
 
-    fa_pad = f_t = strip = None
+    fa_pad = f_t = strip = strip_pad = None
     if cfg.strip_cache:
         # dense-capacity mode: materialize the (p, n_pad) strip ONCE in
         # NATURAL order (no [A; B] feature permute — the classic dense
@@ -254,9 +265,20 @@ def _strip_ctx(img2d: jnp.ndarray, idx_a: jnp.ndarray,
         feats_strip = (feats_pad if n_pad == n
                        else feats_pad.at[n:].set(1e3))
         if cfg.use_pallas:
-            from ..ops.pallas_affinity import affinity_strip_pallas
-            strip = affinity_strip_pallas(feats_a, feats_strip, dtype=dtype,
-                                          store_dtype=store)
+            # Pallas emitter (VERDICT r4 #3: the XLA emit materializes the
+            # f32 distance-GEMM output before the bf16 cast — 10.7 GiB of
+            # avoidable temp at cfg2). Emit at p_pad rows with POISONED
+            # padding features (exp underflows to exact 0), so the fused
+            # strip sweeps (ops/pallas_streaming strip_* kernels) can
+            # consume the buffer whole; everything else reads the [:p]
+            # prefix view (a contiguous row slice — no copy).
+            from ..ops.pallas_affinity import TILE_P, affinity_strip_pallas
+            p_pad_s = _cdiv(p, TILE_P) * TILE_P
+            feats_a_pois = jnp.full((p_pad_s, d), 1e3, feats_a.dtype
+                                    ).at[:p].set(feats_a)
+            strip_pad = affinity_strip_pallas(feats_a_pois, feats_strip,
+                                              dtype=dtype, store_dtype=store)
+            strip = strip_pad[:p]
         else:
             strip = affinity_strip(feats_a, feats_strip, dtype,
                                    store_dtype=store)
@@ -309,7 +331,8 @@ def _strip_ctx(img2d: jnp.ndarray, idx_a: jnp.ndarray,
                      valid=valid, b_mask=b_mask, ones_p=ones_p, kaa=kaa,
                      kaa_solve=kaa_solve, strip_matvec=strip_matvec,
                      strip_rmatvec=strip_rmatvec, ktilde_apply=ktilde_apply,
-                     fa_pad=fa_pad, f_t=f_t, strip=strip)
+                     fa_pad=fa_pad, f_t=f_t, strip=strip,
+                     strip_pad=strip_pad)
 
 
 def _coarse_sinkhorn_state(ctx: _StripCtx, cfg: PipelineConfig):
@@ -710,12 +733,131 @@ def _factor_streaming_fused(img2d: jnp.ndarray, ctx: _StripCtx,
                         y_pad=y_pad, v_b=v_b, n=n, block=block)
 
 
+def _strip_fused_ok(ctx: _StripCtx, cfg: PipelineConfig) -> bool:
+    """Gate for the strip_cache fused sweeps (VERDICT r4 #2): the padded
+    strip exists (strip_cache + use_pallas), and the recipe is the
+    coarse+one-polish sketch pipeline those kernels fuse. Any other
+    strip_cache recipe falls through to the unfused XLA sweeps — output
+    stays gate-valid either way."""
+    return (ctx.strip_pad is not None
+            and cfg.normalization == "sinkhorn"
+            and cfg.sinkhorn_coarse > 1 and cfg.sinkhorn_polish == 1
+            and cfg.solver == "sketch" and cfg.sketch_power == 0
+            and not cfg.operator_filter())
+
+
+def _factor_strip_fused(img2d: jnp.ndarray, ctx: _StripCtx,
+                        cfg: PipelineConfig) -> StreamFactor:
+    """Four-sweep fused strip_cache factor: the unfused schedule reads the
+    materialized strip EIGHT times after the coarse loop (extension
+    rmatvec2, polish matvec, polish rmatvec, two 2-pass sketch sandwiches,
+    colstats); these Pallas kernels give each strip tile multiple
+    consumers from VMEM, cutting it to FOUR sweeps on an HBM-bound-by-
+    design path (BASELINE.md cfg2 roofline: stages at 0.33-0.44 of stream
+    peak):
+
+        sweep 1  strip_ext2_pallas:           kbt + s_pre + polish matvec
+        sweep 2  strip_sandwich_spost_pallas: polish rmatvec + s_post +
+                                              sketch sandwich pass 1
+        sweep 3  strip_sandwich_pallas:       sketch sandwich pass 2
+        sweep 4  colstats (XLA, unchanged):   V + norms + coeffs
+
+    The sketch solve (nystrom_sketch_factor with power=0) is inlined so
+    its two M-applies ride sweeps 2/3; same math, same bf16-GEMM-input
+    rounding class as the unfused path (_strip_dot / _strip_dot_t cast
+    operands to the strip dtype identically). Numerics anchored by
+    tests/test_strip_fused.py (fused == unfused class) and the cfg2
+    oracle gate."""
+    import jax.scipy.linalg as jsl
+
+    from ..ops import pallas_streaming as pst
+
+    idx_a = ctx.idx_a
+    n, p, n_pad = ctx.n, ctx.p, ctx.n_pad
+    strip_pad = ctx.strip_pad
+    p_pad = strip_pad.shape[0]
+    m = cfg.num_eigvecs
+
+    s_a_pre, t_r, t_c = _coarse_sinkhorn_state(ctx, cfg)
+
+    # sweep 1: extension rmatvec2 + pre-polish scales + polish matvec
+    t2 = (jnp.zeros((2, p_pad), jnp.float32)
+          .at[0, :p].set(t_r).at[1, :p].set(t_c))
+    u_pad, s_pre = pst.strip_ext2_pallas(strip_pad, t2, ctx.b_mask)
+    u = u_pad[:p]
+
+    # p-side polish update (ktilde_apply's top/t, inlined — see
+    # _factor_streaming_fused)
+    top = ctx.kaa @ s_a_pre + u
+    t_vec = s_a_pre + ctx.kaa_solve(u)
+    s_a = jnp.sqrt(s_a_pre / jnp.maximum(top, _EPS))  # post-polish A scales
+
+    # inlined randomized-sketch solve (ops/nystrom.nystrom_sketch_factor,
+    # power=0) with the two M-applies fused into strip sweeps. The
+    # sandwich operand carries the A scales folded in, exactly like the
+    # unfused sandwich closure in _eigensolve_streaming.
+    waa = ctx.kaa * (s_a[:, None] * s_a[None, :])
+    k = min(m + cfg.sketch_oversample, p)
+    kp = _cdiv(k, 128) * 128           # kernel lane pad; extra columns are
+                                       # dead weight, not error (sliced off)
+    eps = _ridge_eps(waa, cfg.eig_tol)
+    l = waa + eps * jnp.eye(p, dtype=waa.dtype)
+    l = jnp.linalg.cholesky(l)
+
+    def pad_ta(tmat):                   # (p, k) -> (p_pad, kp), A-scaled
+        return (jnp.zeros((p_pad, kp), jnp.float32)
+                .at[:p, :k].set(tmat * s_a[:, None]))
+
+    om = jax.random.normal(jax.random.PRNGKey(0), (p, k), waa.dtype)
+    t1 = jsl.solve_triangular(l, om, lower=True, trans="T")
+    t_pad = jnp.zeros(p_pad, jnp.float32).at[:p].set(t_vec)
+    # sweep 2: polish rmatvec + post-polish scales + sandwich(t1)
+    u1, s_post = pst.strip_sandwich_spost_pallas(
+        strip_pad, pad_ta(t1), t_pad, s_pre, ctx.b_mask)
+    sb1 = u1[:p, :k] * s_a[:, None]
+    y = jsl.solve_triangular(l, waa @ (waa @ t1) + sb1, lower=True)
+    q = _orthonormalize(y)
+    tq = jsl.solve_triangular(l, q, lower=True, trans="T")
+    # sweep 3: sandwich(tq) with the known post-polish scales
+    u2 = pst.strip_sandwich_pallas(strip_pad, pad_ta(tq), s_post * s_post)
+    b = q.T @ jsl.solve_triangular(
+        l, waa @ (waa @ tq) + u2[:p, :k] * s_a[:, None], lower=True)
+    b = 0.5 * (b + b.T)
+    vals, svecs = jnp.linalg.eigh(b)
+    vals_m = vals[::-1][:m]
+    y_m = q @ svecs[:, ::-1][:, :m]
+    basis0 = jsl.solve_triangular(
+        l, y_m * trunc_inv_sqrt_vals(vals_m, cfg.eig_tol)[None, :],
+        lower=True, trans="T")
+
+    # sweep 4: strip-backed colstats (same as _eigensolve_streaming)
+    s_b_cols = s_post[:n_pad]
+    y_img = img2d.astype(jnp.float32).ravel()
+    y_pad = jnp.zeros(n_pad, jnp.float32).at[:n].set(y_img)
+    v_b = _strip_dot_t(ctx.strip, basis0 * s_a[:, None]) * s_b_cols[:, None]
+    norms_b = jnp.sum(v_b * v_b, axis=0)
+    coeffs_b = v_b.T @ y_pad
+
+    v_a = waa @ basis0
+    dnorm = jnp.sum(v_a * v_a, axis=0) + norms_b
+    live = dnorm > _LIVE_NORM2
+    scale = jnp.where(live, 1.0 / jnp.sqrt(jnp.where(live, dnorm, 1.0)), 0.0)
+    y_a = jnp.take(y_pad, idx_a)
+    coeffs = scale * (v_a.T @ y_a + coeffs_b)
+    return StreamFactor(vals=vals_m, basis0=basis0, v_a=v_a, scale=scale,
+                        coeffs=coeffs, s_a=s_a, s_b_cols=s_b_cols,
+                        feats_a=ctx.feats_a, feats_pad=ctx.feats_pad,
+                        y_pad=y_pad, v_b=v_b, n=n, block=ctx.block)
+
+
 def _factor_streaming(img2d: jnp.ndarray, idx_a: jnp.ndarray,
                       cfg: PipelineConfig) -> StreamFactor:
     """Affinity -> normalization -> Nystrom eigensolve, strip-free."""
     ctx = _strip_ctx(img2d, idx_a, cfg)
     if _fused_finish_ok(ctx, cfg):
         return _factor_streaming_fused(img2d, ctx, cfg)
+    if _strip_fused_ok(ctx, cfg):
+        return _factor_strip_fused(img2d, ctx, cfg)
     s = _normalize_streaming(ctx, cfg)
     return _eigensolve_streaming(img2d, ctx, s, cfg)
 

@@ -781,3 +781,260 @@ def colstats_v_pallas(feats_a_pad, f_t, gr, y, cols, na, nb,
       na.astype(jnp.float32).reshape(p_pad, 1),
       nb.astype(jnp.float32).reshape(1, n_pad))
     return v, ns[0], co[0]
+
+
+# ---------------------------------------------------------------------------
+# strip_cache fused sweeps (VERDICT r4 #2): kernels that CONSUME a
+# materialized (p_pad, n_pad) strip instead of recomputing kb tiles. The
+# strip_cache pipeline is HBM-bound by design; its unfused XLA schedule
+# reads the full strip EIGHT times per image (kbt, polish matvec, polish
+# rmatvec, 2x2 sketch-sandwich passes, colstats). These kernels give each
+# strip tile two-or-three consumers from VMEM, cutting the sweeps to four
+# (ext2-strip, sandwich+spost, sandwich, colstats) — the same fusion
+# shapes as the recompute fused finish, minus the recompute.
+#
+# Caller contract: strip rows padded to p_pad with EXACT-ZERO rows (the
+# emitter poisons the padded feature rows so exp underflows — see
+# models/streaming._strip_ctx), columns n_pad with exact-zero columns;
+# n_pad % tn == 0. The strip dtype sets the GEMM input precision
+# (bf16 strip -> native bf16 MXU passes, f32 accumulate — the same class
+# as models/streaming._strip_dot).
+# ---------------------------------------------------------------------------
+
+STRIP_TN_CAP = 1024
+
+
+def _strip_prec(dtype):
+    return "default" if dtype == jnp.bfloat16 else "highest"
+
+
+def _strip_ext2_kernel(k_ref, t2_ref, bm_ref, u_ref, s_ref):
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _():
+        u_ref[:] = jnp.zeros_like(u_ref)
+
+    kb = k_ref[:]                                      # (p_pad, tn) strip tile
+    kbt = jnp.dot(t2_ref[:], kb, preferred_element_type=jnp.float32,
+                  precision=_strip_prec(kb.dtype))     # (2, tn) f32
+    prod = jnp.maximum(kbt[0:1, :] * kbt[1:2, :], FINISH_EPS)
+    s = bm_ref[:] / jnp.sqrt(prod)
+    s_ref[:] = s
+    u_ref[:] += jnp.sum(kb.astype(jnp.float32) * s, axis=1, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tn"))
+def strip_ext2_pallas(strip, t2, b_mask, interpret: bool | None = None,
+                      tn: int | None = None):
+    """Fused Sinkhorn extension + polish matvec on a materialized strip —
+    ONE strip sweep where the XLA schedule takes two (same math as
+    ext2_matvec_pallas, tile source swapped from recompute to HBM):
+
+        kbt_j = K_j^T [t_r, t_c];  s_j = bm_j / sqrt(max(kbt_r kbt_c, eps))
+        u    += K_j s_j
+
+    ((p_pad, n_pad) strip, (2, p_pad) f32, (n_pad,) f32) ->
+    (u (p_pad,) f32, s (n_pad,) f32)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    p_pad, n_pad = strip.shape
+    dtype = strip.dtype
+    if tn is None:
+        tn = _pick_tn(n_pad, dtype, STRIP_TN_CAP)
+    if n_pad % tn != 0:
+        raise ValueError(f"strip_ext2_pallas needs n_pad % {tn} == 0, "
+                         f"got {n_pad}")
+    grid = (n_pad // tn,)
+    u, s = pl.pallas_call(
+        _strip_ext2_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((p_pad, tn), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, p_pad), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((p_pad, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((p_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * p_pad * n_pad * 3,
+            bytes_accessed=p_pad * n_pad * dtype.itemsize
+            + 4 * (3 * p_pad + 2 * n_pad),
+            transcendentals=0,
+        ),
+        compiler_params=_cparams(),
+        interpret=interpret,
+    )(strip, t2.astype(dtype), b_mask.astype(jnp.float32).reshape(1, n_pad))
+    return u[:, 0], s[0]
+
+
+def _strip_sandwich_spost_kernel(k_ref, ta_ref, t_ref, sp_ref, bm_ref,
+                                 u_ref, s_ref):
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _():
+        u_ref[:] = jnp.zeros_like(u_ref)
+
+    kb = k_ref[:]                                      # (p_pad, tn)
+    dtype = kb.dtype
+    prec = _strip_prec(dtype)
+    # polish rmatvec at this tile -> post-polish column scales
+    ks = jnp.dot(t_ref[:], kb, preferred_element_type=jnp.float32,
+                 precision=prec)                       # (1, tn) f32
+    s_post = jnp.sqrt(sp_ref[:] / jnp.maximum(ks, FINISH_EPS)) * bm_ref[:]
+    s_ref[:] = s_post
+    # sketch sandwich at the SAME tile: u += K_j (s_post_j^2 * (K_j^T ta))
+    w = jax.lax.dot_general(kb, ta_ref[:], (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=prec)            # (tn, k) f32
+    ws = (w * (s_post * s_post).reshape(-1, 1)).astype(dtype)
+    u_ref[:] += jnp.dot(kb, ws, preferred_element_type=jnp.float32,
+                        precision=prec)
+
+
+def _strip_sandwich_kernel(k_ref, ta_ref, s2_ref, u_ref):
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _():
+        u_ref[:] = jnp.zeros_like(u_ref)
+
+    kb = k_ref[:]
+    prec = _strip_prec(kb.dtype)
+    w = jax.lax.dot_general(kb, ta_ref[:], (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=prec)
+    ws = (w * s2_ref[:].reshape(-1, 1)).astype(kb.dtype)
+    u_ref[:] += jnp.dot(kb, ws, preferred_element_type=jnp.float32,
+                        precision=prec)
+
+
+def _strip_sandwich_specs(p_pad, n_pad, kp, tn, extra_in=()):
+    in_specs = [
+        pl.BlockSpec((p_pad, tn), lambda j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((p_pad, kp), lambda j: (0, 0), memory_space=pltpu.VMEM),
+    ] + list(extra_in)
+    return in_specs
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tn"))
+def strip_sandwich_spost_pallas(strip, ta, t, s_pre, b_mask,
+                                interpret: bool | None = None,
+                                tn: int | None = None):
+    """Fused polish rmatvec + post-polish scales + first sketch-sandwich
+    pass — ONE strip sweep where the XLA schedule takes three:
+
+        ks_j     = K_j^T t            (the polish rmatvec)
+        s_post_j = sqrt(s_pre_j / max(ks_j, eps)) * bm_j
+        u       += K_j (s_post_j^2 * (K_j^T ta))   (W_AB W_AB^T ta)
+
+    ((p_pad, n_pad) strip, (p_pad, kp) f32 sketch operand [A-scales folded
+    by the caller], (p_pad,) f32 polish vector, (n_pad,) f32 pre-polish
+    scales [0 on A/pad], (n_pad,) f32 B mask) ->
+    (u (p_pad, kp) f32, s_post (n_pad,) f32 [0 on A/pad via bm])."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    p_pad, n_pad = strip.shape
+    kp = ta.shape[1]
+    dtype = strip.dtype
+    if ta.shape[0] != p_pad:
+        raise ValueError(f"ta rows {ta.shape[0]} != strip rows {p_pad}")
+    if kp % 128 != 0:
+        raise ValueError(f"sketch width {kp} must be 128-padded")
+    if tn is None:
+        tn = _pick_tn(n_pad, dtype, STRIP_TN_CAP)
+    if n_pad % tn != 0:
+        raise ValueError(f"strip_sandwich_spost_pallas needs n_pad % {tn} "
+                         f"== 0, got {n_pad}")
+    grid = (n_pad // tn,)
+    u, s = pl.pallas_call(
+        _strip_sandwich_spost_kernel,
+        grid=grid,
+        in_specs=_strip_sandwich_specs(p_pad, n_pad, kp, tn, extra_in=(
+            pl.BlockSpec((1, p_pad), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+        )),
+        out_specs=[
+            pl.BlockSpec((p_pad, kp), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((p_pad, kp), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * p_pad * n_pad * (2 * kp + 1),
+            bytes_accessed=p_pad * n_pad * dtype.itemsize
+            + 4 * (p_pad * (2 * kp + 1) + 3 * n_pad),
+            transcendentals=0,
+        ),
+        compiler_params=_cparams(),
+        interpret=interpret,
+    )(strip, ta.astype(dtype), t.astype(dtype).reshape(1, p_pad),
+      s_pre.astype(jnp.float32).reshape(1, n_pad),
+      b_mask.astype(jnp.float32).reshape(1, n_pad))
+    return u, s[0]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tn"))
+def strip_sandwich_pallas(strip, ta, s2, interpret: bool | None = None,
+                          tn: int | None = None):
+    """One-sweep sketch sandwich on a materialized strip:
+    u = sum_j K_j (s2_j * (K_j^T ta)) — each strip tile read ONCE and
+    consumed by both dots from VMEM (the XLA schedule reads the strip
+    twice: rmatmat then matmat). ((p_pad, n_pad), (p_pad, kp) f32,
+    (n_pad,) f32 squared column scales [0 on A/pad]) -> u (p_pad, kp)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    p_pad, n_pad = strip.shape
+    kp = ta.shape[1]
+    dtype = strip.dtype
+    if ta.shape[0] != p_pad:
+        raise ValueError(f"ta rows {ta.shape[0]} != strip rows {p_pad}")
+    if kp % 128 != 0:
+        raise ValueError(f"sketch width {kp} must be 128-padded")
+    if tn is None:
+        tn = _pick_tn(n_pad, dtype, STRIP_TN_CAP)
+    if n_pad % tn != 0:
+        raise ValueError(f"strip_sandwich_pallas needs n_pad % {tn} == 0, "
+                         f"got {n_pad}")
+    grid = (n_pad // tn,)
+    u = pl.pallas_call(
+        _strip_sandwich_kernel,
+        grid=grid,
+        in_specs=_strip_sandwich_specs(p_pad, n_pad, kp, tn, extra_in=(
+            pl.BlockSpec((1, tn), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+        )),
+        out_specs=pl.BlockSpec((p_pad, kp), lambda j: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((p_pad, kp), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * p_pad * n_pad * 2 * kp,
+            bytes_accessed=p_pad * n_pad * dtype.itemsize
+            + 4 * (2 * p_pad * kp + n_pad),
+            transcendentals=0,
+        ),
+        compiler_params=_cparams(),
+        interpret=interpret,
+    )(strip, ta.astype(dtype),
+      s2.astype(jnp.float32).reshape(1, n_pad))
+    return u
