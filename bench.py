@@ -57,8 +57,12 @@ def make_workload(pallas: bool):
     # shape: parity_anchor.jsonl anchor="graded_cfg2"):
     #  * strip_cache (r4): the STREAMING model with the strip materialized
     #    once in NATURAL pixel order — no [A; B] N-row feature permute
-    #    (~20 ms of the classic dense path's affinity stage) and no
-    #    Pallas emitter needed (XLA's fused emit measures the same);
+    #    (~20 ms of the classic dense path's affinity stage);
+    #  * use_pallas (r5): the Pallas strip emitter (kills the XLA emit's
+    #    f32 distance temp: peak HBM 10.74 -> 8.21 GiB) + the FUSED strip
+    #    sweeps (8 strip reads -> 4): device 0.122 -> 0.116 s, parity
+    #    0.0025-0.0057 dB vs the XLA twin across 4 seeds and 0.0077 dB
+    #    vs the f64 oracle (emit_* rows in cfg2_sweep.jsonl);
     #  * bfloat16_store: f32 distance math (bf16 GEMM INPUTS cost 0.135 dB
     #    via the GEMM-trick cancellation), strip STORED bf16 — halves every
     #    downstream strip read [0.0001 dB];
@@ -73,7 +77,7 @@ def make_workload(pallas: bool):
     # tunnel RTT — the RTT-amortized device compute is ~93 ms).
     # CPU baseline: plain jnp (pallas interpret mode would be unfairly slow).
     cfg = cfg.replace(streaming=True, strip_cache=True, block_cols=H * W,
-                      use_pallas=False, affinity_dtype="bfloat16_store",
+                      use_pallas=True, affinity_dtype="bfloat16_store",
                       sinkhorn_iters=6, solver="sketch",
                       sketch_oversample=206, sketch_power=0,
                       sinkhorn_coarse=16, sinkhorn_polish=1)

@@ -679,8 +679,10 @@ def tuned_config(cfg: PipelineConfig, n_pixels: int, level: str = "fast",
                 and p * n_pixels * 2 <= 8e9):
             chosen.update(streaming=True, strip_cache=True,
                           block_cols=n_pixels, sinkhorn_iters=6,
-                          use_pallas=False)   # XLA's fused emit measures
-                                              # the same on the cached strip
+                          # r5: Pallas emitter + fused strip sweeps —
+                          # 0.122 -> 0.116 s and peak HBM 10.74 -> 8.21
+                          # GiB at cfg2 (cfg2_sweep.jsonl emit_* rows)
+                          use_pallas=True)
     if cfg.filter_name == "sharpen" and cfg.filter_mode == "spectral":
         # Rank-m AFFINE filters are ill-posed on collapsed kernel spectra
         # (AFFINE_FILTERS note): every accelerated cfg3 recipe measured

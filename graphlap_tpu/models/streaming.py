@@ -212,6 +212,12 @@ class _StripCtx(NamedTuple):
                                    # ZERO padding rows — the operand the
                                    # fused strip sweeps consume (strip
                                    # above is its [:p] prefix view)
+    fa_aug: jnp.ndarray | None = None
+                                   # bf16 Pallas recompute: AUGMENTED A
+                                   # features (ops/pallas_streaming
+                                   # aug_pads); f_t is then the aug
+                                   # superset and the matvec-class
+                                   # kernels run aug=True
 
 
 def _strip_ctx(img2d: jnp.ndarray, idx_a: jnp.ndarray,
@@ -241,7 +247,7 @@ def _strip_ctx(img2d: jnp.ndarray, idx_a: jnp.ndarray,
     kaa = affinity_strip(feats_a, feats_a, dtype)     # exact (p, p)
     kaa_solve = _make_kaa_solve(kaa, cfg.eig_tol, cfg.solver)
 
-    fa_pad = f_t = strip = strip_pad = None
+    fa_pad = f_t = strip = strip_pad = fa_aug = None
     if cfg.strip_cache:
         # dense-capacity mode: materialize the (p, n_pad) strip ONCE in
         # NATURAL order (no [A; B] feature permute — the classic dense
@@ -290,24 +296,37 @@ def _strip_ctx(img2d: jnp.ndarray, idx_a: jnp.ndarray,
             return _strip_dot_t(strip, t_scaled)
     elif cfg.use_pallas:
         # fused Pallas matvecs: K tiles live only in VMEM; the transposed
-        # feature matrix is built once and reused across every pass
+        # feature matrix is built once and reused across every pass.
+        # bf16 uses the AUGMENTED layout (pst.aug_pads: d2 straight from
+        # the MXU accumulator — measured 0.102 -> 0.070 s per matvec
+        # sweep at 8 MP, kernel_sched.jsonl aug2_* rows); f_t is then a
+        # strict superset of the plain layout, so the finish/colstats
+        # kernels (plain precision class, zero fa lanes beyond d) share
+        # the same buffer.
         from ..ops import pallas_streaming as pst
+        aug = dtype == jnp.bfloat16
         _, p_pad = pst.p_tiling(p)
         tn = pst._tile_n(dtype)    # kernel-owned: a VMEM retune cannot
         n_pad_k = _cdiv(n_pad, tn) * tn        # desync this padding
-        dp = pst.d_pad_of(d)       # sublane pad (32), not a full MXU
+        dp = (pst.aug_d_pad_of(d) if aug
+              else pst.d_pad_of(d))  # sublane pad (32), not a full MXU
         fa_pad = jnp.zeros((p_pad, dp), dtype).at[:p, :d].set(
             feats_a.astype(dtype))
-        f_t = jnp.zeros((dp, n_pad_k), dtype).at[:d, :n_pad].set(
-            feats_pad.astype(dtype).T)
+        if aug:
+            fa_aug, f_t = pst.aug_pads(feats_a, feats_pad, n_pad_k)
+        else:
+            fa_aug = None
+            f_t = jnp.zeros((dp, n_pad_k), dtype).at[:d, :n_pad].set(
+                feats_pad.astype(dtype).T)
+        fa_mv = fa_aug if aug else fa_pad
 
         def strip_matvec(v_scaled):
             vv = jnp.zeros(n_pad_k, jnp.float32).at[:n_pad].set(v_scaled)
-            return pst.matvec_pallas(fa_pad, f_t, vv)[:p]
+            return pst.matvec_pallas(fa_mv, f_t, vv, aug=aug)[:p]
 
         def strip_rmatvec(t_scaled):
             tt = jnp.zeros(p_pad, jnp.float32).at[:p].set(t_scaled)
-            return pst.rmatvec_pallas(fa_pad, f_t, tt)[:n_pad]
+            return pst.rmatvec_pallas(fa_mv, f_t, tt, aug=aug)[:n_pad]
     else:
         def strip_matvec(v_scaled):
             return st.matvec(feats_a, feats_pad, v_scaled, ones_p,
@@ -332,7 +351,7 @@ def _strip_ctx(img2d: jnp.ndarray, idx_a: jnp.ndarray,
                      kaa_solve=kaa_solve, strip_matvec=strip_matvec,
                      strip_rmatvec=strip_rmatvec, ktilde_apply=ktilde_apply,
                      fa_pad=fa_pad, f_t=f_t, strip=strip,
-                     strip_pad=strip_pad)
+                     strip_pad=strip_pad, fa_aug=fa_aug)
 
 
 def _coarse_sinkhorn_state(ctx: _StripCtx, cfg: PipelineConfig):
@@ -489,7 +508,9 @@ def _stream_cross(ctx: _StripCtx, cfg: PipelineConfig, s_a: jnp.ndarray,
             from ..ops import pallas_streaming as pst
             if n_pad == f_t.shape[1] and blk % pst.EMIT_TN == 0:
                 ft = jnp.take(f_t, jidx, axis=1) if jidx is not None else f_t
-                g = pst.gram_pallas(fa_pad, ft, cols, blk)[:p, :p]
+                aug = ctx.fa_aug is not None
+                g = pst.gram_pallas(ctx.fa_aug if aug else fa_pad, ft,
+                                    cols, blk, aug=aug)[:p, :p]
                 return g * (s_a[:, None] * s_a[None, :])
         fp = (jnp.take(feats_pad, jidx, axis=0) if jidx is not None
               else feats_pad)
@@ -668,7 +689,9 @@ def _factor_streaming_fused(img2d: jnp.ndarray, ctx: _StripCtx,
     bm_k = jnp.zeros(n_pad_k, jnp.float32).at[:n_pad].set(ctx.b_mask)
     t2 = (jnp.zeros((2, p_pad), jnp.float32)
           .at[0, :p].set(t_r).at[1, :p].set(t_c))
-    u_pad, s_pre_k = pst.ext2_matvec_pallas(fa_pad, f_t, t2, bm_k)
+    aug = ctx.fa_aug is not None
+    u_pad, s_pre_k = pst.ext2_matvec_pallas(
+        ctx.fa_aug if aug else fa_pad, f_t, t2, bm_k, aug=aug)
     u = u_pad[:p]
 
     # p-side polish update: ks at the A rows is kaa s_a + u, and the

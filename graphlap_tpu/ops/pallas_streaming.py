@@ -153,14 +153,85 @@ def _kb_tile(a, bt, dtype):
     return jnp.exp(-d2)
 
 
-def _matvec_kernel(a_ref, b_ref, v_ref, out_ref):
+# Augmented-GEMM distance layout (kernel_sched.jsonl aug2_* rows): the
+# distance emerges straight from the MXU accumulator, removing the
+# in-kernel norm recompute + f32 casts from the VPU chain — measured
+# 0.118 -> 0.100 s on ext2 and 0.102 -> 0.070 s on matvec at the 8 MP
+# shape. Operand layout (aug_pads):
+#
+#     fa' = [-2 f_r, na_hi, na_lo, 1, 1, 0...]      (p_pad, dp)
+#     ft' = [ f_r,   1,     1, nb_hi, nb_lo, 0...]  (dp, n_pad)
+#
+# with f_r the bf16-ROUNDED features, na/nb their exact f32 square norms
+# carried as COMPENSATED bf16 pairs (hi = bf16(x), lo = bf16(x - hi)).
+# bf16 products accumulate exactly in f32, so the aug d2 equals the
+# plain tile's norms+cross composition up to the hi/lo split residue
+# (~2^-18 |f|^2) — BELOW the bf16 GEMM-trick cancellation it replaces
+# (a plain bf16-norm layout is an ABSOLUTE d2 error of ~2^-9 |f|^2, a
+# factor-e kernel error at real NLM magnitudes; sweep_kernel_pipe.py
+# header). ZERO padding rows/columns give d2 = 0 -> kb = 1: garbage
+# annihilated by the paired zero vector entries, the same caller
+# contract as the plain layout's exp(-norm) garbage. bf16-only — the
+# f32 paths have no rounding to compensate and keep the plain layout.
+AUG_LANES = 4
+
+
+def aug_d_pad_of(d: int) -> int:
+    return d_pad_of(d + AUG_LANES)
+
+
+def _kb_tile_aug(a, bt, dtype):
+    """(tile_p, tile_n) kernel tile from AUGMENTED feature tiles."""
+    prec = "default" if dtype == jnp.bfloat16 else "highest"
+    d2 = jnp.maximum(
+        jnp.dot(a, bt, preferred_element_type=jnp.float32, precision=prec),
+        0.0)
+    if dtype == jnp.bfloat16:
+        return jnp.exp(-d2.astype(jnp.bfloat16))
+    return jnp.exp(-d2)
+
+
+def _tile(a, bt, dtype, aug: bool):
+    return _kb_tile_aug(a, bt, dtype) if aug else _kb_tile(a, bt, dtype)
+
+
+def aug_pads(feats_a, feats_n, n_pad: int):
+    """Augmented bf16 layouts: ((p, d) features, (n, d) features, n_pad)
+    -> (fa_aug (p_pad, dp), f_t_aug (dp, n_pad)). The ft rows [0:d] are
+    the SAME bf16 features the plain layout carries — ft_aug is a strict
+    superset, so kernels that keep the plain precision class (finish/
+    colstats, whose fa lanes beyond d are zero) can consume it too."""
+    p, d = feats_a.shape
+    n = feats_n.shape[0]
+    dp = aug_d_pad_of(d)
+    _, p_pad = p_tiling(p)
+    fr_a = feats_a.astype(jnp.bfloat16)
+    fr_n = feats_n.astype(jnp.bfloat16)
+    na = jnp.sum(fr_a.astype(jnp.float32) ** 2, axis=1)
+    nb = jnp.sum(fr_n.astype(jnp.float32) ** 2, axis=1)
+    na_hi = na.astype(jnp.bfloat16)
+    na_lo = (na - na_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    nb_hi = nb.astype(jnp.bfloat16)
+    nb_lo = (nb - nb_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    fa = (jnp.zeros((p_pad, dp), jnp.bfloat16)
+          .at[:p, :d].set(-2.0 * fr_a)          # exact: bf16 * 2, negated
+          .at[:p, d].set(na_hi).at[:p, d + 1].set(na_lo)
+          .at[:p, d + 2].set(1.0).at[:p, d + 3].set(1.0))
+    ft = (jnp.zeros((dp, n_pad), jnp.bfloat16)
+          .at[:d, :n].set(fr_n.T)
+          .at[d, :n].set(1.0).at[d + 1, :n].set(1.0)
+          .at[d + 2, :n].set(nb_hi).at[d + 3, :n].set(nb_lo))
+    return fa, ft
+
+
+def _matvec_kernel(a_ref, b_ref, v_ref, out_ref, *, aug=False):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    kb = _kb_tile(a_ref[:], b_ref[:], a_ref.dtype)
+    kb = _tile(a_ref[:], b_ref[:], a_ref.dtype, aug)
     # VPU consume (f32 multiply + lane reduction): the rank-1 MXU dot
     # kb @ v pays for 128 output columns to produce one — measured 1.11x
     # at the 8 MP shape (benchmarks/ab_matvec_consume.py), and the f32
@@ -172,22 +243,22 @@ def _matvec_kernel(a_ref, b_ref, v_ref, out_ref):
     out_ref[:] += jnp.sum(prod, axis=1, keepdims=True)
 
 
-def _rmatvec_kernel(a_ref, b_ref, t_ref, out_ref):
+def _rmatvec_kernel(a_ref, b_ref, t_ref, out_ref, *, aug=False):
     i = pl.program_id(1)
 
     @pl.when(i == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    kb = _kb_tile(a_ref[:], b_ref[:], a_ref.dtype)
+    kb = _tile(a_ref[:], b_ref[:], a_ref.dtype, aug)
     prec = "default" if kb.dtype == jnp.bfloat16 else "highest"
     out_ref[:] += jnp.dot(t_ref[:].astype(kb.dtype), kb,
                           preferred_element_type=jnp.float32,
                           precision=prec)
 
 
-def _kb_emit_kernel(a_ref, b_ref, c_ref, out_ref):
-    kb = _kb_tile(a_ref[:], b_ref[:], a_ref.dtype)
+def _kb_emit_kernel(a_ref, b_ref, c_ref, out_ref, *, aug=False):
+    kb = _tile(a_ref[:], b_ref[:], a_ref.dtype, aug)
     out_ref[:] = kb * c_ref[:].astype(kb.dtype)
 
 
@@ -206,8 +277,9 @@ def _emit_tile_p(p_pad: int) -> int:
     raise ValueError(f"p_pad={p_pad} not 512-aligned")
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def kb_strip_pallas(feats_a_pad, f_t_block, cols, interpret: bool | None = None):
+@functools.partial(jax.jit, static_argnames=("interpret", "aug"))
+def kb_strip_pallas(feats_a_pad, f_t_block, cols, interpret: bool | None = None,
+                    aug: bool = False):
     """Column-scaled kernel strip block, emitted fused: (p_pad, D), (D, S),
     (S,) -> exp(-d2) * cols (p_pad, S) in the feature dtype.
 
@@ -232,7 +304,7 @@ def kb_strip_pallas(feats_a_pad, f_t_block, cols, interpret: bool | None = None)
         raise ValueError(f"kb_strip_pallas needs width % {tn} == 0, got {s}")
     grid = (p_pad // tp, s // tn)
     return pl.pallas_call(
-        _kb_emit_kernel,
+        functools.partial(_kb_emit_kernel, aug=aug),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tp, dp), lambda i, j: (i, 0),
@@ -255,9 +327,9 @@ def kb_strip_pallas(feats_a_pad, f_t_block, cols, interpret: bool | None = None)
     )(feats_a_pad, f_t_block, cols.astype(dtype).reshape(1, s))
 
 
-@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block", "interpret", "aug"))
 def gram_pallas(feats_a_pad, f_t, cols, block: int,
-                interpret: bool | None = None):
+                interpret: bool | None = None, aug: bool = False):
     """(D_r-free) gram sum_j (c_j k_j)(c_j k_j)^T -> (p_pad, p_pad) f32,
     scanning emitted kb superblocks. Caller applies the row scale."""
     dtype = feats_a_pad.dtype
@@ -273,7 +345,8 @@ def gram_pallas(feats_a_pad, f_t, cols, block: int,
     def body(acc, i):
         bt = jax.lax.dynamic_slice_in_dim(f_t, i * block, block, axis=1)
         cb = jax.lax.dynamic_slice_in_dim(cols, i * block, block, axis=0)
-        kb = kb_strip_pallas(feats_a_pad, bt, cb, interpret=interpret)
+        kb = kb_strip_pallas(feats_a_pad, bt, cb, interpret=interpret,
+                             aug=aug)
         return acc + jnp.dot(kb, kb.T, preferred_element_type=jnp.float32,
                              precision=prec), None
 
@@ -282,9 +355,9 @@ def gram_pallas(feats_a_pad, f_t, cols, block: int,
     return acc
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "vma"))
+@functools.partial(jax.jit, static_argnames=("interpret", "vma", "aug"))
 def matvec_pallas(feats_a_pad, feats_t, v, interpret: bool | None = None,
-                  vma: tuple | None = None):
+                  vma: tuple | None = None, aug: bool = False):
     """K @ v: ((p_pad, D), (D, n_pad), (n_pad,)) -> (p_pad,) f32.
 
     ``vma``: mesh axes the output varies over — required when called
@@ -307,7 +380,7 @@ def matvec_pallas(feats_a_pad, feats_t, v, interpret: bool | None = None,
     out_shape = (jax.ShapeDtypeStruct((p_pad, 1), jnp.float32, vma=frozenset(vma))
                  if vma else jax.ShapeDtypeStruct((p_pad, 1), jnp.float32))
     out = pl.pallas_call(
-        _matvec_kernel,
+        functools.partial(_matvec_kernel, aug=aug),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tp, dp), lambda i, j: (i, 0),
@@ -332,9 +405,9 @@ def matvec_pallas(feats_a_pad, feats_t, v, interpret: bool | None = None,
     return out[:, 0]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "vma"))
+@functools.partial(jax.jit, static_argnames=("interpret", "vma", "aug"))
 def rmatvec_pallas(feats_a_pad, feats_t, t, interpret: bool | None = None,
-                   vma: tuple | None = None):
+                   vma: tuple | None = None, aug: bool = False):
     """K^T @ t: ((p_pad, D), (D, n_pad), (p_pad,)) -> (n_pad,) f32.
 
     ``vma``: see matvec_pallas."""
@@ -355,7 +428,7 @@ def rmatvec_pallas(feats_a_pad, feats_t, t, interpret: bool | None = None,
     out_shape = (jax.ShapeDtypeStruct((1, n_pad), jnp.float32, vma=frozenset(vma))
                  if vma else jax.ShapeDtypeStruct((1, n_pad), jnp.float32))
     out = pl.pallas_call(
-        _rmatvec_kernel,
+        functools.partial(_rmatvec_kernel, aug=aug),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tp, dp), lambda j, i: (i, 0),
@@ -413,7 +486,8 @@ def _require_whole_p(p_pad: int, name: str) -> None:
             f"{p_pad} — use the unfused sweeps for larger p")
 
 
-def _ext2_matvec_kernel(a_ref, b_ref, t2_ref, bm_ref, u_ref, s_ref):
+def _ext2_matvec_kernel(a_ref, b_ref, t2_ref, bm_ref, u_ref, s_ref,
+                        *, aug=False):
     j = pl.program_id(0)
 
     @pl.when(j == 0)
@@ -422,7 +496,7 @@ def _ext2_matvec_kernel(a_ref, b_ref, t2_ref, bm_ref, u_ref, s_ref):
 
     dtype = a_ref.dtype
     prec = "default" if dtype == jnp.bfloat16 else "highest"
-    kb = _kb_tile(a_ref[:], b_ref[:], dtype)              # (p, tn)
+    kb = _tile(a_ref[:], b_ref[:], dtype, aug)            # (p, tn)
     kbt = jnp.dot(t2_ref[:], kb, preferred_element_type=jnp.float32,
                   precision=prec)                          # (2, tn) f32
     prod = jnp.maximum(kbt[0:1, :] * kbt[1:2, :], FINISH_EPS)
@@ -438,10 +512,10 @@ def _ext2_matvec_kernel(a_ref, b_ref, t2_ref, bm_ref, u_ref, s_ref):
     u_ref[:] += jnp.sum(kb.astype(jnp.float32) * s, axis=1, keepdims=True)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "tn"))
+@functools.partial(jax.jit, static_argnames=("interpret", "tn", "aug"))
 def ext2_matvec_pallas(feats_a_pad, f_t, t2, b_mask,
                        interpret: bool | None = None,
-                       tn: int | None = None):
+                       tn: int | None = None, aug: bool = False):
     """Fused Sinkhorn extension + polish matvec — ONE full-resolution
     sweep where the unfused schedule takes two:
 
@@ -474,7 +548,7 @@ def ext2_matvec_pallas(feats_a_pad, f_t, t2, b_mask,
             f" got {n_pad} — pad with _tile_n, not a fixed width")
     grid = (n_pad // tn,)
     u, s = pl.pallas_call(
-        _ext2_matvec_kernel,
+        functools.partial(_ext2_matvec_kernel, aug=aug),
         grid=grid,
         in_specs=[
             pl.BlockSpec((p_pad, dp), lambda j: (0, 0),

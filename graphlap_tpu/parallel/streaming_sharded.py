@@ -43,26 +43,32 @@ def _cdiv(a: int, b: int) -> int:
 
 
 def _pallas_pads(a, f, dtype):
-    """Padded (fa (p_pad, D), f_t (D, nl_pad)) layouts for the fused
-    Pallas matvec kernels, shared by both sharded builders. Tile widths
-    come from the kernels' own _tile_n so a VMEM retune cannot
-    desynchronize the padding from the kernel grid. ``a`` is pcast
-    rows-varying: it arrives replicated (single-frame builder) or
-    data-varying (batched), and the kernel dots it against rows-sharded
-    feature tiles, which the vma checker requires to match."""
+    """Padded (fa (p_pad, D), f_t (D, nl_pad), p, nl, nl_pad, aug) layouts
+    for the fused Pallas matvec kernels, shared by both sharded builders.
+    bf16 builds the AUGMENTED layout (ops/pallas_streaming.aug_pads — d2
+    straight from the MXU accumulator, per-shard norms are local by
+    construction); f32 keeps the plain layout. Tile widths come from the
+    kernels' own _tile_n so a VMEM retune cannot desynchronize the
+    padding from the kernel grid. ``a`` is pcast rows-varying: it arrives
+    replicated (single-frame builder) or data-varying (batched), and the
+    kernel dots it against rows-sharded feature tiles, which the vma
+    checker requires to match."""
     from ..ops import pallas_streaming as pst
 
     a = jax.lax.pcast(a, "rows", to="varying")
     p = a.shape[0]
     nl, d = f.shape
-    _, p_pad = pst.p_tiling(p)
     nl_pad = _cdiv(nl, pst._tile_n(dtype)) * pst._tile_n(dtype)
+    if dtype == jnp.bfloat16:
+        fa_pad, f_t = pst.aug_pads(a, f, nl_pad)
+        return fa_pad, f_t, p, nl, nl_pad, True
+    _, p_pad = pst.p_tiling(p)
     dp = pst.d_pad_of(d)
     fa_pad = jnp.zeros((p_pad, dp), dtype).at[:p, :d].set(
         a.astype(dtype))
     f_t = jnp.zeros((dp, nl_pad), dtype).at[:d, :nl].set(
         f.astype(dtype).T)
-    return fa_pad, f_t, p, nl, nl_pad
+    return fa_pad, f_t, p, nl, nl_pad, False
 
 
 # --- p-class index primitives over the 'rows'-sharded pixel axis -----------
@@ -125,9 +131,10 @@ def _rows_prims(cfg: PipelineConfig, dtype, VARY):
 
     def _mv(fa, f_loc, v_loc, block):
         if cfg.use_pallas:
-            fa_pad, f_t, p, nl, nl_pad = _pallas_pads(fa, f_loc, dtype)
+            fa_pad, f_t, p, nl, nl_pad, aug = _pallas_pads(fa, f_loc,
+                                                           dtype)
             vv = jnp.zeros(nl_pad, jnp.float32).at[:nl].set(v_loc)
-            u = pst.matvec_pallas(fa_pad, f_t, vv, vma=VARY)[:p]
+            u = pst.matvec_pallas(fa_pad, f_t, vv, vma=VARY, aug=aug)[:p]
         else:
             u = st.matvec(fa, f_loc, v_loc,
                           jnp.ones(fa.shape[0], jnp.float32),
@@ -136,9 +143,10 @@ def _rows_prims(cfg: PipelineConfig, dtype, VARY):
 
     def _rmv(fa, f_loc, t, block):
         if cfg.use_pallas:
-            fa_pad, f_t, p, nl, _ = _pallas_pads(fa, f_loc, dtype)
+            fa_pad, f_t, p, nl, _, aug = _pallas_pads(fa, f_loc, dtype)
             tt = jnp.zeros(fa_pad.shape[0], jnp.float32).at[:p].set(t)
-            return pst.rmatvec_pallas(fa_pad, f_t, tt, vma=VARY)[:nl]
+            return pst.rmatvec_pallas(fa_pad, f_t, tt, vma=VARY,
+                                      aug=aug)[:nl]
         return st.rmatvec(fa, f_loc, t, jnp.ones(fa.shape[0], jnp.float32),
                           jnp.ones_like(f_loc[:, 0]), block, dtype)
 
@@ -422,14 +430,16 @@ def build_streaming_sharded_batch(mesh, cfg: PipelineConfig):
         from ..ops import pallas_streaming as pst
 
         def _one_mv(a, f, v):
-            fa_pad, f_t, p, nl, nl_pad = _pallas_pads(a, f, dtype)
+            fa_pad, f_t, p, nl, nl_pad, aug = _pallas_pads(a, f, dtype)
             vv = jnp.zeros(nl_pad, jnp.float32).at[:nl].set(v)
-            return pst.matvec_pallas(fa_pad, f_t, vv, vma=VARY)[:p]
+            return pst.matvec_pallas(fa_pad, f_t, vv, vma=VARY,
+                                     aug=aug)[:p]
 
         def _one_rmv(a, f, t):
-            fa_pad, f_t, p, nl, _ = _pallas_pads(a, f, dtype)
+            fa_pad, f_t, p, nl, _, aug = _pallas_pads(a, f, dtype)
             tt = jnp.zeros(fa_pad.shape[0], jnp.float32).at[:p].set(t)
-            return pst.rmatvec_pallas(fa_pad, f_t, tt, vma=VARY)[:nl]
+            return pst.rmatvec_pallas(fa_pad, f_t, tt, vma=VARY,
+                                      aug=aug)[:nl]
 
     def _mv(fa, f_loc, v_loc, block):
         if cfg.use_pallas:
