@@ -8,14 +8,20 @@ software-pipelined variants are a measured NEGATIVE (ext2 0.16 vs 0.12,
 fin 0.19 vs 0.135 — the scratch round-trip costs more than any overlap).
 
 This sweep measures the numerically-safe version: norms ride the GEMM
-as COMPENSATED bf16 PAIRS (hi = bf16(na), lo = bf16(na - hi)), so the
-residual d2 error is ~8e-6*||f||^2 — BELOW the current bf16 tile's own
-exp(-d2.astype(bf16)) rounding. bf16 products accumulate exactly in
-f32, so aug-d2 == rounded-feature-d2 up to the split residue. Layout
-(d = 25, dp = 32 unchanged):
+as COMPENSATED bf16 SPLITS (three lanes, residue ~2^-24 ||f||^2 —
+re-quantizes to the identical bf16 tile; free at d=25 since d+6=31
+still pads to dp=32). REGRESSION HISTORY (r5): the measured
+0.65-0.88 dB quality loss at 8 MP was NOT the split residue — XLA:TPU's
+excess-precision simplifier elided the f32->bf16->f32 round-trips
+inside the fused jit, computing norms from UNROUNDED features and
+zeroing the compensation lanes entirely (which is why 2- and 3-lane
+splits measured bit-identically wrong). Fixed with
+lax.optimization_barrier around every rounding in the production
+aug_pads (ops/pallas_streaming.py); this sweep's numpy emulation was
+never affected. Layout (d = 25, dp = 32 unchanged):
 
-    fa' = [-2f_r, na_hi, na_lo, 1, 1, 0...]   (p, dp)
-    ft' = [ f_r,  1,     1, nb_hi, nb_lo, 0...]  (dp, n)
+    fa' = [-2f_r, na_hi, na_mid, na_lo, 1, 1, 1, 0...]   (p, dp)
+    ft' = [ f_r,  1, 1, 1, nb_hi, nb_mid, nb_lo, 0...]   (dp, n)
 
 Variants: ext2_aug2, fin_aug2, matvec_aug2 — correctness vs the
 production kernels at realistic magnitude first (norms of the ROUNDED
@@ -243,11 +249,20 @@ def matvec_aug2(fa, f_t, v, tn: int, n_pad: int):
 
 # --------------------------------------------------------------------------
 
-def _split_bf16(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+def _split_bf16(x: np.ndarray, lanes: int = 3) -> list[np.ndarray]:
+    """``lanes``-term compensated bf16 split. Production
+    (ops/pallas_streaming.aug_pads) uses THREE lanes, whose residue
+    (~2^-24 ||f||^2) re-quantizes to the identical bf16 kernel tile.
+    (The r5 0.65-0.88 dB regression was XLA eliding the roundings under
+    jit, not the lane count — module docstring.)"""
     import ml_dtypes
-    hi = x.astype(ml_dtypes.bfloat16).astype(np.float32)
-    lo = (x - hi).astype(ml_dtypes.bfloat16).astype(np.float32)
-    return hi, lo
+    outs = []
+    r = x.astype(np.float64)
+    for _ in range(lanes):
+        h = r.astype(ml_dtypes.bfloat16).astype(np.float64)
+        outs.append(h.astype(np.float32))
+        r = r - h
+    return outs
 
 
 def _augment(f: np.ndarray, ft: np.ndarray):
@@ -259,21 +274,20 @@ def _augment(f: np.ndarray, ft: np.ndarray):
     ftr = ft[:D].astype(ml_dtypes.bfloat16).astype(np.float32)
     na = np.sum(fr * fr, axis=1)
     nb = np.sum(ftr * ftr, axis=0)
-    na_hi, na_lo = _split_bf16(na)
-    nb_hi, nb_lo = _split_bf16(nb)
+    nas = _split_bf16(na)
+    nbs = _split_bf16(nb)
+    k = len(nas)
     p, n = f.shape[0], ft.shape[1]
     fa_aug = np.zeros((p, DP), np.float32)
     fa_aug[:, :D] = -2.0 * fr
-    fa_aug[:, D] = na_hi
-    fa_aug[:, D + 1] = na_lo
-    fa_aug[:, D + 2] = 1.0
-    fa_aug[:, D + 3] = 1.0
+    for i, lane in enumerate(nas):
+        fa_aug[:, D + i] = lane
+    fa_aug[:, D + k:D + 2 * k] = 1.0
     ft_aug = np.zeros((DP, n), np.float32)
     ft_aug[:D] = ftr
-    ft_aug[D] = 1.0
-    ft_aug[D + 1] = 1.0
-    ft_aug[D + 2] = nb_hi
-    ft_aug[D + 3] = nb_lo
+    ft_aug[D:D + k] = 1.0
+    for i, lane in enumerate(nbs):
+        ft_aug[D + k + i] = lane
     return fa_aug, ft_aug
 
 

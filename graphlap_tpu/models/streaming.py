@@ -304,7 +304,14 @@ def _strip_ctx(img2d: jnp.ndarray, idx_a: jnp.ndarray,
         # kernels (plain precision class, zero fa lanes beyond d) share
         # the same buffer.
         from ..ops import pallas_streaming as pst
-        aug = dtype == jnp.bfloat16
+        import os as _os
+        # GLT_AUG_DISABLE=1 (trace-time) falls back to the plain layout —
+        # the A/B lever that isolated the r5 aug regression (aug_bisect:
+        # plain 28.305 vs fused-aug 27.635 at 1 MP before the aug_pads
+        # barriers); keep it so future aug-suspect diffs are one env var
+        # away from a controlled parity check.
+        aug = (dtype == jnp.bfloat16
+               and not _os.environ.get("GLT_AUG_DISABLE"))
         _, p_pad = pst.p_tiling(p)
         tn = pst._tile_n(dtype)    # kernel-owned: a VMEM retune cannot
         n_pad_k = _cdiv(n_pad, tn) * tn        # desync this padding

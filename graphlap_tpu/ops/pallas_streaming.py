@@ -159,21 +159,33 @@ def _kb_tile(a, bt, dtype):
 # 0.118 -> 0.100 s on ext2 and 0.102 -> 0.070 s on matvec at the 8 MP
 # shape. Operand layout (aug_pads):
 #
-#     fa' = [-2 f_r, na_hi, na_lo, 1, 1, 0...]      (p_pad, dp)
-#     ft' = [ f_r,   1,     1, nb_hi, nb_lo, 0...]  (dp, n_pad)
+#     fa' = [-2 f_r, na_hi, na_mid, na_lo, 1, 1, 1, 0...]      (p_pad, dp)
+#     ft' = [ f_r,   1,     1,      1, nb_hi, nb_mid, nb_lo, 0...]
 #
 # with f_r the bf16-ROUNDED features, na/nb their exact f32 square norms
-# carried as COMPENSATED bf16 pairs (hi = bf16(x), lo = bf16(x - hi)).
-# bf16 products accumulate exactly in f32, so the aug d2 equals the
-# plain tile's norms+cross composition up to the hi/lo split residue
-# (~2^-18 |f|^2) — BELOW the bf16 GEMM-trick cancellation it replaces
-# (a plain bf16-norm layout is an ABSOLUTE d2 error of ~2^-9 |f|^2, a
-# factor-e kernel error at real NLM magnitudes; sweep_kernel_pipe.py
-# header). ZERO padding rows/columns give d2 = 0 -> kb = 1: garbage
+# carried as THREE-lane compensated bf16 splits (hi = bf16(x), then two
+# residue lanes). bf16 products accumulate exactly in f32, so the aug d2
+# equals the plain tile's norms+cross composition up to the split
+# residue — ~2^-24 |f|^2 with three lanes, which re-quantizes to the
+# IDENTICAL bf16 kernel tile on real NLM features (aug_numerics probe:
+# kb diff exactly 0 after the bf16 d2 cast). Three lanes cost nothing at
+# NLM d=25: d+6=31 pads to the same dp=32.
+#
+# r5 REGRESSION POST-MORTEM (matrix rows ts 1787205xxx: 0.65-0.88 dB at
+# 8 MP; 1 MP bisect: rmatvec-only -0.33 dB, both -0.67 dB): the culprit
+# was NOT the split residue — XLA:TPU's excess-precision simplifier was
+# eliding the f32->bf16->f32 round-trips inside the fused jit, computing
+# na/nb from UNROUNDED features (the very GEMM-trick cancellation error
+# this layout avoids) and zeroing the compensation lanes, which is why
+# 2-lane and 3-lane measured bit-identically wrong (27.6347/27.6346)
+# while the STAGED pipeline (eager aug_pads) was parity-clean. Fixed by
+# the optimization_barriers in aug_pads (docstring there); pinned by
+# tests/test_pallas.py::test_aug_pads_survives_jit.
+# ZERO padding rows/columns give d2 = 0 -> kb = 1: garbage
 # annihilated by the paired zero vector entries, the same caller
 # contract as the plain layout's exp(-norm) garbage. bf16-only — the
 # f32 paths have no rounding to compensate and keep the plain layout.
-AUG_LANES = 4
+AUG_LANES = 6
 
 
 def aug_d_pad_of(d: int) -> int:
@@ -200,27 +212,53 @@ def aug_pads(feats_a, feats_n, n_pad: int):
     -> (fa_aug (p_pad, dp), f_t_aug (dp, n_pad)). The ft rows [0:d] are
     the SAME bf16 features the plain layout carries — ft_aug is a strict
     superset, so kernels that keep the plain precision class (finish/
-    colstats, whose fa lanes beyond d are zero) can consume it too."""
+    colstats, whose fa lanes beyond d are zero) can consume it too.
+
+    EVERY bf16 rounding below sits behind ``lax.optimization_barrier``.
+    XLA:TPU's excess-precision simplifier elides f32->bf16->f32
+    round-trips inside a fused program (measured on this box: a jitted
+    aug_pads returned na lanes [35.25, 0, 0] where eager computes
+    [35.5, -0.1235, 0.00022]) — which (a) computes na/nb from the
+    UNROUNDED features while the GEMM multiplies the rounded ones (an
+    absolute d2 error ~|2 f df| ~ 0.2 at NLM norm magnitudes — exactly
+    the GEMM-trick cancellation class this layout exists to avoid), and
+    (b) collapses the compensated split lanes to zero. End-to-end that
+    measured -0.33 dB per aug kernel / -0.67 dB for both on the 1 MP
+    matvec route (aug_bisect, r5) while the STAGED pipeline — eager
+    aug_pads, op-by-op dispatch — was parity-clean: the regression only
+    existed inside the fused jit. The barriers are free: they pin tiny
+    per-vector converts, and the operands feed an opaque custom call
+    anyway."""
     p, d = feats_a.shape
     n = feats_n.shape[0]
     dp = aug_d_pad_of(d)
     _, p_pad = p_tiling(p)
-    fr_a = feats_a.astype(jnp.bfloat16)
-    fr_n = feats_n.astype(jnp.bfloat16)
+    barrier = jax.lax.optimization_barrier
+    fr_a = barrier(feats_a.astype(jnp.bfloat16))
+    fr_n = barrier(feats_n.astype(jnp.bfloat16))
     na = jnp.sum(fr_a.astype(jnp.float32) ** 2, axis=1)
     nb = jnp.sum(fr_n.astype(jnp.float32) ** 2, axis=1)
-    na_hi = na.astype(jnp.bfloat16)
-    na_lo = (na - na_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    nb_hi = nb.astype(jnp.bfloat16)
-    nb_lo = (nb - nb_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def split3(x):
+        hi = barrier(x.astype(jnp.bfloat16))
+        r1 = x - hi.astype(jnp.float32)
+        mid = barrier(r1.astype(jnp.bfloat16))
+        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        return hi, mid, lo
+
+    na_hi, na_mid, na_lo = split3(na)
+    nb_hi, nb_mid, nb_lo = split3(nb)
     fa = (jnp.zeros((p_pad, dp), jnp.bfloat16)
           .at[:p, :d].set(-2.0 * fr_a)          # exact: bf16 * 2, negated
-          .at[:p, d].set(na_hi).at[:p, d + 1].set(na_lo)
-          .at[:p, d + 2].set(1.0).at[:p, d + 3].set(1.0))
+          .at[:p, d].set(na_hi).at[:p, d + 1].set(na_mid)
+          .at[:p, d + 2].set(na_lo)
+          .at[:p, d + 3].set(1.0).at[:p, d + 4].set(1.0)
+          .at[:p, d + 5].set(1.0))
     ft = (jnp.zeros((dp, n_pad), jnp.bfloat16)
           .at[:d, :n].set(fr_n.T)
-          .at[d, :n].set(1.0).at[d + 1, :n].set(1.0)
-          .at[d + 2, :n].set(nb_hi).at[d + 3, :n].set(nb_lo))
+          .at[d, :n].set(1.0).at[d + 1, :n].set(1.0).at[d + 2, :n].set(1.0)
+          .at[d + 3, :n].set(nb_hi).at[d + 4, :n].set(nb_mid)
+          .at[d + 5, :n].set(nb_lo))
     return fa, ft
 
 

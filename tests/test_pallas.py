@@ -277,3 +277,80 @@ def test_streaming_kernels_narrow_d_pad():
         pst.matvec_pallas(fa32, ft128, jnp.asarray(v))
     with pytest.raises(ValueError, match="multiple"):
         pst.rmatvec_pallas(fa32[:, :24], ft32[:24], jnp.asarray(t))
+
+
+def test_aug_pads_survives_jit():
+    """aug_pads under jit must produce the SAME operands as eager.
+    XLA:TPU's excess-precision simplifier elides f32->bf16->f32
+    round-trips inside a fused program: before the optimization_barriers
+    in aug_pads, a jitted trace computed na/nb from the UNROUNDED
+    features and collapsed the compensated split lanes to exact zero
+    (measured on-chip: jit lanes [35.25, 0, 0] vs eager
+    [35.5, -0.1235, 0.00022]) — the r5 0.65-0.88 dB matvec-route
+    regression. Eager/CPU/staged runs never reproduce it, so pin BOTH
+    eager==jit equality and the structural property that the mid lanes
+    are nonzero (a collapsed split zeroes them on any backend)."""
+    from graphlap_tpu.ops import pallas_streaming as pst
+
+    rng = np.random.default_rng(11)
+    p, n, d = 16, 32, 25
+    fa = jnp.asarray(rng.random((p, d), np.float32) * 2.0)
+    fn = jnp.asarray(rng.random((n, d), np.float32) * 2.0)
+    import jax
+
+    eag = pst.aug_pads(fa, fn, 32)
+    jit = jax.jit(lambda a, b: pst.aug_pads(a, b, 32))(fa, fn)
+    for e, j in zip(eag, jit):
+        np.testing.assert_array_equal(np.asarray(e, np.float32),
+                                      np.asarray(j, np.float32))
+    # mid compensation lanes must carry actual residue, not zeros
+    assert np.abs(np.asarray(jit[0], np.float32)[:p, d + 1]).max() > 0
+    assert np.abs(np.asarray(jit[1], np.float32)[d + 4, :n]).max() > 0
+
+
+def test_aug_layout_matches_plain_at_large_norms():
+    """The augmented-GEMM layout must reproduce the PLAIN bf16 tile
+    essentially exactly at PRODUCTION feature magnitudes (NLM features
+    scaled 1/h carry square norms ~100): the three-lane compensated
+    split's residue (~2^-24 |f|^2) re-quantizes to the IDENTICAL bf16
+    kernel tile (aug_numerics probe: kb diff exactly 0), so aug and
+    plain matvec/rmatvec outputs must agree to f32-accumulation noise,
+    NOT a loose quality tolerance. (The r5 quality regression was NOT
+    this tile math but XLA eliding the roundings under jit — see
+    test_aug_pads_survives_jit.)"""
+    from graphlap_tpu.ops import pallas_streaming as pst
+
+    rng = np.random.default_rng(7)
+    p, n, d = 256, 2048, 25
+    # production-scale magnitudes: the h-scaled NLM feature lanes measure
+    # range [0, 2] with square norms up to ~87 on the 512^2 test image
+    # (.scratch-r5/aug_numerics.py probe) — match that class
+    base = rng.random((n, d), np.float32) * 2.0
+    fa = jnp.asarray(base[:p])
+    fn = jnp.asarray(base)
+    _, p_pad = pst.p_tiling(p)
+    tn = pst._tile_n(jnp.bfloat16)
+    n_pad = ((n + tn - 1) // tn) * tn
+
+    fa_aug, ft_aug = pst.aug_pads(fa, fn, n_pad)
+    dp_plain = pst.d_pad_of(d)
+    fa_plain = jnp.zeros((p_pad, dp_plain), jnp.bfloat16).at[:p, :d].set(
+        fa.astype(jnp.bfloat16))
+    ft_plain = jnp.zeros((dp_plain, n_pad), jnp.bfloat16).at[:d, :n].set(
+        fn.astype(jnp.bfloat16).T)
+
+    v = jnp.zeros(n_pad, jnp.float32).at[:n].set(
+        jnp.asarray(rng.standard_normal(n), jnp.float32))
+    mv_aug = np.asarray(pst.matvec_pallas(fa_aug, ft_aug, v, aug=True))[:p]
+    mv_pl = np.asarray(pst.matvec_pallas(fa_plain, ft_plain, v,
+                                         aug=False))[:p]
+    scale = np.abs(mv_pl).max()
+    assert np.abs(mv_aug - mv_pl).max() <= 5e-5 * scale
+
+    t = jnp.zeros(p_pad, jnp.float32).at[:p].set(
+        jnp.asarray(rng.standard_normal(p), jnp.float32))
+    rmv_aug = np.asarray(pst.rmatvec_pallas(fa_aug, ft_aug, t, aug=True))[:n]
+    rmv_pl = np.asarray(pst.rmatvec_pallas(fa_plain, ft_plain, t,
+                                           aug=False))[:n]
+    rscale = np.abs(rmv_pl).max()
+    assert np.abs(rmv_aug - rmv_pl).max() <= 5e-5 * rscale
