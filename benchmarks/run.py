@@ -379,9 +379,20 @@ def row5tr():
     return "cfg5_video_8x4k_pan_registered", _cfg5_recipe(), clean, frames
 
 
+def row5ta():
+    """The SAME 1 px/frame pan scene as row5tr, but routed by
+    temporal_guide='auto' (VERDICT r4 #5): the router estimates the
+    motion and picks the measured-boundary configuration (k=2 registered
+    at ~1 px/frame — motion_guide.jsonl) instead of the hand-picked k=4
+    that lost both axes in r4. The row records what the router chose."""
+    _, cfg, clean, frames = row5tr()
+    return "cfg5_video_8x4k_pan_auto", cfg, clean, frames
+
+
 ROWS = {"1": row1, "2": row2, "3": row3, "3l": row3l, "4": row4, "4c": row4c,
         "4g": row4g, "4m": row4m, "4p": row4p, "4q": row4q, "4x": row4x,
-        "5": row5, "5s": row5s, "5t": row5t, "5tr": row5tr, "5x": row5x,
+        "5": row5, "5s": row5s, "5t": row5t, "5ta": row5ta, "5tr": row5tr,
+        "5x": row5x,
         "6": row6, "6q": row6q, "7": row7, "8": row8}
 # per-video-row harness options: chunk size + timed passes (16x4K moves
 # ~0.5 GB through this box's remote-TPU tunnel per pass — keep passes low)
@@ -684,11 +695,42 @@ def run_video_guided_row(name, cfg, clean_img, frames, k=4, n_runs=2,
     tunnel, so the e2e walls compare fairly on this box."""
     import graphlap_tpu as gl
     from graphlap_tpu.models.pipeline import make_plan
-    from graphlap_tpu.models.video import filter_video
+    from graphlap_tpu.models.video import filter_video, route_temporal_guide
 
     plan = make_plan(frames[0], cfg)
     b = frames.shape[0]
     mp = frames.size / 1e6
+
+    routed = None
+    if k == "auto":
+        # VERDICT r4 #5: the r4 pan row hand-picked k=4 registered at
+        # 1.4 px/frame — a both-lose configuration. The production router
+        # (models/video.route_temporal_guide, measured motion_guide.jsonl
+        # boundaries) picks the group size from estimated motion, or
+        # DECLINES guided reuse (k=1) past the boundary. This row records
+        # what the router chose and A/Bs the routed configuration.
+        k, register = route_temporal_guide(frames, register=register)
+        routed = {"routed_k": k, "routed_register": register}
+        if k == 1:
+            import jax
+            rec = {
+                "row": name, "backend": jax.default_backend(),
+                "device": str(jax.devices()[0]),
+                "shape": list(frames.shape), "p": plan.p,
+                "m": cfg.num_eigvecs, "config_hash": cfg.config_hash(),
+                "temporal_guide": "auto", **routed,
+                "guided_declined": True,
+                "note": "router declined guided reuse for this motion "
+                        "regime (falls back to per-frame bases with a "
+                        "warning) — the r4 both-lose row is unreachable "
+                        "through temporal_guide='auto'",
+                "ts": time.time(),
+            }
+            RESULTS.parent.mkdir(parents=True, exist_ok=True)
+            with RESULTS.open("a") as f:
+                f.write(json.dumps(rec) + "\n")
+            print(json.dumps(rec))
+            return
 
     filter_video(frames[:k], cfg, plan=plan, temporal_guide=k,
                  register_guide=register)                            # warm
@@ -719,6 +761,7 @@ def run_video_guided_row(name, cfg, clean_img, frames, k=4, n_runs=2,
         "device": str(jax.devices()[0]), "shape": list(frames.shape),
         "p": plan.p, "m": cfg.num_eigvecs, "config_hash": cfg.config_hash(),
         "temporal_guide": k, "register_guide": register,
+        **(routed or {}),
         "wall_guided_s": [round(w, 4) for w in sorted(gwalls)],
         "wall_per_frame_s": [round(w, 4) for w in sorted(iwalls)],
         "guided_speedup": round(min(iwalls) / min(gwalls), 3),
@@ -735,7 +778,8 @@ def run_video_guided_row(name, cfg, clean_img, frames, k=4, n_runs=2,
 
 
 GUIDED_ROWS = {"5t": {"k": 4, "n_runs": 2},
-               "5tr": {"k": 4, "n_runs": 2, "register": True}}
+               "5tr": {"k": 4, "n_runs": 2, "register": True},
+               "5ta": {"k": "auto", "n_runs": 2, "register": True}}
 TILED_ROWS = {"8": {"tile": 4096, "overlap": 256}}
 
 
