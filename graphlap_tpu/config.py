@@ -606,16 +606,25 @@ def tuned_config(cfg: PipelineConfig, n_pixels: int, level: str = "fast",
             if (level == "fast" and cfg.operator_filter()
                     and cfg.filter_name in ("identity", "power")):
                 # sharp-kernel matvec denoise route (denoise_tuned h = sigma):
-                # the Sinkhorn scales enter the OUTPUT directly (no rank-m
-                # projection to absorb scale error), and with bf16 tiles
-                # the coarse+1-polish estimator measured 0.209-0.223 dB vs
-                # the f32 full-res twin at 8 MP while EVERY control passed
-                # (f32+coarse+pol1: 0.009; bf16 full-res: 0.041) — one more
-                # polish contraction brings it under the gate at 0.090 dB
-                # and +0.12 dB output (cfg4q_parity.jsonl). The sharpen
-                # matvec route keeps pol=1 (0.0008 dB measured at its
-                # wider h — cfg3_sweep.jsonl).
-                pol = 2
+                # the Sinkhorn scales AND the tile values enter the OUTPUT
+                # directly (z = diag(s) K diag(s) y — no rank-m projection
+                # to absorb error), and the r5 cross-draw sweep (4 noise
+                # seeds x 2 images, cfg4q_parity.jsonl jseed_*) killed the
+                # bf16-tile recipes here: pol2 measures up to 0.18 dB and
+                # pol3 up to 0.1175 dB vs the per-draw f32 full-res twin
+                # on the LOW-NOISE draws (realized std 0.0959 vs 0.0976 —
+                # the 1.8 dB-higher-quality regime where tile error shows).
+                # Worst-draw controls isolate the tiles, not the coarse
+                # Sinkhorn: f32 features + same coarse recipe 0.002 dB;
+                # bf16 + FULL-res Sinkhorn still 0.104 dB — polish depth
+                # cannot contract tile precision. So this branch routes to
+                # f32 features/tiles (Pallas plain-f32 layout) + pol1:
+                # worst-draw 0.0058 dB at 1.88 s / 4.5 MP/s at 8 MP
+                # (bad_*/f32pallas_* rows). The sharpen matvec route keeps
+                # bf16 + pol=1 (0.0008 dB measured at its wider h —
+                # cfg3_sweep.jsonl; sharpen is excluded from this branch).
+                chosen.update(affinity_dtype="float32",
+                              feature_dtype="float32")
             chosen.update(sinkhorn_coarse=k_s, sinkhorn_iters=6,
                           sinkhorn_polish=pol)
         else:
